@@ -1,0 +1,98 @@
+"""HTML / body functions: link extraction (P5) and body decode (P7).
+
+Reference behavior:
+  * crawler.js:93-107 — cheerio ``$('a').each`` collects the ``href``
+    attribute of every anchor, in document order; falsy hrefs (missing
+    or empty string) are skipped; links are reset on every setHTML.
+  * crawler.js:70-87 — parse errors must not kill the process; garbage
+    input yields an empty DOM (tests/func/pageSpec.js:45-48,
+    tests/unit/page/pageDOMSpec.js:13-19).
+  * crawler.js:343-357 — gzip bodies are zlib.unzip'ed then
+    ``Buffer.toString()``-ed (UTF-8, invalid sequences → U+FFFD). The
+    decoded text is the engine's byte-identical-per-URL invariant.
+
+cheerio 0.12 sits on htmlparser2 (lenient, non-validating). The
+stdlib ``html.parser.HTMLParser`` has the same forgiving behavior
+(no exceptions on malformed markup, entity decoding in attribute
+values), so it is the in-container choice; at production scale you
+would swap the inner loop for selectolax/lxml — the Spark-side
+contract (Arrow batch in, list<string> column out) is unchanged.
+"""
+
+from __future__ import annotations
+
+import zlib
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class _AnchorCollector(HTMLParser):
+    """Collect href of every <a> in document order (cheerio-equivalent)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag == "a":
+            for name, value in attrs:
+                if name == "href":
+                    if value:  # JS truthiness: skip missing AND ''
+                        self.hrefs.append(value)
+                    break
+
+    # <a/> appears as startendtag in some parsers
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self.handle_starttag(tag, attrs)
+
+    def error(self, message: str) -> None:  # pragma: no cover - py<3.10 compat
+        pass
+
+
+def extract_links_py(html: str) -> list[str]:
+    """Raw hrefs of all anchors, document order; [] on any parse issue."""
+    if not html:
+        return []
+    collector = _AnchorCollector()
+    try:
+        collector.feed(html)
+        collector.close()
+    except Exception:
+        # cheerio-parity: parsing must never throw (crawler.js:76-86)
+        return collector.hrefs
+    return collector.hrefs
+
+
+def decode_body_py(raw: bytes | None, gzipped: bool) -> str:
+    """gunzip-if-needed + UTF-8 decode, Buffer.toString() semantics."""
+    if raw is None:
+        return ""
+    data = bytes(raw)
+    if gzipped:
+        try:
+            data = zlib.decompress(data, wbits=47)  # auto gzip/zlib header
+        except zlib.error:
+            return ""
+    return data.decode("utf-8", errors="replace")
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_links(html: pd.Series) -> pd.Series:
+    """P5 — vectorized (Arrow-batched) anchor extraction."""
+    return pd.Series(
+        [extract_links_py(h) for h in html.fillna("")], index=html.index
+    )
+
+
+@F.pandas_udf(T.StringType())
+def decode_body(raw: pd.Series, gzipped: pd.Series) -> pd.Series:
+    """P7 — gunzip + UTF-8 decode; byte-identical to the reference's
+    ``body.toString()`` for valid UTF-8/gzip input."""
+    gz = gzipped.fillna(False)
+    return pd.Series(
+        [decode_body_py(r, bool(g)) for r, g in zip(raw, gz)],
+        index=raw.index,
+    )

@@ -1,0 +1,272 @@
+"""urlkit — Node-legacy ``url.parse`` / ``url.resolve`` semantics.
+
+This is THE identity function of the crawl: the reference dedups on
+``urllib.parse(url).href`` (crawler.js:176-194, :588) and resolves
+links with ``urllib.resolve`` (crawler.js:91, :135). Every downstream
+identity (seen-set key, fetch key, golden crawl order) depends on
+byte-exact hrefs, so the pure-Python core here replicates Node's
+*legacy* url module rules (not WHATWG):
+
+  * scheme lowercased; ``//`` slashes for slashed protocols
+  * auth (``user:pass@``) preserved verbatim
+  * hostname lowercased, ports preserved (no default-port stripping —
+    legacy parse keeps ``:80``), IDNA/punycode for non-ASCII hosts
+  * empty path with a host present becomes ``/``
+    (tests/unit/queueSpec.js:47-56: http://www.google.com →
+    http://www.google.com/)
+  * query AND fragment retained in href (the seen-set keeps fragments;
+    only Page construction strips them — crawler.js:66 vs :588)
+  * Node's autoEscape set (space, quotes, angle brackets, backtick,
+    braces, pipe, backslash, caret, TAB/CR/LF) percent-encoded in the
+    path
+
+The Spark surface is Arrow-vectorized pandas UDFs with a regex fast
+path: URLs already in canonical form (the overwhelming majority in a
+real crawl, where links come out of our own resolver) are recognized
+with a single vectorized match and passed through untouched; only the
+residue takes the per-element slow path.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urljoin
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Node url.js: slashedProtocol map (legacy url module)
+SLASHED_PROTOCOLS = {"http:", "https:", "ftp:", "gopher:", "file:", "ws:", "wss:"}
+# Protocols the reference filters out as non-page links (crawler.js:139-146)
+NON_PAGE_PROTOCOLS = ("mailto:", "javascript:", "tel:")
+
+_PROTO_RE = re.compile(r"^([a-zA-Z0-9.+-]+:)")
+# Node legacy parse autoEscape = delims + unwise + ["'"]
+_AUTO_ESCAPE = set(" \t\n\r\"'<>`{}|\\^")
+_ESCAPE_MAP = {c: "%{:02X}".format(ord(c)) for c in _AUTO_ESCAPE}
+
+# Fast path: canonical-form URL that round-trips through node_href
+# unchanged. Lowercase scheme+host, non-empty path, no escapable chars,
+# no auth (auth is rare; send it to the slow path).
+_CANONICAL_RE = re.compile(
+    r"^(?:http|https|ftp|ws|wss):\/\/"
+    r"[a-z0-9](?:[a-z0-9.-]*[a-z0-9])?(?::\d+)?"
+    r"\/[^ \t\n\r\"'<>`{}|\\^@]*$"
+)
+
+
+def _escape_rest(s: str) -> str:
+    """Percent-encode Node's autoEscape chars (uppercase hex)."""
+    if not s:
+        return s
+    for ch in _AUTO_ESCAPE:
+        if ch in s:
+            return "".join(_ESCAPE_MAP.get(c, c) for c in s)
+    return s
+
+
+def node_parse(url: str) -> dict:
+    """Parse like Node legacy ``url.parse(url)``.
+
+    Returns protocol, slashes, auth, hostname, port, host, pathname,
+    search ('?'-prefixed or ''), hash ('#'-prefixed or ''), href.
+    Mirrors crawler.js usage: urlData fields asserted in
+    tests/func/pageSpec.js:11-25.
+    """
+    s = "" if url is None else str(url).strip()
+    out = {
+        "protocol": "",
+        "slashes": False,
+        "auth": "",
+        "hostname": "",
+        "port": "",
+        "host": "",
+        "pathname": "",
+        "search": "",
+        "hash": "",
+        "href": "",
+    }
+    if not s:
+        return out
+
+    m = _PROTO_RE.match(s)
+    proto = ""
+    rest = s
+    if m:
+        proto = m.group(1).lower()
+        rest = s[m.end():]
+    out["protocol"] = proto
+
+    slashes = rest.startswith("//")
+    has_host = proto in SLASHED_PROTOCOLS or (slashes and proto != "javascript:")
+    if has_host:
+        if slashes:
+            rest = rest[2:]
+        out["slashes"] = True
+        # authority = up to first /?#
+        end = len(rest)
+        for i, c in enumerate(rest):
+            if c in "/?#":
+                end = i
+                break
+        authority, rest = rest[:end], rest[end:]
+        if "@" in authority:
+            at = authority.rindex("@")
+            out["auth"], authority = authority[:at], authority[at + 1:]
+        # split port (last ':' followed by digits only)
+        hostname, port = authority, ""
+        cm = re.search(r":(\d*)$", authority)
+        if cm:
+            hostname, port = authority[: cm.start()], cm.group(1)
+        hostname = hostname.lower()
+        if not hostname.isascii():
+            try:  # Node punycodes non-ASCII hosts (legacy parse)
+                hostname = hostname.encode("idna").decode("ascii")
+            except (UnicodeError, UnicodeDecodeError):
+                pass
+        out["hostname"] = hostname
+        out["port"] = port
+        out["host"] = hostname + ((":" + port) if port else "")
+        # path / query / fragment
+        path, query, frag = rest, "", ""
+        hi = path.find("#")
+        if hi >= 0:
+            path, frag = path[:hi], path[hi:]
+        qi = path.find("?")
+        if qi >= 0:
+            path, query = path[:qi], path[qi:]
+        if path == "":
+            path = "/"  # queueSpec.js:47-56 trailing-slash insertion
+        out["pathname"] = _escape_rest(path)
+        out["search"] = _escape_rest(query)
+        out["hash"] = frag
+        auth_part = (out["auth"] + "@") if out["auth"] else ""
+        out["href"] = (
+            proto + "//" + auth_part + out["host"] + out["pathname"]
+            + out["search"] + out["hash"]
+        )
+    else:
+        # host-less (mailto:, javascript:, tel:, relative paths, ...)
+        path, query, frag = rest, "", ""
+        hi = path.find("#")
+        if hi >= 0:
+            path, frag = path[:hi], path[hi:]
+        qi = path.find("?")
+        if qi >= 0:
+            path, query = path[:qi], path[qi:]
+        out["pathname"] = path
+        out["search"] = query
+        out["hash"] = frag
+        out["href"] = proto + path + query + frag
+    return out
+
+
+def node_href(url: str) -> str:
+    """``urllib.parse(url).href`` — the canonical seen-set key
+    (crawler.js:187-189, :588)."""
+    if url is not None and _CANONICAL_RE.match(str(url)):
+        return str(url)
+    return node_parse(url)["href"]
+
+
+def node_resolve(base: str, href: str) -> str:
+    """``urllib.resolve(base, href)`` (crawler.js:91, :135).
+
+    Node resolve = format(parse(base).resolveObject(href)) — i.e. the
+    result is *normalized* (lowercased scheme/host, trailing slash on
+    empty path). RFC-3986 join via urljoin, then node_href-normalize.
+    Covers the pageAddLinkSpec.js:17-21 / pageSpec.js:74-92 forms
+    (/abs, sibling, ../up, section/).
+    """
+    b = "" if base is None else str(base)
+    h = "" if href is None else str(href).strip()
+    if not h:
+        return node_href(b)
+    m = _PROTO_RE.match(h)
+    if m and m.group(1).lower() not in SLASHED_PROTOCOLS:
+        # mailto:/javascript:/tel:/data: — absolute, non-hierarchical
+        return h
+    try:
+        joined = urljoin(b, h)
+    except ValueError:
+        joined = h
+    return node_href(joined)
+
+
+def strip_fragment(url: str) -> str:
+    """Page-construction fragment strip: ``url.replace(/#.*/gi, '')``
+    (crawler.js:66). NOT applied to seen-set keys."""
+    if url is None:
+        return ""
+    i = str(url).find("#")
+    return str(url)[:i] if i >= 0 else str(url)
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized Spark surface
+# ---------------------------------------------------------------------------
+
+URLDATA_TYPE = T.StructType(
+    [
+        T.StructField("protocol", T.StringType()),
+        T.StructField("auth", T.StringType()),
+        T.StructField("hostname", T.StringType()),
+        T.StructField("port", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("pathname", T.StringType()),
+        T.StructField("search", T.StringType()),
+        T.StructField("hash", T.StringType()),
+        T.StructField("href", T.StringType()),
+    ]
+)
+
+
+@F.pandas_udf(T.StringType())
+def canonicalize_url(urls: pd.Series) -> pd.Series:
+    """P1 — vectorized canonical href. Fast path: a single vectorized
+    regex match passes already-canonical URLs through; only the residue
+    runs the per-element Node-parse."""
+    s = urls.fillna("").astype(str)
+    is_canon = s.str.match(_CANONICAL_RE)
+    if bool(is_canon.all()):
+        return s
+    out = s.copy()
+    slow = ~is_canon
+    out[slow] = [node_href(u) for u in s[slow]]
+    return out
+
+
+@F.pandas_udf(T.StringType())
+def resolve_url(base: pd.Series, href: pd.Series) -> pd.Series:
+    """P4 — RFC-3986 join with Node-normalized output."""
+    b = base.fillna("").astype(str)
+    h = href.fillna("").astype(str)
+    return pd.Series(
+        [node_resolve(x, y) for x, y in zip(b, h)], index=base.index
+    )
+
+
+@F.pandas_udf(URLDATA_TYPE)
+def parse_url_struct(urls: pd.Series) -> pd.DataFrame:
+    """P3 — full Node urlData struct (for F1/F2 predicates and tests)."""
+    rows = [node_parse(u) for u in urls.fillna("").astype(str)]
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "protocol", "auth", "hostname", "port", "host",
+            "pathname", "search", "hash", "href",
+        ],
+        index=urls.index,
+    )
+
+
+def strip_fragment_col(col):
+    """P2 as a pure built-in (no UDF): regexp_replace(url, '#.*', '')."""
+    return F.regexp_replace(col, "#.*", "")
+
+
+def url_domain_col(col):
+    """Registrable-ish domain key for politeness/salting: the legacy
+    ``host`` (hostname:port). Built-in parse_url stays JVM-side."""
+    return F.lower(F.parse_url(col, F.lit("HOST")))
