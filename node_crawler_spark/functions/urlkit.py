@@ -247,6 +247,23 @@ def resolve_url(base: pd.Series, href: pd.Series) -> pd.Series:
     )
 
 
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def resolve_links(base: pd.Series, links: pd.Series) -> pd.Series:
+    """P4/P5 composition — resolve every raw href of a page against the
+    page url in one Arrow batch, preserving document order
+    (Page.addLink, crawler.js:91: ``urllib.resolve(this.url, url)``).
+    Keeps the sink's ``links`` column shuffle-free (no explode +
+    re-collect_list round trip)."""
+    b = base.fillna("").astype(str)
+    out = []
+    for page_url, hrefs in zip(b, links):
+        if hrefs is None or len(hrefs) == 0:
+            out.append([])
+        else:
+            out.append([node_resolve(page_url, h) for h in hrefs])
+    return pd.Series(out, index=base.index)
+
+
 @F.pandas_udf(URLDATA_TYPE)
 def parse_url_struct(urls: pd.Series) -> pd.DataFrame:
     """P3 — full Node urlData struct (for F1/F2 predicates and tests)."""

@@ -1,0 +1,258 @@
+"""Frontier expansion — content gate (F5), body decode (P7), link
+extraction + resolution (P5/P4), queue gates (F1-F4 + robots), the
+seen-set insert stream with redirect-drop resolution (D1-D4), and the
+deterministic discovery-order ranking (O1).
+
+Reference semantics (file:line = /root/reference/crawler.js):
+  * :323-336  body kept only for ``text/*`` content-type, non-media
+    url, internal page; everything else fetches headers only (``''``).
+  * :93-107 + :132-155  links of a 200 page (document order, dupes
+    kept) resolved against the *final* page url; non-page protocols and
+    host-less links skipped; externality judged against the page's
+    ctor-time ``urlData.href`` (urlData is never updated on redirect).
+  * :576-618  queue(): external-gate → canonicalize → seen probe →
+    exclude patterns → insert into seen → enqueue. Excluded and
+    external-gated urls never enter the seen set.
+  * :474-504  a redirect landing is inserted into seen when first seen;
+    a landing already present drops the whole page (``return null``)
+    *after* the onRedirect event fired.
+  * Ordering: with workers=1 the async FIFO queue is exactly
+    seq-ordered BFS; within one page the seen inserts are its redirect
+    landing first, then its links in document order — so the global
+    insert stream of a round sorts by (parent_seq, kind, pos), and new
+    seqs continue the global counter (SURVEY.md §2.7 O1).
+
+Scale posture: everything is per-round-sized (the new candidate set),
+not seen-set-sized. The one global ordering window runs over the
+round's *first-occurrence inserts only*; the seen probe is a left-anti
+join against the (10^10-row) seen table — AQE-shuffled on url, with the
+candidate side orders of magnitude smaller, plus an optional broadcast
+bloom pre-filter (operators/seenset.py). Redirect-drop resolution is a
+fixed-point loop over the round's *redirect events only* (a tiny
+residue; bounded iterations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from node_crawler_spark.config import CrawlConfig
+from node_crawler_spark.functions.html import decode_body, extract_links
+from node_crawler_spark.functions.urlkit import resolve_links
+from node_crawler_spark.operators.fetch import MEDIA_EXT_RE
+
+
+def _proto(c):
+    return F.lower(F.regexp_extract(c, r"^([a-zA-Z0-9.+-]+:)", 1))
+
+
+def _hostport(c):
+    host = F.lower(F.coalesce(F.parse_url(c, F.lit("HOST")), F.lit("")))
+    port = F.coalesce(F.parse_url(c, F.lit("PORT")), F.lit(""))
+    return F.concat(host, F.when(port != "", F.concat(F.lit(":"), port)).otherwise(F.lit("")))
+
+
+def attach_bodies(fetched: DataFrame, pages: DataFrame) -> DataFrame:
+    """F5 + P7: join the page store for rows passing the content gate,
+    pick the latest warc_ts snapshot per page, decode (gunzip + UTF-8).
+
+    The pages join is keyed on the final page_url; the latest-snapshot
+    window runs on the *joined* (round-sized) result so the 100 TB page
+    table itself is never windowed — Catalyst prunes the scan to
+    (url, warc_ts, html) and pushes the join keys down.
+    """
+    gate = (
+        F.col("ok")
+        & F.col("content_type_raw").isNotNull()
+        & F.col("content_type_raw").contains("text/")
+        & ~F.col("params_url").rlike(MEDIA_EXT_RE)
+        # params.isExternal of the final attempt (crawler.js:332-335) —
+        # a redirect that flipped is_external mid-attempt does NOT stop
+        # the body download of that attempt
+        & ~F.col("params_external")
+    )
+    gated = fetched.withColumn("_wants_body", gate)
+
+    body_side = pages.select(
+        F.col("url").alias("p_url"),
+        F.col("warc_ts").alias("p_ts"),
+        F.col("html").alias("p_html"),
+    )
+    with_body = (
+        gated.where(F.col("_wants_body"))
+        .join(body_side, F.col("page_url") == F.col("p_url"), "left")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("seq").orderBy(F.col("p_ts").desc_nulls_last())
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .withColumn("text", decode_body(F.col("p_html"), F.col("gzipped")))
+        .drop("p_url", "p_ts", "p_html", "_rn")
+    )
+    without_body = gated.where(~F.col("_wants_body")).withColumn("text", F.lit(""))
+    return with_body.unionByName(without_body).drop("_wants_body")
+
+
+def extract_and_resolve(with_text: DataFrame) -> DataFrame:
+    """P5 + P4: anchor hrefs in document order, resolved against the
+    final page url (Page.setHTML + addLink). Adds ``links`` (the sink
+    column) in one Arrow pass — no explode/re-aggregate shuffle."""
+    return with_text.withColumn(
+        "links",
+        F.when(
+            F.col("ok") & (F.col("text") != ""),
+            resolve_links(F.col("page_url"), extract_links(F.col("text"))),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+
+
+def link_candidates(expanded: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Per-link queue() candidates after F1/F2/F3/F4 + robots gates.
+    Dedup (D1-D4) and ordering happen in resolve_round_inserts."""
+    exploded = (
+        expanded.where(F.col("ok") & F.col("crawl_links") & (F.size("links") > 0))
+        .select(
+            F.col("seq").alias("parent_seq"),
+            F.col("url").alias("parent_ctor_url"),
+            F.col("page_url").alias("parent_page_url"),
+            F.posexplode("links").alias("pos", "resolved"),
+        )
+    )
+    # F1 — non-page links (crawler.js:139-146): protocol or empty host
+    proto = _proto(F.col("resolved"))
+    host = _hostport(F.col("resolved"))
+    c = exploded.where(
+        ~proto.isin("mailto:", "javascript:", "tel:") & (host != "")
+    )
+    # F2 — externality vs the parent's ctor-time href (crawler.js:149)
+    c = c.withColumn(
+        "is_external",
+        (_proto(F.col("parent_ctor_url")) != proto)
+        | (_hostport(F.col("parent_ctor_url")) != host),
+    )
+    # F3 — external-crawl gate (crawler.js:584-586): gated links never
+    # reach the seen insert
+    if not cfg.crawl_external:
+        c = c.where(~F.col("is_external"))
+    # Page ctor fragment strip (crawler.js:66); resolved is already
+    # canonical (node_resolve normalizes), so strip stays canonical
+    c = c.withColumn("ins_url", F.regexp_replace("resolved", "#.*", ""))
+    # F4 — exclude patterns, case-insensitive RegExp(p,'gi') (crawler.js:595-604)
+    for pat in cfg.exclude_patterns:
+        c = c.where(~F.col("ins_url").rlike("(?i)" + pat))
+    # robots extension (north_star; absent in reference): per-domain
+    # disallow prefixes behave as an extra exclude gate
+    if cfg.robots:
+        spark = expanded.sparkSession
+        robots = spark.createDataFrame(
+            list(cfg.robots), "r_domain string, r_prefix string"
+        )
+        c = (
+            c.withColumn("_host", _hostport(F.col("ins_url")))
+            .withColumn("_path", F.coalesce(F.parse_url("ins_url", F.lit("PATH")), F.lit("")))
+            .join(
+                F.broadcast(robots),
+                (F.col("_host") == F.col("r_domain"))
+                & F.col("_path").startswith(F.col("r_prefix")),
+                "left_anti",
+            )
+            .drop("_host", "_path")
+        )
+    return c.select(
+        "parent_seq",
+        F.lit(1).alias("kind"),
+        F.col("pos"),
+        "ins_url",
+        F.col("parent_page_url").alias("referrer"),
+        "is_external",
+        (~F.col("is_external")).alias("crawl_links"),
+    )
+
+
+def landing_candidates(fetched: DataFrame) -> DataFrame:
+    """D3 — every redirect event's clean_final is a seen-insert
+    candidate at stream position (parent_seq, kind=0, event_idx)."""
+    return fetched.where(F.size("events") > 0).select(
+        F.col("seq").alias("parent_seq"),
+        F.lit(0).alias("kind"),
+        F.explode("events").alias("ev"),
+    ).select(
+        "parent_seq", "kind",
+        F.col("ev.event_idx").alias("pos"),
+        F.col("ev.clean_final").alias("ins_url"),
+        F.lit(None).cast("string").alias("referrer"),
+        F.lit(None).cast("boolean").alias("is_external"),
+        F.lit(None).cast("boolean").alias("crawl_links"),
+    )
+
+
+def resolve_round_inserts(
+    landings: DataFrame,
+    links: DataFrame,
+    seen: DataFrame,
+    max_seq: int,
+    max_fixpoint_iters: int = 10,
+):
+    """The round's seen-insert stream: first occurrence wins, redirect
+    landings that collide drop their page (crawler.js:484-500).
+
+    Returns (inserts, drops) where inserts = first-occurrence stream
+    rows with their assigned global seq, and drops = (parent_seq,
+    drop_idx) pairs of pages killed by a colliding landing.
+
+    Drop resolution is a fixed point because a dropped page contributes
+    no link inserts, which can in turn un-collide a later landing. The
+    loop runs only over the round's redirect events (tiny); each pass
+    is one window + one anti-join on round-sized data.
+    """
+    spark = landings.sparkSession
+    stream = landings.unionByName(links)
+    seen_keys = seen.select(F.col("url").alias("ins_url")).distinct()
+
+    drops = spark.createDataFrame([], "parent_seq long, drop_idx int")
+    for _ in range(max_fixpoint_iters):
+        active = (
+            stream.join(F.broadcast(drops), on="parent_seq", how="left")
+            .where(
+                F.col("drop_idx").isNull()
+                | ((F.col("kind") == 0) & (F.col("pos") <= F.col("drop_idx")))
+            )
+            .drop("drop_idx")
+        )
+        # collision = already in seen table OR not first in the stream
+        probed = active.join(
+            seen_keys.withColumn("_seen", F.lit(True)), on="ins_url", how="left"
+        )
+        w = Window.partitionBy("ins_url").orderBy("parent_seq", "kind", "pos")
+        probed = probed.withColumn("_rank", F.row_number().over(w)).withColumn(
+            "_collides", F.col("_seen").isNotNull() | (F.col("_rank") > 1)
+        )
+        new_drops = (
+            probed.where((F.col("kind") == 0) & F.col("_collides"))
+            .groupBy("parent_seq")
+            .agg(F.min("pos").cast("int").alias("drop_idx"))
+        )
+        changed = not (
+            new_drops.exceptAll(drops).isEmpty()
+            and drops.exceptAll(new_drops).isEmpty()
+        )
+        drops = new_drops
+        if not changed:
+            final_stream = probed
+            break
+    else:  # pragma: no cover - safety net
+        final_stream = probed
+
+    inserts = (
+        final_stream.where(~F.col("_collides"))
+        .withColumn(
+            "_new_seq",
+            F.lit(max_seq)
+            + F.row_number().over(Window.orderBy("parent_seq", "kind", "pos")),
+        )
+        .drop("_seen", "_rank", "_collides")
+    )
+    return inserts, drops

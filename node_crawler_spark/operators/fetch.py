@@ -1,0 +1,303 @@
+"""Fetch resolution — the engine's J1/J2 (frontier × page-store join),
+J3 (bounded redirect chase), O2 (retry-in-place) and O3 (redirect cap).
+
+Reference semantics being reproduced (file:line = /root/reference):
+  * crawler.js:195-446  ``_request``: follow any status whose string
+    starts with "30" when a ``location`` header is present
+    (crawler.js:265-269); relative locations resolved against the
+    *current hop* url (crawler.js:292); at most 10 hops are followed —
+    the 11th raises ``MAX_REDIRECTS_REACHED`` (counter check
+    ``redirects > 9`` *before* increment, crawler.js:283-291).
+  * crawler.js:301-312  internal 401 + configured auth re-requests the
+    same url with credentials (invisible to hop/retry counters).
+  * crawler.js:521-542  ``_onResponse``: a landing url different from
+    ``page.url`` swaps the page's url to ``urllib.parse(final).href``,
+    appends the old url to ``page.redirects`` and may flip
+    ``isExternal`` (protocol/host differ, crawler.js:111-117).
+  * crawler.js:544-553  HPE_INVALID_CONSTANT forgiveness for external
+    pages with a content-length header and status 200.
+  * crawler.js:558-570  retry-in-place: on (error || status != 200)
+    re-run ``_crawlPage`` with the same pageInfo up to ``retries``
+    times; the retried request starts from the (possibly
+    redirect-swapped) page.url with a fresh hop counter.
+  * crawler.js:466-469  ``page.type`` updated from the final response's
+    content-type (``;...`` stripped, trimmed) — sticky across attempts.
+
+Physical design (100 TB posture): the fetch is a driver-bounded loop of
+equi-joins on the *current hop url*. Iteration 1 carries the whole
+scheduled frontier (sort-merge / shuffled-hash on ``url``, AQE decides;
+broadcast when the round is small); every later iteration only carries
+rows still in flight (redirect hops + retries — a tiny, AQE-coalesced
+residue). Worst-case iterations = (retries + 1) * 11, a config-bounded
+constant. No collect, no per-row Python: the only UDF in the loop is
+the Arrow-vectorized relative-``Location`` resolver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from node_crawler_spark.config import CrawlConfig
+from node_crawler_spark.functions.urlkit import canonicalize_url, resolve_url
+
+# crawler.js:210 — COMMON_MEDIA_EXT, anchored at end of the *requested* url
+MEDIA_EXT_RE = (
+    r"\.(?:3gp|aif|asf|asx|avi|flv|iff|m3u|m4a|m4p|m4v|mov|mp3|mp4|mpa|mpg|"
+    r"mpeg|ogg|ra|raw|rm|swf|vob|wav|wma|wmv)$"
+)
+
+# One redirect event per _processRedirect call (crawler.js:474-504).
+REDIRECT_EVENT_TYPE = T.StructType(
+    [
+        T.StructField("event_idx", T.IntegerType()),
+        T.StructField("pre_url", T.StringType()),       # page.url before swap
+        T.StructField("final_raw", T.StringType()),     # finalURL as observed
+        T.StructField("clean_final", T.StringType()),   # parse(final).href
+        T.StructField("status_code", T.IntegerType()),
+        T.StructField("redirects_before", T.ArrayType(T.StringType())),
+    ]
+)
+
+FETCHED_COLUMNS = [
+    "url", "seq", "referrer", "is_external", "crawl_links",
+    "page_url", "params_url", "params_external", "attempt", "type",
+    "content_type_raw", "gzipped", "status_code", "error_code",
+    "redirects", "events", "ok",
+]
+
+
+def _meta_columns(http_meta: DataFrame):
+    return [
+        F.col("status_code").alias("m_status"),
+        F.col("location").alias("m_location"),
+        F.col("content_type").alias("m_content_type"),
+        F.col("content_encoding").alias("m_content_encoding"),
+        F.col("content_length").alias("m_content_length"),
+        F.col("error_code").alias("m_error_code"),
+        F.col("requires_auth").alias("m_requires_auth"),
+    ]
+
+
+def prepare_http_meta(http_meta: DataFrame):
+    """Split http_meta into an exact (url, attempt) lookup plus a
+    per-url last-attempt fallback (reference: a retried request that
+    runs out of scripted attempts observes the last response again).
+
+    The fallback window runs once per crawl over http_meta; both sides
+    are reused (cached by the driver loop) across rounds.
+    """
+    exact = http_meta.select(
+        F.col("url").alias("m_url"), F.col("attempt").alias("m_attempt"),
+        *_meta_columns(http_meta),
+    )
+    w = Window.partitionBy("url").orderBy(F.col("attempt").desc())
+    last = (
+        http_meta.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col("url").alias("m_url"), *_meta_columns(http_meta))
+    )
+    return exact, last
+
+
+def _join_meta(pending: DataFrame, exact: DataFrame, last: DataFrame) -> DataFrame:
+    """Effective http response for each in-flight row at its current
+    hop url and attempt number (exact match, else last scripted
+    attempt, else transport error — modeled as a join miss)."""
+    hit = pending.join(
+        exact,
+        (pending.cur_url == exact.m_url) & (pending.attempt == exact.m_attempt),
+        "left",
+    ).drop("m_url", "m_attempt")
+    matched = hit.where(F.col("m_status").isNotNull() | F.col("m_error_code").isNotNull())
+    missed = hit.where(
+        F.col("m_status").isNull() & F.col("m_error_code").isNull()
+    ).select(*pending.columns)
+    fallback = missed.join(last, missed.cur_url == last.m_url, "left").drop("m_url")
+    return matched.unionByName(fallback)
+
+
+def _is_external_pair(a, b):
+    """crawler.js:111-117 — protocol OR host (host:port, www counts)
+    differ. Stays JVM-side via built-in parse_url."""
+    proto = lambda c: F.lower(F.regexp_extract(c, r"^([a-zA-Z0-9.+-]+:)", 1))
+    host = lambda c: F.lower(F.coalesce(F.parse_url(c, F.lit("HOST")), F.lit("")))
+    port = lambda c: F.coalesce(F.parse_url(c, F.lit("PORT")), F.lit(""))
+    hostport = lambda c: F.concat(
+        host(c), F.when(port(c) != "", F.concat(F.lit(":"), port(c))).otherwise(F.lit(""))
+    )
+    return (proto(a) != proto(b)) | (hostport(a) != hostport(b))
+
+
+def run_fetch(
+    scheduled: DataFrame,
+    http_exact: DataFrame,
+    http_last: DataFrame,
+    cfg: CrawlConfig,
+    persisted: list | None = None,
+) -> DataFrame:
+    """Resolve every scheduled fetch to its terminal outcome.
+
+    ``scheduled`` columns: url (canonical seen key, fragment kept),
+    seq, referrer, is_external, crawl_links. Returns FETCHED_COLUMNS;
+    ``page_url`` is the final (post-redirect) page url, ``events`` the
+    ordered redirect events for the S5 sink + D3 seen inserts.
+    """
+    events_ddl = f"array<{REDIRECT_EVENT_TYPE.simpleString()}>"
+    empty_events = F.expr(f"cast(array() as {events_ddl})")
+
+    pending = scheduled.select(
+        "url", "seq", "referrer", "is_external", "crawl_links",
+        # Page ctor strips the fragment (crawler.js:66); urlData keeps it.
+        F.regexp_replace("url", "#.*", "").alias("page_url"),
+    ).withColumns(
+        {
+            "cur_url": F.col("page_url"),
+            "params_url": F.col("page_url"),   # _request params.url, per attempt
+            # params.isExternal is also frozen per attempt (crawler.js:454-460):
+            # a redirect may flip page.isExternal only AFTER the content gate
+            # and auth check of the attempt that discovered it ran
+            "params_external": F.col("is_external"),
+            "attempt": F.lit(0),
+            "hops": F.lit(0),
+            "type": F.lit(""),
+            "content_type_raw": F.lit(None).cast("string"),
+            "gzipped": F.lit(False),
+            "redirects": F.array().cast("array<string>"),
+            "events": empty_events,
+        }
+    )
+
+    done_parts: list[DataFrame] = []
+    max_iters = (cfg.retries + 1) * (cfg.max_redirects + 2)
+
+    for _ in range(max_iters):
+        j = _join_meta(pending, http_exact, http_last).persist()
+        if persisted is not None:
+            persisted.append(j)
+
+        # crawler.js:301-312 — internal 401 + auth ⇒ authorized re-request
+        auth_ok = (
+            F.col("m_requires_auth").eqNullSafe(True)
+            & F.lit(cfg.auth)
+            & ~F.col("params_external")   # crawler.js:303 params.isExternal
+            & (F.col("m_status") == 401)
+        )
+        j = j.withColumn("eff_status", F.when(auth_ok, F.lit(200)).otherwise(F.col("m_status")))
+
+        is_redirect = (
+            F.col("eff_status").isNotNull()
+            & F.col("eff_status").cast("string").startswith("30")
+            & F.col("m_location").isNotNull()
+        )
+        hop = j.where(is_redirect & (F.col("hops") <= cfg.max_redirects))
+        terminal = j.where(~is_redirect | (F.col("hops") > cfg.max_redirects))
+
+        # ---- terminal rows: end of one attempt --------------------------
+        t = terminal.withColumns(
+            {
+                "a_error": F.when(
+                    is_redirect & (F.col("hops") > cfg.max_redirects),
+                    F.lit("MAX_REDIRECTS_REACHED"),
+                ).otherwise(
+                    F.when(
+                        F.col("m_status").isNull() & F.col("m_error_code").isNull(),
+                        F.lit("ENOTFOUND"),  # join miss = transport error
+                    ).otherwise(F.col("m_error_code"))
+                ),
+                "a_status": F.col("eff_status"),
+                # crawler.js:466-469 — type sticky, updated when header present
+                "type": F.when(
+                    F.col("m_content_type").isNotNull(),
+                    F.trim(F.regexp_replace("m_content_type", ";.*", "")),
+                ).otherwise(F.col("type")),
+                "content_type_raw": F.when(
+                    F.col("m_content_type").isNotNull(), F.col("m_content_type")
+                ).otherwise(F.col("content_type_raw")),
+                "gzipped": F.col("m_content_encoding").eqNullSafe("gzip"),
+                "landing": F.col("cur_url"),
+            }
+        )
+
+        # redirect bookkeeping (crawler.js:521-542, :474-504)
+        redirected = F.col("landing") != F.col("page_url")
+        clean_final = canonicalize_url(F.col("landing"))
+        t = t.withColumns(
+            {
+                "is_external": F.when(
+                    redirected & ~F.col("is_external")
+                    & _is_external_pair(F.col("page_url"), F.col("landing")),
+                    F.lit(True),
+                ).otherwise(F.col("is_external")),
+                "events": F.when(
+                    redirected,
+                    F.concat(
+                        F.col("events"),
+                        F.array(
+                            F.struct(
+                                F.size("events").alias("event_idx"),
+                                F.col("page_url").alias("pre_url"),
+                                F.col("landing").alias("final_raw"),
+                                clean_final.alias("clean_final"),
+                                F.col("a_status").cast("int").alias("status_code"),
+                                F.col("redirects").alias("redirects_before"),
+                            )
+                        ),
+                    ),
+                ).otherwise(F.col("events")),
+                "redirects": F.when(
+                    redirected, F.concat("redirects", F.array("page_url"))
+                ).otherwise(F.col("redirects")),
+                "page_url": F.when(redirected, clean_final).otherwise(F.col("page_url")),
+            }
+        )
+
+        # crawler.js:544-553 — HPE forgiveness for externals
+        forgiven = (
+            F.col("a_error").eqNullSafe("HPE_INVALID_CONSTANT")
+            & F.col("m_content_length").isNotNull()
+            & (F.col("a_status") == 200)
+            & F.col("is_external")
+        )
+        t = t.withColumn("a_error", F.when(forgiven, F.lit(None)).otherwise(F.col("a_error")))
+
+        ok = F.col("a_error").isNull() & (F.col("a_status") == 200)
+        finished = t.where(ok | (F.col("attempt") >= cfg.retries)).select(
+            "url", "seq", "referrer", "is_external", "crawl_links",
+            "page_url", "params_url", "params_external", "attempt", "type",
+            "content_type_raw", "gzipped",
+            F.col("a_status").cast("int").alias("status_code"),
+            F.col("a_error").alias("error_code"),
+            "redirects", "events",
+            ok.alias("ok"),
+        )
+        done_parts.append(finished)
+
+        retrying = t.where(~ok & (F.col("attempt") < cfg.retries)).select(
+            "url", "seq", "referrer", "is_external", "crawl_links", "page_url",
+            F.col("page_url").alias("cur_url"),
+            F.col("page_url").alias("params_url"),
+            F.col("is_external").alias("params_external"),
+            (F.col("attempt") + 1).alias("attempt"),
+            F.lit(0).alias("hops"),
+            "type", "content_type_raw", "gzipped", "redirects", "events",
+        )
+
+        # ---- redirect hops: resolve Location against the hop url ------
+        hopping = hop.select(
+            "url", "seq", "referrer", "is_external", "crawl_links", "page_url",
+            resolve_url(F.col("cur_url"), F.col("m_location")).alias("cur_url"),
+            "params_url", "params_external", "attempt",
+            (F.col("hops") + 1).alias("hops"),
+            "type", "content_type_raw", "gzipped", "redirects", "events",
+        )
+
+        pending = retrying.unionByName(hopping)
+        if pending.isEmpty():
+            break
+
+    out = done_parts[0]
+    for part in done_parts[1:]:
+        out = out.unionByName(part)
+    return out

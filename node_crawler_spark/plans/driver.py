@@ -1,0 +1,240 @@
+"""The crawl driver — the reference's event loop re-expressed as a
+batch-iterative fixed point over committed round snapshots.
+
+One round = one Catalyst DAG (SURVEY.md §3.1): schedule (politeness
+J6) → fetch (J1/J2/J3/O2/O3) → expand (F5/P7/P5/P4, F1-F4) → dedup +
+order (D1-D4, O1) → commit (S3/S4/S5 sinks + seen delta + next
+frontier). Termination = empty frontier (S6/A1, the reference's
+``onDrain``). The driver is pure control plane: every arrow above is
+executor-side; the only driver-side data are row *counts* (from the
+commit manifests) and the global seq watermark.
+
+Resume (north_rule): state lives only in committed snapshots, so
+``run_crawl(..., resume=True)`` after a kill re-reads the last manifest
+and replays from there bit-identically — tested in
+tests/test_resume.py.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from node_crawler_spark.config import CrawlConfig
+from node_crawler_spark.functions.urlkit import canonicalize_url
+from node_crawler_spark.operators.expand import (
+    attach_bodies,
+    extract_and_resolve,
+    landing_candidates,
+    link_candidates,
+    resolve_round_inserts,
+)
+from node_crawler_spark.operators.fetch import prepare_http_meta, run_fetch
+from node_crawler_spark.operators.politeness import apply_domain_budget
+from node_crawler_spark.sources.store import SnapshotStore
+
+FRONTIER_SCHEMA = (
+    "url string, seq long, referrer string, is_external boolean, crawl_links boolean"
+)
+
+
+@dataclass
+class CrawlResult:
+    store: SnapshotStore
+    rounds: int
+    max_seq: int
+
+    def crawled(self, spark: SparkSession) -> DataFrame | None:
+        return self.store.read_union(spark, "crawled")
+
+    def errors(self, spark: SparkSession) -> DataFrame | None:
+        return self.store.read_union(spark, "errors")
+
+    def redirects(self, spark: SparkSession) -> DataFrame | None:
+        return self.store.read_union(spark, "redirects")
+
+    def seen(self, spark: SparkSession) -> DataFrame | None:
+        return self.store.read_seen(spark)
+
+
+def build_seed_frontier(spark: SparkSession, seeds, cfg: CrawlConfig) -> DataFrame:
+    """queue() applied to the user's seed list in order
+    (crawler.js:576-618). Seeds keep their fragments in the seen key
+    (the Page-ctor strip happens at fetch time, not here — the P2
+    asymmetry, crawler.js:66 vs :588)."""
+    rows = []
+    for i, s in enumerate(seeds):
+        if isinstance(s, str):
+            rows.append((s, None, False, i))
+        else:
+            url, referrer, is_external = (tuple(s) + (None, False))[:3]
+            rows.append((url, referrer, bool(is_external), i))
+    df = spark.createDataFrame(
+        rows, "raw_url string, referrer string, is_external boolean, pos int"
+    )
+    if not cfg.crawl_external:  # F3 before anything else
+        df = df.where(~F.col("is_external"))
+    df = df.withColumn("url", canonicalize_url(F.col("raw_url")))
+    for pat in cfg.exclude_patterns:  # F4
+        df = df.where(~F.col("url").rlike("(?i)" + pat))
+    # first occurrence wins (D1/D2), seq = insertion order (O1)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy("pos")
+    df = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .withColumn("seq", F.row_number().over(Window.orderBy("pos")).cast("long"))
+        .select(
+            "url", "seq", "referrer", "is_external",
+            (~F.col("is_external")).alias("crawl_links"),
+        )
+    )
+    return df
+
+
+def run_crawl(
+    spark: SparkSession,
+    cfg: CrawlConfig,
+    pages: DataFrame,
+    http_meta: DataFrame,
+    seeds,
+    store_root: str,
+    resume: bool = False,
+) -> CrawlResult:
+    store = SnapshotStore(store_root)
+    http_exact, http_last = prepare_http_meta(http_meta)
+    http_exact = http_exact.persist()
+    http_last = http_last.persist()
+
+    last = store.last_committed_round() if resume else None
+    if last is not None:
+        manifest = store.read_manifest(last)
+        max_seq = int(manifest["max_seq"])
+        frontier = store.read_table(spark, last, "next_frontier")
+        start_round = last + 1
+    else:
+        frontier = build_seed_frontier(spark, seeds, cfg)
+        seen_delta = frontier.select(
+            "url", "seq", F.lit(0).alias("round"), F.lit("seed").alias("kind")
+        )
+        n_seeds = frontier.count()
+        store.write_round(
+            0,
+            {"seen_delta": seen_delta, "next_frontier": frontier},
+            extra={"max_seq": n_seeds, "killed": False},
+        )
+        max_seq = n_seeds
+        frontier = store.read_table(spark, 0, "next_frontier")
+        start_round = 1
+
+    rounds_run = start_round - 1
+    for r in range(start_round, cfg.max_rounds + 1):
+        if frontier.isEmpty():
+            break
+        seen = store.read_seen(spark)
+
+        scheduled, deferred = apply_domain_budget(
+            frontier, cfg, salt_shards=cfg.seen_salt_buckets
+        )
+        if scheduled.isEmpty():
+            break  # budget starvation guard: nothing schedulable
+
+        round_persists: list = []
+        fetched = run_fetch(
+            scheduled, http_exact, http_last, cfg, persisted=round_persists
+        )
+        expanded = extract_and_resolve(attach_bodies(fetched, pages)).persist()
+
+        links = link_candidates(expanded, cfg)
+        landings = landing_candidates(expanded)
+        inserts, drops = resolve_round_inserts(landings, links, seen, max_seq)
+        inserts = inserts.persist()
+        drops = drops.persist()
+
+        not_dropped = lambda df: df.join(
+            F.broadcast(drops.select(F.col("parent_seq").alias("seq"))),
+            on="seq",
+            how="left_anti",
+        )
+        crawled = not_dropped(expanded.where(F.col("ok"))).select(
+            F.lit(r).alias("round"), "seq",
+            F.col("page_url").alias("url"),
+            F.col("url").alias("queued_url"),
+            "referrer", "is_external", "type", "text", "links", "redirects",
+            "attempt",
+        )
+        errors = not_dropped(expanded.where(~F.col("ok"))).select(
+            F.lit(r).alias("round"), "seq",
+            F.col("page_url").alias("url"),
+            F.col("url").alias("queued_url"),
+            "referrer", "is_external", "type", "error_code",
+            F.col("status_code"), "attempt",
+        )
+        redirect_sink = (
+            expanded.where(F.size("events") > 0)
+            .select("seq", F.explode("events").alias("ev"))
+            .join(
+                F.broadcast(drops),
+                F.col("seq") == F.col("parent_seq"),
+                "left",
+            )
+            .where(
+                F.col("drop_idx").isNull()
+                | (F.col("ev.event_idx") <= F.col("drop_idx"))
+            )
+            .select(
+                F.lit(r).alias("round"), "seq",
+                F.col("ev.pre_url").alias("pre_url"),
+                F.col("ev.final_raw").alias("final_url"),
+                F.col("ev.clean_final").alias("clean_final"),
+                F.col("ev.status_code").alias("status_code"),
+                F.col("ev.redirects_before").alias("redirects_before"),
+            )
+        )
+
+        new_frontier = inserts.where(F.col("kind") == 1).select(
+            F.col("ins_url").alias("url"),
+            F.col("_new_seq").alias("seq"),
+            "referrer", "is_external", "crawl_links",
+        )
+        seen_delta = inserts.select(
+            F.col("ins_url").alias("url"),
+            F.col("_new_seq").alias("seq"),
+            F.lit(r).alias("round"),
+            F.when(F.col("kind") == 0, F.lit("landing")).otherwise(F.lit("link")).alias("kind"),
+        )
+        next_frontier = new_frontier.unionByName(deferred)
+
+        manifest = store.write_round(
+            r,
+            {
+                "crawled": crawled,
+                "errors": errors,
+                "redirects": redirect_sink,
+                "seen_delta": seen_delta,
+                "next_frontier": next_frontier,
+            },
+            extra={"max_seq": -1, "killed": False},  # patched below
+        )
+        n_inserts = manifest["tables"]["seen_delta"]["rows"]
+        max_seq += n_inserts
+        # manifest is tiny JSON — rewrite with the final watermark
+        manifest["max_seq"] = max_seq
+        with open(store._commit_path(r), "w") as fh:
+            json.dump(manifest, fh)
+
+        expanded.unpersist()
+        inserts.unpersist()
+        drops.unpersist()
+        for df in round_persists:
+            df.unpersist()
+        frontier = store.read_table(spark, r, "next_frontier")
+        rounds_run = r
+
+    http_exact.unpersist()
+    http_last.unpersist()
+    return CrawlResult(store=store, rounds=rounds_run, max_seq=max_seq)

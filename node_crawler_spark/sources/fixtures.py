@@ -1,0 +1,331 @@
+"""Deterministic synthetic crawl fixtures (FIXTURES.md §A).
+
+Two families:
+  * ``scenario(name)`` — tiny tables that re-express the reference's
+    own test scenarios (tests/func + tests/unit of
+    /root/reference) as data; consumed by the golden pytest suite.
+  * ``synthetic_webgraph`` — a scale-parameterized Common-Crawl-shaped
+    domain graph generated *distributively* (spark.range + column
+    expressions, nothing driver-side) for bench and skew tests.
+
+Everything is seed-free/deterministic: urls, link structure and bodies
+derive from row indices via hashes, so the same inputs reproduce
+bit-identical crawls at any scale or parallelism.
+"""
+
+from __future__ import annotations
+
+import datetime
+import gzip as _gzip
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from node_crawler_spark.config import CrawlConfig
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+HTTP_SCHEMA = (
+    "url string, attempt int, status_code int, location string, "
+    "content_type string, content_encoding string, content_length string, "
+    "error_code string, requires_auth boolean"
+)
+
+_TS = datetime.datetime(2025, 1, 1)
+
+
+@dataclass
+class Scenario:
+    name: str
+    cfg: CrawlConfig
+    seeds: list
+    pages: list = field(default_factory=list)
+    http: list = field(default_factory=list)
+
+    def page(
+        self,
+        url: str,
+        html: str | bytes = "",
+        status: int = 200,
+        content_type: str | None = "text/html",
+        location: str | None = None,
+        content_encoding: str | None = None,
+        content_length: str | None = None,
+        error_code: str | None = None,
+        requires_auth: bool = False,
+        attempt: int = 0,
+        warc_ts: datetime.datetime = _TS,
+        store_body: bool = True,
+    ) -> "Scenario":
+        body = html.encode("utf-8") if isinstance(html, str) else html
+        if store_body and body is not None:
+            self.pages.append((url, warc_ts, body, None, "en"))
+        self.http.append(
+            (url, attempt, status, location, content_type, content_encoding,
+             content_length, error_code, requires_auth)
+        )
+        return self
+
+    def dfs(self, spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+        pages = spark.createDataFrame(self.pages or [], PAGES_SCHEMA)
+        http = spark.createDataFrame(self.http or [], HTTP_SCHEMA)
+        return pages, http
+
+
+def _links(*hrefs: str) -> str:
+    body = "".join(f'<a href="{h}">x</a>' for h in hrefs)
+    return f"<html><body>{body}</body></html>"
+
+
+BASE = "http://www.site.test"
+
+
+def scenario(name: str) -> Scenario:  # noqa: C901 - a catalog is a catalog
+    cfg = CrawlConfig()
+    s = Scenario(name=name, cfg=cfg, seeds=[f"{BASE}/"])
+
+    if name == "basic_link_crawl":
+        # tests/func/crawlerSpec.js:11-25 — root + 1 internal link ⇒ 2 pages
+        s.page(f"{BASE}/", _links("/about"))
+        s.page(f"{BASE}/about", _links())
+
+    elif name == "external_link_off":
+        # crawlerSpec.js:27-41 — crawlExternal=false ⇒ 1 page
+        s.page(f"{BASE}/", _links("http://other.test/"))
+        s.page("http://other.test/", _links("/never"))
+
+    elif name == "external_link_on":
+        # queueSpec.js:25-45 — external fetched HEAD-style, body dropped,
+        # links never followed
+        s.cfg = CrawlConfig(crawl_external=True)
+        s.page(f"{BASE}/", _links("http://other.test/"))
+        s.page("http://other.test/", _links("/never"))
+
+    elif name == "relative_links":
+        # crawlerSpec.js:43-57, pageSpec.js:74-92 — /abs, sibling, ../up,
+        # section/ forms
+        s.seeds = [f"{BASE}/deep/start"]
+        s.page(f"{BASE}/deep/start", _links("/abs", "sibling", "../up", "section/"))
+        s.page(f"{BASE}/abs", _links())
+        s.page(f"{BASE}/deep/sibling", _links())
+        s.page(f"{BASE}/up", _links())
+        s.page(f"{BASE}/deep/section/", _links())
+
+    elif name == "non_page_urls":
+        # crawlerSpec.js:59-77 — mailto/javascript/tel + #hash dup ⇒ 1 page
+        s.page(
+            f"{BASE}/",
+            _links("mailto:a@b.test", "javascript:void(0)", "tel:+1555", "#frag",
+                   f"{BASE}/#other"),
+        )
+
+    elif name == "exclude_patterns":
+        # crawlerSpec.js:129-215, queueSpec.js:72-98
+        s.cfg = CrawlConfig(exclude_patterns=("/private", "skip.*me"))
+        s.page(f"{BASE}/", _links("/private/a", "/SKIPthisME", "/keep"))
+        s.page(f"{BASE}/keep", _links())
+
+    elif name == "redirect_chain":
+        # redirectSpec.js:53-63 — 301 → final; orig never in crawled sink
+        s.page(f"{BASE}/", _links("/old"))
+        s.page(f"{BASE}/old", status=301, location="/final", content_type=None,
+               store_body=False)
+        s.page(f"{BASE}/final", _links())
+
+    elif name == "redirect_multi_hop":
+        # _requestSpec.js:197-215 — relative + absolute locations chain
+        s.page(f"{BASE}/", _links("/a"))
+        s.page(f"{BASE}/a", status=302, location="b", content_type=None, store_body=False)
+        s.page(f"{BASE}/b", status=301, location=f"{BASE}/c", content_type=None,
+               store_body=False)
+        s.page(f"{BASE}/c", _links())
+
+    elif name == "redirect_to_seen":
+        # trackingRedirectsSpec.js:83-104 — landing already seen ⇒ page
+        # dropped, onRedirect still fired
+        s.page(f"{BASE}/", _links("/final", "/old"))
+        s.page(f"{BASE}/final", _links())
+        s.page(f"{BASE}/old", status=301, location="/final", content_type=None,
+               store_body=False)
+
+    elif name == "redirect_infinite":
+        # redirectSpec.js:78-94 — self-redirect ⇒ MAX_REDIRECTS_REACHED
+        s.page(f"{BASE}/", _links("/loop"))
+        s.page(f"{BASE}/loop", status=301, location="/loop", content_type=None,
+               store_body=False)
+
+    elif name == "gzip_body":
+        # requestSpec.js:104-118 — gzip body, byte-identical decode
+        raw = _links("/next") + "<p>some text</p>"
+        s.page(f"{BASE}/", _gzip.compress(raw.encode()), content_encoding="gzip")
+        s.page(f"{BASE}/next", _links())
+
+    elif name == "non_text_body":
+        # requestSpec.js:75-89, crawlerSpec.js:94-127 — pdf ⇒ text '',
+        # type kept, no link walk
+        s.page(f"{BASE}/", _links("/doc.pdf", "/plain"))
+        s.page(f"{BASE}/doc.pdf", b"%PDF-1.4 fake",
+               content_type="application/pdf;charset=binary")
+        s.page(f"{BASE}/plain", "just words", content_type="text/plain; charset=utf-8")
+
+    elif name == "media_extensions":
+        # _requestSpec.js:239-250 — all 25 extensions ⇒ body '' even with
+        # text/html content-type
+        exts = ("3gp aif asf asx avi flv iff m3u m4a m4p m4v mov mp3 mp4 mpa "
+                "mpg mpeg ogg ra raw rm swf vob wav wma wmv").split()
+        s.page(f"{BASE}/", _links(*[f"/file.{e}" for e in exts]))
+        for e in exts:
+            s.page(f"{BASE}/file.{e}", _links("/hidden"), content_type="text/html")
+
+    elif name == "retry_then_ok":
+        # onResponseSpec.js:226-276 — attempt0 500, attempt1 200, retries=1
+        s.cfg = CrawlConfig(retries=1)
+        s.page(f"{BASE}/", _links("/flaky"))
+        s.page(f"{BASE}/flaky", status=500, attempt=0, store_body=False)
+        s.page(f"{BASE}/flaky", _links(), attempt=1)
+
+    elif name == "retry_exhausted":
+        s.cfg = CrawlConfig(retries=0)
+        s.page(f"{BASE}/", _links("/flaky"))
+        s.page(f"{BASE}/flaky", status=500, attempt=0, store_body=False)
+        s.page(f"{BASE}/flaky", _links(), attempt=1)  # never reached
+
+    elif name == "http_4xx":
+        # callbackSpec.js:123-156 — 4xx ⇒ onError, never onPageCrawl
+        s.page(f"{BASE}/", _links("/a", "/b", "/c", "/d"))
+        s.page(f"{BASE}/a", status=400, store_body=False)
+        s.page(f"{BASE}/b", status=403, store_body=False)
+        s.page(f"{BASE}/c", status=404, store_body=False)
+        s.page(f"{BASE}/d", status=405, store_body=False)
+
+    elif name == "transport_error":
+        # url absent from http_meta = connection failure
+        s.page(f"{BASE}/", _links("/gone"))
+
+    elif name == "hpe_external_forgiven":
+        # crawler.js:544-553 via callbackSpec.js:179-217
+        s.cfg = CrawlConfig(crawl_external=True)
+        s.page(f"{BASE}/", _links("http://ext.test/x"))
+        s.page("http://ext.test/x", "ignored", content_length="123",
+               error_code="HPE_INVALID_CONSTANT")
+
+    elif name == "auth_401":
+        # authSpec.js:28-115 — internal 401+auth ⇒ 200; external 401 errors
+        s.cfg = CrawlConfig(auth=True, crawl_external=True)
+        s.page(f"{BASE}/", _links("/secret", "http://ext.test/secret"))
+        s.page(f"{BASE}/secret", _links(), status=401, requires_auth=True)
+        s.page("http://ext.test/secret", "", status=401, requires_auth=True,
+               store_body=False)
+
+    elif name == "malformed_html":
+        # pageSpec.js:45-48 — garbage parses to zero links, no crash
+        s.page(f"{BASE}/", "<<$$&($#*(@nonsense<a<<><")
+
+    elif name == "dup_links_one_page":
+        # pageSpec.js:54-63 — duplicate href kept in links, crawled once
+        s.page(f"{BASE}/", _links("/dup", "/dup"))
+        s.page(f"{BASE}/dup", _links())
+
+    elif name == "seed_fragment":
+        # queueSpec/pageInit — seed keeps fragment in seen key, fetch
+        # strips it (P2 asymmetry)
+        s.seeds = [f"{BASE}/page#middle"]
+        s.page(f"{BASE}/page", _links())
+
+    else:
+        raise KeyError(f"unknown scenario: {name}")
+    return s
+
+
+ALL_SCENARIOS = [
+    "basic_link_crawl", "external_link_off", "external_link_on",
+    "relative_links", "non_page_urls", "exclude_patterns",
+    "redirect_chain", "redirect_multi_hop", "redirect_to_seen",
+    "redirect_infinite", "gzip_body", "non_text_body", "media_extensions",
+    "retry_then_ok", "retry_exhausted", "http_4xx", "transport_error",
+    "hpe_external_forgiven", "auth_401", "malformed_html",
+    "dup_links_one_page", "seed_fragment",
+]
+
+
+# ---------------------------------------------------------------------------
+# Scale generator — Common-Crawl-shaped domain graph, fully distributed
+# ---------------------------------------------------------------------------
+
+def synthetic_webgraph(
+    spark: SparkSession,
+    n_urls: int,
+    n_domains: int = 100,
+    links_per_page: int = 8,
+    hot_domain_pct: float = 0.0,
+    error_pct: float = 0.02,
+    redirect_pct: float = 0.02,
+    partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame, list]:
+    """(pages, http_meta, seeds) for an n_urls crawl graph.
+
+    url i lives on domain ``hash(i) % n_domains`` (or the hot domain
+    with probability hot_domain_pct) and links to ``links_per_page``
+    other urls chosen by a deterministic affine hash — a connected,
+    expander-ish graph so a BFS from url 0 reaches everything. Bodies
+    are real HTML built executor-side; nothing materializes on the
+    driver.
+    """
+    base = spark.range(0, n_urls, 1, partitions or spark.sparkContext.defaultParallelism)
+    hot = int(n_urls * hot_domain_pct)
+    dom = F.when(F.col("id") < hot, F.lit(0)).otherwise(
+        F.pmod(F.xxhash64(F.col("id")), F.lit(max(n_domains - 1, 1))) + 1
+    )
+    url = F.concat(
+        F.lit("http://d"), dom.cast("string"), F.lit(".test/p"),
+        F.col("id").cast("string"),
+    )
+    g = base.withColumn("url", url)
+
+    link_cols = []
+    for k in range(links_per_page):
+        target = F.pmod(
+            F.xxhash64(F.col("id") * 2654435761 + k * 40503 + 17), F.lit(n_urls)
+        )
+        tdom = F.when(target < hot, F.lit(0)).otherwise(
+            F.pmod(F.xxhash64(target), F.lit(max(n_domains - 1, 1))) + 1
+        )
+        link_cols.append(
+            F.concat(
+                F.lit('<a href="http://d'), tdom.cast("string"), F.lit(".test/p"),
+                target.cast("string"), F.lit('">l</a>'),
+            )
+        )
+    html = F.concat(F.lit("<html><body>"), *link_cols, F.lit("</body></html>"))
+
+    pages = g.select(
+        "url",
+        F.lit(_TS).alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+
+    h = F.pmod(F.xxhash64(F.col("url")), F.lit(10000))
+    status = (
+        F.when(h < int(error_pct * 10000), F.lit(404))
+        .when(h < int((error_pct + redirect_pct) * 10000), F.lit(301))
+        .otherwise(F.lit(200))
+    )
+    location = F.when(
+        status == 301,
+        F.concat(F.lit("/p"), F.pmod(F.col("id") + 1, F.lit(n_urls)).cast("string")),
+    )
+    http = g.select(
+        "url",
+        F.lit(0).alias("attempt"),
+        status.cast("int").alias("status_code"),
+        location.alias("location"),
+        F.when(status != 301, F.lit("text/html; charset=utf-8")).alias("content_type"),
+        F.lit(None).cast("string").alias("content_encoding"),
+        F.lit(None).cast("string").alias("content_length"),
+        F.lit(None).cast("string").alias("error_code"),
+        F.lit(False).alias("requires_auth"),
+    )
+    seeds = [g.where(F.col("id") == 0).select("url").first()[0]]
+    return pages, http, seeds

@@ -1,0 +1,169 @@
+"""SnapshotStore — Iceberg-style committed round checkpoints on parquet.
+
+The production design is Iceberg (north_rule: snapshot-per-round
+commits of frontier / seen / sinks with per-partition lineage; resume =
+read the last committed snapshot). The Iceberg runtime jar is not in
+this container, so this module reproduces the commit semantics on
+plain parquet:
+
+  <root>/rounds/r=NNNNNN/<table>/...parquet     (written first)
+  <root>/commits/NNNNNN.json                    (manifest, written last
+                                                 via tmp + atomic rename)
+
+A round is visible iff its manifest exists, so a job killed mid-round
+leaves no partial state behind — ``last_committed_round`` skips
+uncommitted directories exactly like Iceberg ignores orphaned data
+files. The manifest records per-table row counts and the per-partition
+row counts of the frontier/seen deltas (the lineage the north_rule asks
+for).
+
+``seen`` is stored as per-round *deltas* partitioned by a url-hash
+bucket column (``pmod(xxhash64(url), buckets)``); readers get the union
+of deltas ≤ R. At 10^10 urls the bucket column is what lets the D1
+anti-join prune: candidate buckets are computed on the (small) new-link
+side and pushed into the delta scan as a partition filter.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SEEN_BUCKETS = 64
+
+
+class SnapshotStore:
+    def __init__(self, root: str, seen_buckets: int = SEEN_BUCKETS) -> None:
+        self.root = root
+        self.seen_buckets = seen_buckets
+        os.makedirs(os.path.join(root, "rounds"), exist_ok=True)
+        os.makedirs(os.path.join(root, "commits"), exist_ok=True)
+
+    # -- layout ----------------------------------------------------------
+    def _round_dir(self, r: int, table: str) -> str:
+        return os.path.join(self.root, "rounds", f"r={r:06d}", table)
+
+    def _commit_path(self, r: int) -> str:
+        return os.path.join(self.root, "commits", f"{r:06d}.json")
+
+    # -- commit protocol -------------------------------------------------
+    def last_committed_round(self) -> int | None:
+        commits = [
+            int(f.split(".")[0])
+            for f in os.listdir(os.path.join(self.root, "commits"))
+            if f.endswith(".json")
+        ]
+        return max(commits) if commits else None
+
+    def read_manifest(self, r: int) -> dict:
+        with open(self._commit_path(r)) as fh:
+            return json.load(fh)
+
+    def write_round(
+        self,
+        r: int,
+        tables: dict[str, DataFrame],
+        extra: dict | None = None,
+        lineage: bool = False,
+        count_tables: tuple = ("seen_delta",),
+    ) -> dict:
+        """Write every table, then publish the manifest atomically.
+
+        ``lineage=True`` additionally records per-partition row counts
+        for every table (the north_rule's per-partition lineage); by
+        default only ``count_tables`` get a total row count (one count
+        job each) to keep the per-round job budget small.
+        """
+        manifest: dict = {"round": r, "tables": {}, **(extra or {})}
+        for name, df in tables.items():
+            path = self._round_dir(r, name)
+            if name == "seen_delta":
+                df = df.withColumn(
+                    "bucket", F.pmod(F.xxhash64("url"), F.lit(self.seen_buckets))
+                )
+                df.write.mode("overwrite").partitionBy("bucket").parquet(path)
+            else:
+                df.write.mode("overwrite").parquet(path)
+            entry: dict = {"schema": df.schema.json()}
+            if lineage:
+                part_counts = (
+                    df.sparkSession.read.parquet(path)
+                    .groupBy(F.spark_partition_id().alias("pid"))
+                    .count()
+                    .collect()
+                )
+                entry["rows"] = sum(c["count"] for c in part_counts)
+                entry["partitions"] = {
+                    str(c["pid"]): c["count"] for c in part_counts
+                }
+            elif name in count_tables:
+                entry["rows"] = (
+                    df.sparkSession.read.parquet(path).count()
+                    if self._has_data(path)
+                    else 0
+                )
+            manifest["tables"][name] = entry
+        fd, tmp = tempfile.mkstemp(dir=os.path.join(self.root, "commits"))
+        with os.fdopen(fd, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, self._commit_path(r))
+        return manifest
+
+    # -- readers ---------------------------------------------------------
+    def _has_data(self, path: str) -> bool:
+        if not os.path.isdir(path):
+            return False
+        for root, _dirs, files in os.walk(path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def _empty_from_manifest(
+        self, spark: SparkSession, r: int, table: str
+    ) -> DataFrame | None:
+        from pyspark.sql import types as T
+
+        try:
+            schema_json = self.read_manifest(r)["tables"][table]["schema"]
+        except (FileNotFoundError, KeyError):
+            return None
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        return spark.createDataFrame([], schema)
+
+    def read_table(self, spark: SparkSession, r: int, table: str) -> DataFrame | None:
+        path = self._round_dir(r, table)
+        if self._has_data(path):
+            return spark.read.parquet(path)
+        return self._empty_from_manifest(spark, r, table)
+
+    def read_union(
+        self, spark: SparkSession, table: str, upto: int | None = None
+    ) -> DataFrame | None:
+        """Union of a table's per-round appends for rounds ≤ upto."""
+        last = self.last_committed_round()
+        if last is None:
+            return None
+        upto = last if upto is None else min(upto, last)
+        dfs = []
+        fallback_round = None
+        for r in range(upto + 1):
+            path = self._round_dir(r, table)
+            if self._has_data(path):
+                dfs.append(spark.read.parquet(path))
+            elif os.path.isdir(path):
+                fallback_round = r
+        if not dfs:
+            if fallback_round is None:
+                return None
+            return self._empty_from_manifest(spark, fallback_round, table)
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def read_seen(self, spark: SparkSession, upto: int | None = None) -> DataFrame | None:
+        return self.read_union(spark, "seen_delta", upto)
