@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` / ``oracle_sql()`` expose the SURVEY.md §2 operator
+inventory as paired Spark / DuckDB-SQL implementations over
+/root/testdata (see node_crawler_spark/queries.py). The crawl
+pipeline proper (fetch join, redirect chase, seen-set dedup, ordering)
+is pinned by the golden scenario suite in tests/ against a sequential
+reference simulator — those semantics aren't expressible over the
+TPC-H-ish tables, so here they appear as their relational shapes.
 """
 
 from __future__ import annotations
@@ -13,26 +15,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from node_crawler_spark.queries import ORACLES, QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the J1 fetch-join shape (3-way join + ranked top-k)
+    on sf0.001."""
+    return QUERIES["q3_top_orders"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,725 @@
+"""Driver-contract query registry (SURVEY.md §2 → /root/testdata).
+
+Each entry pairs a PySpark DataFrame builder with (where expressible)
+an ANSI-SQL oracle that DuckDB runs on the same parquet — the driver's
+CORRECTNESS gate. The crawl-shaped tables (pages/http_meta) don't
+exist in /root/testdata, so the crawl operators appear here as their
+*relational shapes* on the TPC-H-ish tables (filter / anti-join /
+window-rank / first-wins dedup / budget-top-k / latest-snapshot …),
+each docstring citing the SURVEY §2 row it stands for; their crawl
+semantics proper are pinned by the golden scenario suite
+(tests/test_crawl_scenarios.py) against the reference simulator.
+
+The webtext / training-data operators (exact + MinHash/SimHash dedup,
+token counting, quality scoring, language id, fingerprinting, cosine
+similarity search) run on the ``documents`` / ``embeddings`` tables.
+
+Conventions: every computed column aliased identically on both sides;
+money sums go through decimal(18,2) so Spark and DuckDB agree exactly;
+float similarity scores round to 4 decimals.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations / joins (A3, J1, O1 analogs) — TPC-H classics
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    """A3 per-run counters analog: grouped aggregate with decimal-exact
+    sums (TPC-H Q1 shape) on lineitem."""
+    l = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("2002-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2002-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(spark, sf_dir):
+    """J1 fetch-join analog: 3-way join + ranked top-k with a total
+    tiebreak (TPC-H Q3 shape). Catalyst broadcasts the dimension side."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    # exact decimal arithmetic (double→decimal cast of the *product*
+    # would hit HALF_UP-vs-HALF_EVEN divergence between engines)
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(5,2)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(5,2))) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Filters / projections (F1-F5, P2, P6 analogs)
+# ---------------------------------------------------------------------------
+
+def f_filter_gates(spark, sf_dir):
+    """F1/F3/F5 predicate-gate shape: multi-clause filter + count by
+    kind (non-page-protocol / external / content-type gates)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.where(
+            ~F.col("event_type").isin("error", "timeout")
+            & (F.col("value") > 5.0)
+            & (F.col("user_id") % 7 != 0)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+    )
+
+
+F_FILTER_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+FROM events
+WHERE event_type NOT IN ('error','timeout') AND value > 5.0 AND user_id % 7 <> 0
+GROUP BY event_type
+"""
+
+
+def f_exclude_rlike(spark, sf_dir):
+    """F4 exclude-pattern gate: case-insensitive regex rejection
+    (RegExp(p,'gi'), crawler.js:595-604)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.where(~F.col("text").rlike("(?i)hash\\s+join"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("kept"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+F_EXCLUDE_SQL = """
+SELECT lang, COUNT(*) AS kept, MIN(doc_id) AS first_doc
+FROM documents
+WHERE NOT regexp_matches(text, 'hash\\s+join', 'i')
+GROUP BY lang
+"""
+
+
+def p_mime_normalize(spark, sf_dir):
+    """P6 content-type normalization: trim(regexp_replace(ct,';.*',''))
+    (crawler.js:466-469), applied to a suffixed source tag."""
+    d = _t(spark, sf_dir, "documents")
+    tagged = d.withColumn(
+        "tagged", F.concat("source", F.lit("; charset=utf-8"))
+    )
+    return (
+        tagged.select(
+            "doc_id",
+            F.trim(F.regexp_replace("tagged", ";.*", "")).alias("mime"),
+        )
+        .groupBy("mime")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+P_MIME_SQL = """
+SELECT TRIM(REGEXP_REPLACE(source || '; charset=utf-8', ';.*', '')) AS mime,
+       COUNT(*) AS n
+FROM documents
+GROUP BY 1
+"""
+
+
+def p_fragment_strip(spark, sf_dir):
+    """P2 fragment strip: url.replace(/#.*/,'') (crawler.js:66) on a
+    synthesized url-shaped key."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.concat(F.lit("http://corpus.test/"), "source", F.lit("#sec"),
+                     F.col("doc_id").cast("string")),
+            "#.*", "",
+        ).alias("fetch_url"),
+    )
+
+
+P_FRAG_SQL = """
+SELECT doc_id,
+       REGEXP_REPLACE('http://corpus.test/' || source || '#sec' || CAST(doc_id AS VARCHAR),
+                      '#.*', '') AS fetch_url
+FROM documents
+"""
+
+
+def s_status_prefix(spark, sf_dir):
+    """The status-'30'-prefix redirect test (crawler.js:265-269) as a
+    string-prefix classifier."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "is_redirectish",
+            F.col("o_orderkey").cast("string").startswith("30"),
+        )
+        .groupBy("is_redirectish")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+S_STATUS_SQL = """
+SELECT CAST(o_orderkey AS VARCHAR) LIKE '30%' AS is_redirectish, COUNT(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup / set membership (D1-D4, J4) and joins (J1/J4)
+# ---------------------------------------------------------------------------
+
+def j_anti_join_seen(spark, sf_dir):
+    """D1/J4 seen-set probe: left-anti join (customers that never
+    ordered = frontier urls not in seen)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("never_seen"))
+    )
+
+
+J_ANTI_SQL = """
+SELECT c_mktsegment, COUNT(*) AS never_seen
+FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+"""
+
+
+def j_left_outer_fetch(spark, sf_dir):
+    """J1 frontier×pages left join: misses are transport errors
+    (orders with no lineitems)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    joined = o.join(l, o.o_orderkey == l.l_orderkey, "left")
+    return joined.groupBy(F.col("l_orderkey").isNull().alias("is_miss")).agg(
+        F.countDistinct("o_orderkey").alias("orders_n")
+    )
+
+
+J_LEFT_SQL = """
+SELECT l.l_orderkey IS NULL AS is_miss, COUNT(DISTINCT o.o_orderkey) AS orders_n
+FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+"""
+
+
+def d_first_wins(spark, sf_dir):
+    """D3 within-round first-wins dedup: row_number()==1 per key in
+    deterministic (seq) order (crawler.js:484-488 landing dedup)."""
+    l = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_shipdate", "l_linenumber")
+    return (
+        l.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+    )
+
+
+D_FIRST_SQL = """
+SELECT l_orderkey, l_linenumber, l_shipdate FROM (
+  SELECT l_orderkey, l_linenumber, l_shipdate,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_shipdate, l_linenumber) AS rn
+  FROM lineitem) WHERE rn = 1
+"""
+
+
+def u_union_frontier(spark, sf_dir):
+    """Frontier accumulation (crawler.js:607): union + distinct."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.where(F.col("o_totalprice") > 100000).select("o_custkey")
+    return a.union(b).distinct().agg(
+        F.count(F.lit(1)).alias("frontier_size"),
+        F.min("o_custkey").alias("min_key"),
+        F.max("o_custkey").alias("max_key"),
+    )
+
+
+U_UNION_SQL = """
+SELECT COUNT(*) AS frontier_size, MIN(o_custkey) AS min_key, MAX(o_custkey) AS max_key
+FROM (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      UNION
+      SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ordering / budgets / snapshots (O1, J6, warc_ts)
+# ---------------------------------------------------------------------------
+
+def o_domain_budget(spark, sf_dir):
+    """J6 per-domain politeness budget: FIFO top-3 per supplier
+    (salted two-phase in the engine; plain window here)."""
+    l = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return (
+        l.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("scheduled"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sched_qty"),
+        )
+    )
+
+
+O_BUDGET_SQL = """
+SELECT l_suppkey, COUNT(*) AS scheduled,
+       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sched_qty
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_suppkey
+            ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rk
+  FROM lineitem) WHERE rk <= 3
+GROUP BY l_suppkey
+"""
+
+
+def o_global_seq(spark, sf_dir):
+    """O1 global discovery rank: deterministic total order → dense seq
+    (engine ranks (round, parent_seq, pos); here (regionkey, name))."""
+    n = _t(spark, sf_dir, "nation")
+    w = Window.orderBy("n_regionkey", "n_name")
+    return n.withColumn("seq", F.row_number().over(w)).select(
+        "seq", "n_name", "n_regionkey"
+    )
+
+
+O_SEQ_SQL = """
+SELECT ROW_NUMBER() OVER (ORDER BY n_regionkey, n_name) AS seq, n_name, n_regionkey
+FROM nation
+"""
+
+
+def a_latest_snapshot(spark, sf_dir):
+    """Latest warc_ts snapshot per url (SURVEY §2.8 date handling):
+    most recent event per user."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+A_LATEST_SQL = """
+SELECT user_id, event_id, event_type FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Webtext / training-data operators (documents, embeddings)
+# ---------------------------------------------------------------------------
+
+def t_token_stats(spark, sf_dir):
+    """Token counting (whitespace tokenizer) — per-doc exact ints."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), "\\s+")).alias("n_tokens"),
+        F.length("text").alias("len_chars"),
+    )
+
+
+T_TOKENS_SQL = """
+SELECT doc_id, LEN(string_split_regex(TRIM(text), '\\s+')) AS n_tokens,
+       LENGTH(text) AS len_chars
+FROM documents
+"""
+
+
+def t_quality_score(spark, sf_dir):
+    """Quality scoring: stopword ratio + punctuation density, rounded
+    to 4 decimals (deterministic across engines)."""
+    d = _t(spark, sf_dir, "documents")
+    tokens = F.size(F.split(F.trim("text"), "\\s+"))
+    stop = F.regexp_count(
+        F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
+        F.lit(" (the|a|and|of|to|in) "),
+    )
+    punct = F.regexp_count(F.col("text"), F.lit("[.,!?;]"))
+    return d.select(
+        "doc_id",
+        tokens.alias("n_tokens"),
+        stop.alias("n_stopwords"),
+        punct.alias("n_punct"),
+        F.round(stop.cast("double") / tokens, 4).alias("stopword_ratio"),
+    )
+
+
+T_QUALITY_SQL = """
+SELECT doc_id,
+       LEN(string_split_regex(TRIM(text), '\\s+')) AS n_tokens,
+       LEN(regexp_extract_all(' ' || text || ' ', ' (the|a|and|of|to|in) ')) AS n_stopwords,
+       LEN(regexp_extract_all(text, '[.,!?;]')) AS n_punct,
+       ROUND(CAST(LEN(regexp_extract_all(' ' || text || ' ', ' (the|a|and|of|to|in) ')) AS DOUBLE)
+             / LEN(string_split_regex(TRIM(text), '\\s+')), 4) AS stopword_ratio
+FROM documents
+"""
+
+
+def t_lang_id(spark, sf_dir):
+    """Language-ID heuristic: stopword-fraction thresholding."""
+    d = _t(spark, sf_dir, "documents")
+    tokens = F.size(F.split(F.trim("text"), "\\s+"))
+    stop = F.regexp_count(
+        F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
+        F.lit(" (the|a|and|of|to|in|is|it) "),
+    )
+    pred = F.when(stop.cast("double") / tokens > 0.02, F.lit("en")).otherwise(
+        F.lit("unk")
+    )
+    return d.select("doc_id", pred.alias("pred_lang"))
+
+
+T_LANG_SQL = """
+SELECT doc_id,
+  CASE WHEN CAST(LEN(regexp_extract_all(' ' || text || ' ',
+        ' (the|a|and|of|to|in|is|it) ')) AS DOUBLE)
+        / LEN(string_split_regex(TRIM(text), '\\s+')) > 0.02
+       THEN 'en' ELSE 'unk' END AS pred_lang
+FROM documents
+"""
+
+
+def t_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 of whitespace-normalized lowercase
+    text (exact-dup key; identical hex in Spark and DuckDB)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace("text", "\\s+", " "))).alias("fingerprint"),
+    )
+
+
+T_FP_SQL = """
+SELECT doc_id, MD5(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def d_exact_dedup(spark, sf_dir):
+    """Exact dedup via hash-groupBy: one keeper (min doc_id) per
+    normalized-text group + group size."""
+    d = _t(spark, sf_dir, "documents")
+    key = F.md5(F.lower(F.regexp_replace("text", "\\s+", " ")))
+    return (
+        d.groupBy(key.alias("fingerprint"))
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+D_EXACT_SQL = """
+SELECT MD5(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS fingerprint,
+       MIN(doc_id) AS keeper, COUNT(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def sim_cosine_topk(spark, sf_dir):
+    """ANN baseline: brute-force cosine top-20 against the vec_id=0
+    query vector. JVM-side: zip_with + aggregate, no Python in the
+    scoring loop. Scores rounded to 4 decimals for cross-engine
+    comparability."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("q_emb")
+    )
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    dot = F.aggregate(
+        F.zip_with("emb", "q_emb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        v.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(dot / (norm(F.col("emb")) * norm(F.col("q_emb"))), 4).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(20)
+    )
+
+
+SIM_TOPK_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), q_emb)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(q_emb, q_emb))), 4) AS cosine
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id
+LIMIT 20
+"""
+
+
+def sim_label_centroid_norm(spark, sf_dir):
+    """Embedding aggregate shape: per-label mean-vector norm (rounded)."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("label", F.col("embedding").cast("array<double>").alias("emb"))
+    n = 64
+    sums = v.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        *[
+            F.sum(F.col("emb").getItem(i)).alias(f"s{i}")
+            for i in range(n)
+        ],
+    )
+    sq = sum((F.col(f"s{i}") / F.col("n_vecs")) ** 2 for i in range(n))
+    return sums.select(
+        "label", "n_vecs", F.round(F.sqrt(sq), 4).alias("centroid_norm")
+    )
+
+
+SIM_CENTROID_SQL = f"""
+SELECT label, COUNT(*) AS n_vecs,
+       ROUND(sqrt({' + '.join(f'POW(SUM(embedding[{i + 1}]) / COUNT(*), 2)' for i in range(64))}), 4) AS centroid_norm
+FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings)
+GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark-only operators (no SQL oracle → driver rows-only check)
+# ---------------------------------------------------------------------------
+
+def minhash_near_dup(spark, sf_dir):
+    """MinHash near-dup candidates: word-shingle → 16 xxhash64 perms →
+    band-bucket join (4 bands × 4 rows). Spark-only (hash family is
+    engine-specific); driver records rows-only. The per-band bucket
+    join is the LSH scale path: candidates ∝ collisions, never n²."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("w")
+    )
+    n_perm = 16
+    mins = toks.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.concat(F.lit(str(i) + ":"), F.col("w")))).alias(f"h{i}")
+            for i in range(n_perm)
+        ]
+    )
+    bands = []
+    for b in range(4):
+        cols = [F.col(f"h{b * 4 + j}") for j in range(4)]
+        bands.append(
+            mins.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.xxhash64(*cols).alias("bucket"),
+            )
+        )
+    all_bands = bands[0]
+    for x in bands[1:]:
+        all_bands = all_bands.unionByName(x)
+    left = all_bands.alias("a")
+    right = all_bands.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+def simhash_fingerprint(spark, sf_dir):
+    """SimHash-64: sign-aggregated token-hash bits per document.
+    Spark-only (xxhash64 bit family)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(16)
+        ]
+    )
+    sim = bit_sums.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+            for i in range(16)
+        ).alias("simhash16"),
+    )
+    return sim
+
+
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Word-bigram Jaccard near-dup (exact, bounded by inverted-index
+    join on shared shingles — not n²). Spark-only."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim("text")), "\\s+")
+    shingled = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(split(lower(trim(text)), '\\\\s+')) - 2), "
+                "i -> concat(split(lower(trim(text)), '\\\\s+')[i], ' ', "
+                "split(lower(trim(text)), '\\\\s+')[i+1]))"
+            )
+        ).alias("shingle"),
+    ).distinct()
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        shingled.alias("a")
+        .join(
+            shingled.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sh_a") + F.col("sh_b") - F.col("n_common")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return j.orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "f_filter_gates": f_filter_gates,
+    "f_exclude_rlike": f_exclude_rlike,
+    "p_mime_normalize": p_mime_normalize,
+    "p_fragment_strip": p_fragment_strip,
+    "s_status_prefix": s_status_prefix,
+    "j_anti_join_seen": j_anti_join_seen,
+    "j_left_outer_fetch": j_left_outer_fetch,
+    "d_first_wins": d_first_wins,
+    "u_union_frontier": u_union_frontier,
+    "o_domain_budget": o_domain_budget,
+    "o_global_seq": o_global_seq,
+    "a_latest_snapshot": a_latest_snapshot,
+    "t_token_stats": t_token_stats,
+    "t_quality_score": t_quality_score,
+    "t_lang_id": t_lang_id,
+    "t_fingerprint": t_fingerprint,
+    "d_exact_dedup": d_exact_dedup,
+    "sim_cosine_topk": sim_cosine_topk,
+    "sim_label_centroid_norm": sim_label_centroid_norm,
+    "minhash_near_dup": minhash_near_dup,
+    "simhash_fingerprint": simhash_fingerprint,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+}
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_top_orders": Q3_SQL,
+    "f_filter_gates": F_FILTER_SQL,
+    "f_exclude_rlike": F_EXCLUDE_SQL,
+    "p_mime_normalize": P_MIME_SQL,
+    "p_fragment_strip": P_FRAG_SQL,
+    "s_status_prefix": S_STATUS_SQL,
+    "j_anti_join_seen": J_ANTI_SQL,
+    "j_left_outer_fetch": J_LEFT_SQL,
+    "d_first_wins": D_FIRST_SQL,
+    "u_union_frontier": U_UNION_SQL,
+    "o_domain_budget": O_BUDGET_SQL,
+    "o_global_seq": O_SEQ_SQL,
+    "a_latest_snapshot": A_LATEST_SQL,
+    "t_token_stats": T_TOKENS_SQL,
+    "t_quality_score": T_QUALITY_SQL,
+    "t_lang_id": T_LANG_SQL,
+    "t_fingerprint": T_FP_SQL,
+    "d_exact_dedup": D_EXACT_SQL,
+    "sim_cosine_topk": SIM_TOPK_SQL,
+    "sim_label_centroid_norm": SIM_CENTROID_SQL,
+    # minhash_near_dup / simhash_fingerprint / ngram_jaccard_pairs:
+    # hash-family-specific → rows-only check by design
+}
