@@ -1,0 +1,141 @@
+"""Benchmark harness (driver contract).
+
+Runs (a) the headline relational/webtext queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and (b) the
+crawl engine itself on a deterministic synthetic web graph, on
+``local[$SPARK_GRAFT_CPUS]``. Prints ONE JSON line:
+
+    {"metric": "crawl_urls_per_sec", "value": N, "unit": "sec",
+     "queries": {...per-query seconds...}, "sf": ..., ...}
+
+The headline metric follows BASELINE.json: URLs scheduled+deduped per
+second through the full pipeline (canonicalize → politeness window →
+fetch join → link explode/resolve → seen anti-join → rank → commit).
+
+``--scaling`` additionally runs the same crawl at local[8] and
+local[32] and reports throughput at both plus scaling efficiency
+(the sandbox substitute for N vs 4N executors — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "o_domain_budget",
+    "a_latest_snapshot",
+    "d_exact_dedup",
+    "t_quality_score",
+    "t_fingerprint",
+    "sim_cosine_topk",
+    "minhash_near_dup",
+    "simhash_fingerprint",
+]
+
+CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "30000"))
+
+
+def _session(master: str, shuffle_partitions: int):
+    from node_crawler_spark.session import build_session
+
+    return build_session(
+        app_name=f"nc-bench-{master}",
+        master=master,
+        shuffle_partitions=shuffle_partitions,
+    )
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    from node_crawler_spark.queries import QUERIES
+
+    out = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def run_crawl_bench(spark, n_urls: int, hot_pct: float = 0.0) -> dict:
+    from node_crawler_spark.config import CrawlConfig
+    from node_crawler_spark.plans.driver import run_crawl
+    from node_crawler_spark.sources.fixtures import synthetic_webgraph
+
+    pages, http, seeds = synthetic_webgraph(
+        spark, n_urls, n_domains=max(16, n_urls // 500),
+        links_per_page=8, hot_domain_pct=hot_pct,
+    )
+    pages = pages.persist()
+    http = http.persist()
+    pages.count(), http.count()  # exclude generation from the timing
+
+    root = tempfile.mkdtemp(prefix="nc_bench_")
+    cfg = CrawlConfig(max_rounds=50)
+    t0 = time.perf_counter()
+    res = run_crawl(spark, cfg, pages, http, seeds, root)
+    wall = time.perf_counter() - t0
+    seen_n = res.max_seq
+    pages.unpersist()
+    http.unpersist()
+    shutil.rmtree(root, ignore_errors=True)
+    return {
+        "n_urls": n_urls,
+        "seen_urls": seen_n,
+        "rounds": res.rounds,
+        "wall_sec": round(wall, 2),
+        "urls_per_sec": round(seen_n / wall, 1),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true",
+                    help="also run the crawl at local[8] vs local[32]")
+    ap.add_argument("--urls", type=int, default=CRAWL_URLS)
+    ap.add_argument("--skip-queries", action="store_true")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    spark = _session(f"local[{cpus}]", cpus)
+    queries = {} if args.skip_queries else run_queries(spark, sf_dir)
+    crawl = run_crawl_bench(spark, args.urls)
+    spark.stop()
+
+    result = {
+        "metric": "crawl_urls_per_sec",
+        "value": crawl["urls_per_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
+        "crawl": crawl,
+    }
+
+    if args.scaling:
+        scaling = {}
+        for n in (8, 32):
+            s = _session(f"local[{n}]", n)
+            scaling[f"local[{n}]"] = run_crawl_bench(s, args.urls)
+            s.stop()
+        t8 = scaling["local[8]"]["urls_per_sec"]
+        t32 = scaling["local[32]"]["urls_per_sec"]
+        scaling["efficiency_8_to_32"] = round((t32 / t8) / 4.0, 3)
+        result["scaling"] = scaling
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -173,7 +173,12 @@ def run_fetch(
     max_iters = (cfg.retries + 1) * (cfg.max_redirects + 2)
 
     for _ in range(max_iters):
-        j = _join_meta(pending, http_exact, http_last).persist()
+        # localCheckpoint truncates lineage each iteration: the redirect/
+        # retry loop otherwise compounds the expression tree ~11× deep
+        # (driver-side Catalyst analysis blows up long before the data
+        # does). On a real cluster this would be a reliable checkpoint or
+        # an intermediate table write; semantics identical.
+        j = _join_meta(pending, http_exact, http_last).localCheckpoint()
         if persisted is not None:
             persisted.append(j)
 
@@ -293,7 +298,11 @@ def run_fetch(
             "type", "content_type_raw", "gzipped", "redirects", "events",
         )
 
-        pending = retrying.unionByName(hopping)
+        # unions + broadcast joins ADD partition counts; without this
+        # coalesce the loop compounds partitions exponentially (the
+        # 11-hop worst case schedules thousands of empty tasks)
+        base_parts = scheduled.sparkSession.sparkContext.defaultParallelism
+        pending = retrying.unionByName(hopping).coalesce(base_parts)
         if pending.isEmpty():
             break
 

@@ -226,6 +226,22 @@ def scenario(name: str) -> Scenario:  # noqa: C901 - a catalog is a catalog
         s.page(f"{BASE}/", _links("/dup", "/dup"))
         s.page(f"{BASE}/dup", _links())
 
+    elif name == "robots_block":
+        # north_star robots extension: disallow prefix blocks queueing
+        s.cfg = CrawlConfig(robots=(("www.site.test", "/private"),))
+        s.page(f"{BASE}/", _links("/private/a", "/public/b"))
+        s.page(f"{BASE}/private/a", _links())
+        s.page(f"{BASE}/public/b", _links())
+
+    elif name == "chain4":
+        # multi-round BFS chain (resume / checkpoint coverage)
+        s.page(f"{BASE}/", _links("/a"))
+        s.page(f"{BASE}/a", _links("/b", "/a2"))
+        s.page(f"{BASE}/b", _links("/c"))
+        s.page(f"{BASE}/a2", _links("/c", "/d"))
+        s.page(f"{BASE}/c", _links("/"))
+        s.page(f"{BASE}/d", _links())
+
     elif name == "seed_fragment":
         # queueSpec/pageInit — seed keeps fragment in seen key, fetch
         # strips it (P2 asymmetry)
@@ -244,7 +260,7 @@ ALL_SCENARIOS = [
     "redirect_infinite", "gzip_body", "non_text_body", "media_extensions",
     "retry_then_ok", "retry_exhausted", "http_4xx", "transport_error",
     "hpe_external_forgiven", "auth_401", "malformed_html",
-    "dup_links_one_page", "seed_fragment",
+    "dup_links_one_page", "seed_fragment", "robots_block", "chain4",
 ]
 
 

@@ -1,0 +1,107 @@
+"""North-rule extensions: checkpoint/resume bit-identity and
+per-domain politeness budgets (J6/A4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from node_crawler_spark.config import CrawlConfig, PolitenessRule
+from node_crawler_spark.plans.driver import run_crawl
+from node_crawler_spark.sources.fixtures import scenario
+from node_crawler_spark.sources.store import SnapshotStore
+
+
+def _tables(spark, res):
+    out = {}
+    for name, df in {
+        "seen": res.seen(spark),
+        "crawled": res.crawled(spark),
+        "errors": res.errors(spark),
+        "redirects": res.redirects(spark),
+    }.items():
+        if df is None:
+            out[name] = []
+        else:
+            drop = [c for c in ("bucket",) if c in df.columns]
+            out[name] = sorted(
+                (tuple(r) for r in df.drop(*drop).collect()), key=repr
+            )
+    return out
+
+
+def test_resume_bit_identical(spark, tmp_path):
+    """Kill after round 2, resume → identical final state to an
+    uninterrupted run (north_rule resumability)."""
+    s = scenario("chain4")
+    pages, http = s.dfs(spark)
+
+    full = run_crawl(spark, s.cfg, pages, http, s.seeds, str(tmp_path / "full"))
+    want = _tables(spark, full)
+
+    # interrupted run: stop after round 2 (max_rounds caps the loop)
+    part_cfg = CrawlConfig(**{**s.cfg.__dict__, "max_rounds": 2})
+    run_crawl(spark, part_cfg, pages, http, s.seeds, str(tmp_path / "part"))
+    store = SnapshotStore(str(tmp_path / "part"))
+    assert store.last_committed_round() == 2
+
+    resumed = run_crawl(
+        spark, s.cfg, pages, http, s.seeds, str(tmp_path / "part"), resume=True
+    )
+    got = _tables(spark, resumed)
+    assert got == want
+    assert resumed.max_seq == full.max_seq
+
+
+def test_politeness_budget_respected(spark, tmp_path):
+    """Budget 1/domain/round: the crawl stretches over more rounds,
+    schedules FIFO-by-seq within the domain, and still reaches every
+    url exactly once."""
+    s = scenario("chain4")
+    pages, http = s.dfs(spark)
+
+    base = run_crawl(spark, s.cfg, pages, http, s.seeds, str(tmp_path / "nopol"))
+    base_seen = {r.url for r in base.seen(spark).collect()}
+
+    cfg = CrawlConfig(
+        politeness=(PolitenessRule("www.site.test", budget=1),),
+        max_rounds=50,
+    )
+    res = run_crawl(spark, cfg, pages, http, s.seeds, str(tmp_path / "pol"))
+    crawled = res.crawled(spark).collect()
+
+    # every url still crawled exactly once
+    assert {r.url for r in crawled} == base_seen
+    assert len(crawled) == len(base_seen)
+    # ≤1 fetch per domain per round, and more rounds than the unpoliced run
+    per_round = {}
+    for r in crawled:
+        per_round[r.round] = per_round.get(r.round, 0) + 1
+    assert all(v <= 1 for v in per_round.values())
+    assert res.rounds > base.rounds
+    # FIFO: fetch (round) order follows seq order within the domain
+    by_round = sorted(crawled, key=lambda r: r.round)
+    seqs = [r.seq for r in by_round]
+    assert seqs == sorted(seqs)
+
+
+def test_politeness_skew_two_phase(spark, tmp_path):
+    """Hot-domain shape: one domain with many urls + budget — the
+    salted two-phase top-k must pick exactly the lowest seqs."""
+    from node_crawler_spark.operators.politeness import apply_domain_budget
+
+    rows = [(f"http://hot.test/p{i}", i + 1, None, False, True) for i in range(97)]
+    rows += [(f"http://cold{i}.test/", 100 + i, None, False, True) for i in range(5)]
+    frontier = spark.createDataFrame(
+        rows, "url string, seq long, referrer string, is_external boolean, crawl_links boolean"
+    )
+    cfg = CrawlConfig(
+        politeness=(PolitenessRule("hot.test", budget=7),),
+        seen_salt_buckets=8,
+    )
+    sched, deferred = apply_domain_budget(frontier, cfg, salt_shards=8)
+    sched_rows = sched.collect()
+    hot = sorted(r.seq for r in sched_rows if "hot.test" in r.url)
+    assert hot == list(range(1, 8)), "budget must pick the 7 lowest seqs"
+    # unbudgeted domains schedule fully
+    assert sum("cold" in r.url for r in sched_rows) == 5
+    assert deferred.count() == 90
