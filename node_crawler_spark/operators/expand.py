@@ -189,12 +189,64 @@ def landing_candidates(fetched: DataFrame) -> DataFrame:
     )
 
 
+def assign_global_seq(
+    first_occurrence: DataFrame, max_seq: int, large_round: bool
+) -> DataFrame:
+    """O1 — dense global rank over the round's first-occurrence insert
+    stream, ordered by (parent_seq, kind, pos).
+
+    Small rounds: one single-partition window (cheapest job count).
+    Large rounds (``large_round=True``, driver decides from the
+    previous round's frontier size): deterministic two-phase rank —
+    bucket by parent_seq range (parent_seq is monotone with stream
+    order, so range buckets align with the global order), rank within
+    buckets in parallel, then add per-bucket offsets (a P-row collect).
+    No single-partition shuffle at any size.
+    """
+    order_cols = [F.col("parent_seq"), F.col("kind"), F.col("pos")]
+    if not large_round:
+        return first_occurrence.withColumn(
+            "_new_seq", F.lit(max_seq) + F.row_number().over(Window.orderBy(*order_cols))
+        )
+
+    spark = first_occurrence.sparkSession
+    P = spark.sparkContext.defaultParallelism * 4
+    bounds = first_occurrence.agg(
+        F.min("parent_seq").alias("lo"), F.max("parent_seq").alias("hi")
+    ).first()
+    if bounds.lo is None:
+        return first_occurrence.withColumn("_new_seq", F.lit(None).cast("long"))
+    lo, hi = int(bounds.lo), int(bounds.hi)
+    span = max(hi - lo + 1, 1)
+    bucket = F.least(
+        F.lit(P - 1),
+        ((F.col("parent_seq") - F.lit(lo)) * F.lit(P) / F.lit(span)).cast("int"),
+    )
+    b = first_occurrence.withColumn("_bkt", bucket)
+    counts = {
+        r._bkt: r["count"] for r in b.groupBy("_bkt").count().collect()
+    }
+    offsets, acc = {}, max_seq
+    for k in range(P):
+        offsets[k] = acc
+        acc += counts.get(k, 0)
+    omap = F.create_map(
+        *[x for k in sorted(offsets) for x in (F.lit(k), F.lit(offsets[k]))]
+    )
+    w = Window.partitionBy("_bkt").orderBy(*order_cols)
+    return (
+        b.withColumn("_new_seq", omap[F.col("_bkt")] + F.row_number().over(w))
+        .drop("_bkt")
+    )
+
+
 def resolve_round_inserts(
     landings: DataFrame,
     links: DataFrame,
     seen: DataFrame,
     max_seq: int,
     max_fixpoint_iters: int = 10,
+    large_round: bool = False,
 ):
     """The round's seen-insert stream: first occurrence wins, redirect
     landings that collide drop their page (crawler.js:484-500).
@@ -209,10 +261,27 @@ def resolve_round_inserts(
     is one window + one anti-join on round-sized data.
     """
     spark = landings.sparkSession
-    stream = landings.unionByName(links)
     seen_keys = seen.select(F.col("url").alias("ins_url")).distinct()
-
     drops = spark.createDataFrame([], "parent_seq long, drop_idx int")
+
+    # Fast path — the overwhelmingly common round has no redirect
+    # events, hence no drops: one window + one anti-join, no fixed
+    # point, no stream union.
+    if landings.isEmpty():
+        w = Window.partitionBy("ins_url").orderBy("parent_seq", "kind", "pos")
+        probed = (
+            links.join(
+                seen_keys.withColumn("_seen", F.lit(True)), on="ins_url", how="left"
+            )
+            .withColumn("_rank", F.row_number().over(w))
+            .withColumn("_collides", F.col("_seen").isNotNull() | (F.col("_rank") > 1))
+        )
+        inserts = assign_global_seq(
+            probed.where(~F.col("_collides")), max_seq, large_round
+        ).drop("_seen", "_rank", "_collides")
+        return inserts, drops
+
+    stream = landings.unionByName(links)
     for _ in range(max_fixpoint_iters):
         active = (
             stream.join(F.broadcast(drops), on="parent_seq", how="left")
@@ -246,13 +315,7 @@ def resolve_round_inserts(
     else:  # pragma: no cover - safety net
         final_stream = probed
 
-    inserts = (
-        final_stream.where(~F.col("_collides"))
-        .withColumn(
-            "_new_seq",
-            F.lit(max_seq)
-            + F.row_number().over(Window.orderBy("parent_seq", "kind", "pos")),
-        )
-        .drop("_seen", "_rank", "_collides")
-    )
+    inserts = assign_global_seq(
+        final_stream.where(~F.col("_collides")), max_seq, large_round
+    ).drop("_seen", "_rank", "_collides")
     return inserts, drops

@@ -153,6 +153,7 @@ def run_crawl(
         start_round = 1
 
     rounds_run = start_round - 1
+    prev_inserts = max_seq  # round-size hint for the O1 rank strategy
     for r in range(start_round, cfg.max_rounds + 1):
         if frontier.isEmpty():
             break
@@ -172,7 +173,12 @@ def run_crawl(
 
         links = link_candidates(expanded, cfg)
         landings = landing_candidates(expanded)
-        inserts, drops = resolve_round_inserts(landings, links, seen, max_seq)
+        inserts, drops = resolve_round_inserts(
+            landings, links, seen, max_seq,
+            # O1 two-phase rank once rounds get big (hint: last round's
+            # insert volume); small rounds take the 1-job window path
+            large_round=prev_inserts > 200_000,
+        )
         inserts = inserts.persist()
         drops = drops.persist()
 
@@ -242,6 +248,7 @@ def run_crawl(
             extra={"max_seq": -1, "killed": False},  # patched below
         )
         n_inserts = manifest["tables"]["seen_delta"]["rows"]
+        prev_inserts = n_inserts
         max_seq += n_inserts
         # manifest is tiny JSON — rewrite with the final watermark
         manifest["max_seq"] = max_seq

@@ -278,41 +278,39 @@ def synthetic_webgraph(
     redirect_pct: float = 0.02,
     partitions: int | None = None,
 ) -> tuple[DataFrame, DataFrame, list]:
-    """(pages, http_meta, seeds) for an n_urls crawl graph.
+    """(pages, http_meta, seeds) for an n_urls domain-crawl graph.
 
-    url i lives on domain ``hash(i) % n_domains`` (or the hot domain
-    with probability hot_domain_pct) and links to ``links_per_page``
-    other urls chosen by a deterministic affine hash — a connected,
-    expander-ish graph so a BFS from url 0 reaches everything. Bodies
-    are real HTML built executor-side; nothing materializes on the
-    driver.
+    The reference is a *domain* crawler (externals are gated /
+    HEAD-only), so the crawlable graph lives on one domain
+    ``www.bench.test``: url i links to ``links_per_page`` same-domain
+    urls via deterministic hashes (link 0 = i+1, an exact Hamiltonian
+    edge, so BFS from p0 reaches every url), plus one external link
+    per page to exercise the F2/F3 gates. ``n_domains`` shapes the
+    external-link fan; at hot_domain_pct the *internal* url space is
+    what a politeness budget throttles. Bodies are real HTML built
+    executor-side; nothing materializes on the driver.
     """
     base = spark.range(0, n_urls, 1, partitions or spark.sparkContext.defaultParallelism)
-    hot = int(n_urls * hot_domain_pct)
-    dom = F.when(F.col("id") < hot, F.lit(0)).otherwise(
-        F.pmod(F.xxhash64(F.col("id")), F.lit(max(n_domains - 1, 1))) + 1
-    )
-    url = F.concat(
-        F.lit("http://d"), dom.cast("string"), F.lit(".test/p"),
-        F.col("id").cast("string"),
-    )
+    url = F.concat(F.lit("http://www.bench.test/p"), F.col("id").cast("string"))
     g = base.withColumn("url", url)
 
     link_cols = []
     for k in range(links_per_page):
-        target = F.pmod(
-            F.xxhash64(F.col("id") * 2654435761 + k * 40503 + 17), F.lit(n_urls)
-        )
-        tdom = F.when(target < hot, F.lit(0)).otherwise(
-            F.pmod(F.xxhash64(target), F.lit(max(n_domains - 1, 1))) + 1
-        )
-        link_cols.append(
-            F.concat(
-                F.lit('<a href="http://d'), tdom.cast("string"), F.lit(".test/p"),
-                target.cast("string"), F.lit('">l</a>'),
+        if k == 0:  # connectivity edge: p(i) → p(i+1 mod n)
+            target = F.pmod(F.col("id") + 1, F.lit(n_urls))
+        else:
+            target = F.pmod(
+                F.xxhash64(F.col("id") * 2654435761 + k * 40503 + 17), F.lit(n_urls)
             )
+        link_cols.append(
+            F.concat(F.lit('<a href="/p'), target.cast("string"), F.lit('">l</a>'))
         )
-    html = F.concat(F.lit("<html><body>"), *link_cols, F.lit("</body></html>"))
+    ext = F.concat(
+        F.lit('<a href="http://ext'),
+        F.pmod(F.xxhash64("id"), F.lit(max(n_domains, 1))).cast("string"),
+        F.lit('.test/x">e</a>'),
+    )
+    html = F.concat(F.lit("<html><body>"), *link_cols, ext, F.lit("</body></html>"))
 
     pages = g.select(
         "url",
