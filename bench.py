@@ -98,12 +98,58 @@ def run_crawl_bench(spark, n_urls: int, hot_pct: float = 0.0) -> dict:
     }
 
 
+def run_steady_state_round(spark, n_urls: int, frontier_frac: float = 0.5) -> dict:
+    """The scaling workload: ONE steady-state round over a bulk
+    frontier (the shape every round has at 10^10-frontier scale —
+    politeness window → fetch join → decode/extract/resolve → seen
+    anti-join → O1 rank → commit). BFS warm-up rounds measure driver
+    overhead, not the engine; this measures the engine.
+    """
+    from pyspark.sql import functions as F
+
+    from node_crawler_spark.config import CrawlConfig
+    from node_crawler_spark.plans.driver import run_crawl
+    from node_crawler_spark.sources.fixtures import synthetic_webgraph
+
+    pages, http, _seeds = synthetic_webgraph(spark, n_urls)
+    pages = pages.persist()
+    http = http.persist()
+    pages.count(), http.count()
+
+    k = int(n_urls * frontier_frac)
+    frontier = spark.range(0, k).select(
+        F.concat(F.lit("http://www.bench.test/p"), F.col("id").cast("string")).alias("url"),
+        (F.col("id") + 1).alias("seq"),
+        F.lit(None).cast("string").alias("referrer"),
+        F.lit(False).alias("is_external"),
+        F.lit(True).alias("crawl_links"),
+    )
+
+    root = tempfile.mkdtemp(prefix="nc_scale_")
+    cfg = CrawlConfig(max_rounds=1)
+    t0 = time.perf_counter()
+    res = run_crawl(spark, cfg, pages, http, [], root, initial_frontier=frontier)
+    wall = time.perf_counter() - t0
+    pages.unpersist()
+    http.unpersist()
+    shutil.rmtree(root, ignore_errors=True)
+    return {
+        "frontier_urls": k,
+        "seen_after": res.max_seq,
+        "wall_sec": round(wall, 2),
+        "urls_per_sec": round(k / wall, 1),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true",
                     help="also run the crawl at local[8] vs local[32]")
     ap.add_argument("--urls", type=int, default=CRAWL_URLS)
+    ap.add_argument("--scale-urls", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_SCALE_URLS", "200000")))
     ap.add_argument("--skip-queries", action="store_true")
+    ap.add_argument("--skip-crawl", action="store_true")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -111,12 +157,12 @@ def main() -> None:
 
     spark = _session(f"local[{cpus}]", cpus)
     queries = {} if args.skip_queries else run_queries(spark, sf_dir)
-    crawl = run_crawl_bench(spark, args.urls)
+    crawl = None if args.skip_crawl else run_crawl_bench(spark, args.urls)
     spark.stop()
 
     result = {
         "metric": "crawl_urls_per_sec",
-        "value": crawl["urls_per_sec"],
+        "value": crawl["urls_per_sec"] if crawl else 0.0,
         "unit": "sec",
         "queries": queries,
         "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
@@ -127,7 +173,7 @@ def main() -> None:
         scaling = {}
         for n in (8, 32):
             s = _session(f"local[{n}]", n)
-            scaling[f"local[{n}]"] = run_crawl_bench(s, args.urls)
+            scaling[f"local[{n}]"] = run_steady_state_round(s, args.scale_urls)
             s.stop()
         t8 = scaling["local[8]"]["urls_per_sec"]
         t32 = scaling["local[32]"]["urls_per_sec"]

@@ -1,0 +1,110 @@
+"""Operational CLI — the debugger.js analog (S7, debugger.js:8-108).
+
+Run with spark-submit (north_rule):
+
+    spark-submit --py-files nc_spark.zip -m node_crawler_spark.cli \\
+        --seeds http://www.site.test/ \\
+        --pages /data/pages_parquet --http-meta /data/http_meta_parquet \\
+        --store /data/crawl_store --exclude '\\.pdf$' --retries 1
+
+or plain ``python -m node_crawler_spark.cli``. Prints per-round
+metrics (the reference's --status-codes / --page counters) and a final
+JSON summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from node_crawler_spark.config import CrawlConfig, PolitenessRule
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="node-crawler-spark")
+    ap.add_argument("--seeds", nargs="+", required=True, help="seed urls (queue order)")
+    ap.add_argument("--pages", required=True, help="pages table path (parquet)")
+    ap.add_argument("--http-meta", required=True, help="http_meta table path (parquet)")
+    ap.add_argument("--store", required=True, help="snapshot-store root (checkpoints)")
+    ap.add_argument("--resume", action="store_true", help="resume from last committed round")
+    ap.add_argument("--crawl-external", action="store_true")
+    ap.add_argument("--exclude", action="append", default=[], help="exclude regex (repeatable)")
+    ap.add_argument("--retries", type=int, default=0)
+    ap.add_argument("--auth", action="store_true")
+    ap.add_argument("--max-rounds", type=int, default=1000)
+    ap.add_argument("--budget", action="append", default=[],
+                    help="politeness domain=budget (repeatable)")
+    ap.add_argument("--robots", action="append", default=[],
+                    help="robots rule domain=/disallow-prefix (repeatable)")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    return ap
+
+
+def config_from_args(args) -> CrawlConfig:
+    politeness = []
+    for spec in args.budget:
+        domain, _, budget = spec.partition("=")
+        politeness.append(PolitenessRule(domain=domain, budget=int(budget)))
+    robots = []
+    for spec in args.robots:
+        domain, _, prefix = spec.partition("=")
+        robots.append((domain, prefix))
+    return CrawlConfig(
+        crawl_external=args.crawl_external,
+        exclude_patterns=tuple(args.exclude),
+        retries=args.retries,
+        auth=args.auth,
+        max_rounds=args.max_rounds,
+        politeness=tuple(politeness),
+        robots=tuple(robots),
+    )
+
+
+def main(argv=None) -> int:
+    args = build_arg_parser().parse_args(argv)
+    cfg = config_from_args(args)
+
+    from node_crawler_spark.plans.driver import run_crawl
+    from node_crawler_spark.session import build_session
+
+    spark = build_session(
+        app_name="node-crawler-spark",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    pages = spark.read.parquet(args.pages)
+    http_meta = spark.read.parquet(args.http_meta)
+
+    res = run_crawl(
+        spark, cfg, pages, http_meta, args.seeds, args.store, resume=args.resume
+    )
+
+    per_round = []
+    for r in range(res.rounds + 1):
+        try:
+            m = res.store.read_manifest(r)
+        except FileNotFoundError:
+            continue
+        row = {"round": r}
+        for t, entry in m.get("tables", {}).items():
+            if "rows" in entry:
+                row[t] = entry["rows"]
+        per_round.append(row)
+        print(f"round {r}: " + " ".join(f"{k}={v}" for k, v in row.items() if k != "round"),
+              file=sys.stderr)
+
+    summary = {
+        "rounds": res.rounds,
+        "urls_seen": res.max_seq,
+        "store": args.store,
+        "per_round": per_round,
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -291,18 +291,23 @@ def resolve_round_inserts(
             )
             .drop("drop_idx")
         )
-        # collision = already in seen table OR not first in the stream
+        # collision = already in seen table OR not first in the stream.
+        # Both probed and new_drops are checkpointed: each fixpoint pass
+        # must evaluate them several times (change test + next pass), and
+        # an unmaterialized lineage would recompute the join+window chain
+        # exponentially across passes.
         probed = active.join(
             seen_keys.withColumn("_seen", F.lit(True)), on="ins_url", how="left"
         )
         w = Window.partitionBy("ins_url").orderBy("parent_seq", "kind", "pos")
         probed = probed.withColumn("_rank", F.row_number().over(w)).withColumn(
             "_collides", F.col("_seen").isNotNull() | (F.col("_rank") > 1)
-        )
+        ).localCheckpoint()
         new_drops = (
             probed.where((F.col("kind") == 0) & F.col("_collides"))
             .groupBy("parent_seq")
             .agg(F.min("pos").cast("int").alias("drop_idx"))
+            .localCheckpoint()
         )
         changed = not (
             new_drops.exceptAll(drops).isEmpty()

@@ -18,7 +18,29 @@ tests/test_resume.py.
 from __future__ import annotations
 
 import json
+import os
+import time
 from dataclasses import dataclass
+
+_PROFILE = os.environ.get("NC_SPARK_PROFILE", "") == "1"
+
+
+class _Timer:
+    def __init__(self, label: str) -> None:
+        self.label = label
+        self.marks: list[tuple[str, float]] = []
+        self.t0 = time.perf_counter()
+
+    def mark(self, name: str) -> None:
+        t = time.perf_counter()
+        self.marks.append((name, t - self.t0))
+        self.t0 = t
+
+    def report(self) -> None:
+        if _PROFILE:
+            total = sum(d for _, d in self.marks)
+            parts = " ".join(f"{n}={d:.1f}s" for n, d in self.marks)
+            print(f"[profile] {self.label}: total={total:.1f}s {parts}", flush=True)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -125,7 +147,12 @@ def run_crawl(
     seeds,
     store_root: str,
     resume: bool = False,
+    initial_frontier: DataFrame | None = None,
 ) -> CrawlResult:
+    """``initial_frontier`` (url, seq, referrer, is_external,
+    crawl_links) bypasses seed queueing — the steady-state shape for a
+    resumed/bulk frontier (and the scaling benchmark's single big
+    round)."""
     store = SnapshotStore(store_root)
     http_exact, http_last = prepare_http_meta(http_meta)
     http_exact = http_exact.persist()
@@ -137,8 +164,12 @@ def run_crawl(
         max_seq = int(manifest["max_seq"])
         frontier = store.read_table(spark, last, "next_frontier")
         start_round = last + 1
+        seen_state = store.read_seen(spark).select("url", "seq").localCheckpoint()
     else:
-        frontier = build_seed_frontier(spark, seeds, cfg)
+        if initial_frontier is not None:
+            frontier = initial_frontier
+        else:
+            frontier = build_seed_frontier(spark, seeds, cfg)
         seen_delta = frontier.select(
             "url", "seq", F.lit(0).alias("round"), F.lit("seed").alias("kind")
         )
@@ -151,25 +182,35 @@ def run_crawl(
         max_seq = n_seeds
         frontier = store.read_table(spark, 0, "next_frontier")
         start_round = 1
+        seen_state = frontier.select("url", "seq").localCheckpoint()
 
     rounds_run = start_round - 1
     prev_inserts = max_seq  # round-size hint for the O1 rank strategy
     for r in range(start_round, cfg.max_rounds + 1):
+        tm = _Timer(f"round {r}")
         if frontier.isEmpty():
             break
-        seen = store.read_seen(spark)
+        # seen probes run against the in-memory checkpointed state (one
+        # flat scan) — NOT a re-read of every round's delta files. The
+        # store stays the commit-protocol source of truth for resume.
+        seen = seen_state
 
         scheduled, deferred = apply_domain_budget(
             frontier, cfg, salt_shards=cfg.seen_salt_buckets
         )
         if scheduled.isEmpty():
             break  # budget starvation guard: nothing schedulable
+        tm.mark("schedule")
 
         round_persists: list = []
         fetched = run_fetch(
             scheduled, http_exact, http_last, cfg, persisted=round_persists
         )
+        tm.mark("fetch")
         expanded = extract_and_resolve(attach_bodies(fetched, pages)).persist()
+        if _PROFILE:
+            expanded.count()
+            tm.mark("expand")
 
         links = link_candidates(expanded, cfg)
         landings = landing_candidates(expanded)
@@ -181,6 +222,9 @@ def run_crawl(
         )
         inserts = inserts.persist()
         drops = drops.persist()
+        if _PROFILE:
+            inserts.count()
+            tm.mark("inserts")
 
         not_dropped = lambda df: df.join(
             F.broadcast(drops.select(F.col("parent_seq").alias("seq"))),
@@ -247,9 +291,16 @@ def run_crawl(
             },
             extra={"max_seq": -1, "killed": False},  # patched below
         )
+        tm.mark("commit")
         n_inserts = manifest["tables"]["seen_delta"]["rows"]
         prev_inserts = n_inserts
         max_seq += n_inserts
+        delta_ckpt = seen_delta.select("url", "seq").localCheckpoint()
+        seen_state = seen_state.unionByName(delta_ckpt)
+        if r % 10 == 0:  # bound the union width on long crawls
+            seen_state = seen_state.coalesce(
+                spark.sparkContext.defaultParallelism
+            ).localCheckpoint()
         # manifest is tiny JSON — rewrite with the final watermark
         manifest["max_seq"] = max_seq
         with open(store._commit_path(r), "w") as fh:
@@ -262,6 +313,7 @@ def run_crawl(
             df.unpersist()
         frontier = store.read_table(spark, r, "next_frontier")
         rounds_run = r
+        tm.report()
 
     http_exact.unpersist()
     http_last.unpersist()

@@ -85,7 +85,11 @@ class SnapshotStore:
                 df = df.withColumn(
                     "bucket", F.pmod(F.xxhash64("url"), F.lit(self.seen_buckets))
                 )
-                df.write.mode("overwrite").partitionBy("bucket").parquet(path)
+                # co-locate each bucket in one task → one file per bucket
+                # (instead of tasks × buckets tiny files per round)
+                df.repartition(self.seen_buckets, "bucket").write.mode(
+                    "overwrite"
+                ).partitionBy("bucket").parquet(path)
             else:
                 df.write.mode("overwrite").parquet(path)
             entry: dict = {"schema": df.schema.json()}
