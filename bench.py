@@ -150,10 +150,23 @@ def main() -> None:
                     default=int(os.environ.get("SPARK_GRAFT_SCALE_URLS", "200000")))
     ap.add_argument("--skip-queries", action="store_true")
     ap.add_argument("--skip-crawl", action="store_true")
+    ap.add_argument("--steady-run", type=int, metavar="CORES", default=0,
+                    help="internal: run one steady-state leg on local[CORES] and print JSON")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    if args.steady_run:
+        n = args.steady_run
+        os.environ["SPARK_DRIVER_MEM"] = os.environ.get(
+            "SPARK_DRIVER_MEM", f"{max(8, n // 2)}g"
+        )
+        s = _session(f"local[{n}]", n)
+        out = run_steady_state_round(s, args.scale_urls)
+        s.stop()
+        print(json.dumps(out))
+        return
 
     spark = _session(f"local[{cpus}]", cpus)
     queries = {} if args.skip_queries else run_queries(spark, sf_dir)
@@ -170,13 +183,24 @@ def main() -> None:
     }
 
     if args.scaling:
+        # each leg in its own subprocess: driver-heap size is fixed at
+        # first JVM launch, so sharing one JVM would starve the bigger
+        # leg and corrupt the comparison
+        import subprocess
+
         scaling = {}
-        for n in (8, 32):
-            s = _session(f"local[{n}]", n)
-            scaling[f"local[{n}]"] = run_steady_state_round(s, args.scale_urls)
-            s.stop()
+        for n in (2, 8, 32):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--steady-run", str(n), "--scale-urls", str(args.scale_urls)],
+                capture_output=True, text=True, timeout=3600,
+            )
+            leg = json.loads(proc.stdout.strip().splitlines()[-1])
+            scaling[f"local[{n}]"] = leg
+        t2 = scaling["local[2]"]["urls_per_sec"]
         t8 = scaling["local[8]"]["urls_per_sec"]
         t32 = scaling["local[32]"]["urls_per_sec"]
+        scaling["efficiency_2_to_8"] = round((t8 / t2) / 4.0, 3)
         scaling["efficiency_8_to_32"] = round((t32 / t8) / 4.0, 3)
         result["scaling"] = scaling
 

@@ -87,6 +87,37 @@ def extract_links(html: pd.Series) -> pd.Series:
     )
 
 
+BODY_LINKS_TYPE = T.StructType(
+    [
+        T.StructField("text", T.StringType()),
+        T.StructField("links", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+@F.pandas_udf(BODY_LINKS_TYPE)
+def decode_extract_resolve(
+    raw: pd.Series, gzipped: pd.Series, page_url: pd.Series
+) -> pd.DataFrame:
+    """P7 + P5 + P4 fused: gunzip/decode, anchor extraction and
+    link resolution in ONE Arrow round-trip. The three-stage form
+    (decode_body → extract_links → resolve_links) moves the body text
+    across the JVM↔Python socket three times; at crawl scale the body
+    bytes dominate traffic, so the fused kernel is the hot path."""
+    from node_crawler_spark.functions.urlkit import node_resolve
+
+    gz = gzipped.fillna(False)
+    texts, links = [], []
+    for r, g, base in zip(raw, gz, page_url.fillna("")):
+        t = decode_body_py(r, bool(g))
+        texts.append(t)
+        if t:
+            links.append([node_resolve(base, h) for h in extract_links_py(t)])
+        else:
+            links.append([])
+    return pd.DataFrame({"text": texts, "links": links}, index=raw.index)
+
+
 @F.pandas_udf(T.StringType())
 def decode_body(raw: pd.Series, gzipped: pd.Series) -> pd.Series:
     """P7 — gunzip + UTF-8 decode; byte-identical to the reference's

@@ -34,8 +34,19 @@ residue; bounded iterations).
 
 from __future__ import annotations
 
+import os as _os
+import time as _time
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_PROF = _os.environ.get("NC_SPARK_PROFILE", "") == "1"
+
+
+def _pmark(label, t0):
+    if _PROF:
+        print(f"[profile:ins] {label}={_time.perf_counter() - t0:.1f}s", flush=True)
+    return _time.perf_counter()
 
 from node_crawler_spark.config import CrawlConfig
 from node_crawler_spark.functions.html import decode_body, extract_links
@@ -93,6 +104,54 @@ def attach_bodies(fetched: DataFrame, pages: DataFrame) -> DataFrame:
         .drop("p_url", "p_ts", "p_html", "_rn")
     )
     without_body = gated.where(~F.col("_wants_body")).withColumn("text", F.lit(""))
+    return with_body.unionByName(without_body).drop("_wants_body")
+
+
+def attach_bodies_and_links(fetched: DataFrame, pages: DataFrame) -> DataFrame:
+    """Fused F5+P7+P5+P4: the content-gated pages join followed by ONE
+    Arrow pass producing (text, links). Equivalent to
+    extract_and_resolve(attach_bodies(...)) but with a single
+    JVM↔Python round-trip for the body bytes — the hot path at scale."""
+    from node_crawler_spark.functions.html import decode_extract_resolve
+
+    gate = (
+        F.col("ok")
+        & F.col("content_type_raw").isNotNull()
+        & F.col("content_type_raw").contains("text/")
+        & ~F.col("params_url").rlike(MEDIA_EXT_RE)
+        & ~F.col("params_external")
+    )
+    gated = fetched.withColumn("_wants_body", gate)
+    body_side = pages.select(
+        F.col("url").alias("p_url"),
+        F.col("warc_ts").alias("p_ts"),
+        F.col("html").alias("p_html"),
+    )
+    with_body = (
+        gated.where(F.col("_wants_body"))
+        .join(body_side, F.col("page_url") == F.col("p_url"), "left")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("seq").orderBy(F.col("p_ts").desc_nulls_last())
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .withColumn(
+            "_tl",
+            decode_extract_resolve(
+                F.col("p_html"), F.col("gzipped"), F.col("page_url")
+            ),
+        )
+        .withColumn("text", F.col("_tl.text"))
+        .withColumn("links", F.col("_tl.links"))
+        .drop("p_url", "p_ts", "p_html", "_rn", "_tl")
+    )
+    without_body = (
+        gated.where(~F.col("_wants_body"))
+        .withColumn("text", F.lit(""))
+        .withColumn("links", F.array().cast("array<string>"))
+    )
     return with_body.unionByName(without_body).drop("_wants_body")
 
 
@@ -261,13 +320,16 @@ def resolve_round_inserts(
     is one window + one anti-join on round-sized data.
     """
     spark = landings.sparkSession
+    t0 = _time.perf_counter()
     seen_keys = seen.select(F.col("url").alias("ins_url")).distinct()
     drops = spark.createDataFrame([], "parent_seq long, drop_idx int")
 
     # Fast path — the overwhelmingly common round has no redirect
     # events, hence no drops: one window + one anti-join, no fixed
     # point, no stream union.
-    if landings.isEmpty():
+    empty_landings = landings.isEmpty()
+    t0 = _pmark("landings.isEmpty", t0)
+    if empty_landings:
         w = Window.partitionBy("ins_url").orderBy("parent_seq", "kind", "pos")
         probed = (
             links.join(
@@ -276,51 +338,119 @@ def resolve_round_inserts(
             .withColumn("_rank", F.row_number().over(w))
             .withColumn("_collides", F.col("_seen").isNotNull() | (F.col("_rank") > 1))
         )
-        inserts = assign_global_seq(
-            probed.where(~F.col("_collides")), max_seq, large_round
-        ).drop("_seen", "_rank", "_collides")
+        fo = probed.where(~F.col("_collides"))
+        if large_round:
+            fo = fo.localCheckpoint()  # rank pass reads it 3×
+        inserts = assign_global_seq(fo, max_seq, large_round).drop(
+            "_seen", "_rank", "_collides"
+        )
         return inserts, drops
 
-    stream = landings.unionByName(links)
-    for _ in range(max_fixpoint_iters):
-        active = (
-            stream.join(F.broadcast(drops), on="parent_seq", how="left")
-            .where(
-                F.col("drop_idx").isNull()
-                | ((F.col("kind") == 0) & (F.col("pos") <= F.col("drop_idx")))
-            )
-            .drop("drop_idx")
+    # Contested-subset fixpoint: drop resolution can only disturb urls
+    # reachable from redirect-bearing pages — the landing urls, the
+    # link urls of pages that have a landing (their links vanish if the
+    # page drops), and every stream row sharing one of those urls. The
+    # (usually ~98%) remainder of the stream gets its collision pass
+    # exactly once; only the contested residue iterates.
+    # materialize the candidate stream ONCE — core-url split, fixpoint
+    # passes, the rest-probe and the final merge all re-read it, and the
+    # links lineage (explode + parse_url gates over the whole round)
+    # would otherwise re-run per consumer
+    links = links.localCheckpoint()
+    t0 = _pmark("links.ckpt", t0)
+    landings = landings.localCheckpoint()
+    t0 = _pmark("landings.ckpt", t0)
+    full_stream = landings.unionByName(links)
+    pages_with_landing = landings.select("parent_seq").distinct()
+    core_urls = (
+        landings.select("ins_url")
+        .unionByName(
+            links.join(F.broadcast(pages_with_landing), "parent_seq")
+            .select("ins_url")
         )
-        # collision = already in seen table OR not first in the stream.
-        # Both probed and new_drops are checkpointed: each fixpoint pass
-        # must evaluate them several times (change test + next pass), and
-        # an unmaterialized lineage would recompute the join+window chain
-        # exponentially across passes.
-        probed = active.join(
+        .distinct()
+        .localCheckpoint()
+    )
+    t0 = _pmark("core.ckpt", t0)
+    stream = full_stream.join(core_urls, "ins_url", "left_semi").localCheckpoint()
+    t0 = _pmark("stream.ckpt", t0)
+    rest = full_stream.join(core_urls, "ins_url", "left_anti").localCheckpoint()
+    t0 = _pmark("rest.ckpt", t0)
+    w_rest = Window.partitionBy("ins_url").orderBy("parent_seq", "kind", "pos")
+    rest_probed = (
+        rest.join(
             seen_keys.withColumn("_seen", F.lit(True)), on="ins_url", how="left"
         )
-        w = Window.partitionBy("ins_url").orderBy("parent_seq", "kind", "pos")
-        probed = probed.withColumn("_rank", F.row_number().over(w)).withColumn(
-            "_collides", F.col("_seen").isNotNull() | (F.col("_rank") > 1)
-        ).localCheckpoint()
-        new_drops = (
-            probed.where((F.col("kind") == 0) & F.col("_collides"))
-            .groupBy("parent_seq")
-            .agg(F.min("pos").cast("int").alias("drop_idx"))
-            .localCheckpoint()
-        )
-        changed = not (
-            new_drops.exceptAll(drops).isEmpty()
-            and drops.exceptAll(new_drops).isEmpty()
-        )
-        drops = new_drops
-        if not changed:
-            final_stream = probed
-            break
-    else:  # pragma: no cover - safety net
-        final_stream = probed
+        .withColumn("_rank", F.row_number().over(w_rest))
+        .withColumn("_collides", F.col("_seen").isNotNull() | (F.col("_rank") > 1))
+    )
 
-    inserts = assign_global_seq(
-        final_stream.where(~F.col("_collides")), max_seq, large_round
-    ).drop("_seen", "_rank", "_collides")
+    # Exact sequential resolution of the contested residue ON THE
+    # DRIVER. A simultaneous relational fixed point does not converge
+    # here (drop → links vanish → a later landing un-collides → un-drop
+    # → oscillation): the reference resolves these interleavings
+    # *sequentially*, and sequential-vs-simultaneous genuinely differ.
+    # The contested set is bounded by the round's redirect fan (pages
+    # with a redirect event + rows sharing their urls — ~2% of a real
+    # crawl), so one driver-side pass over the collected residue is both
+    # exact and cheap; the other ~98% of the stream never leaves the
+    # executors. At a truly adversarial redirect density the collect
+    # would grow — that is a deliberate, documented trade for exactness.
+    from collections import defaultdict
+
+    contested_rows = (
+        stream.join(
+            seen_keys.withColumn("_seen", F.lit(True)), on="ins_url", how="left"
+        )
+        .select(
+            "parent_seq", "kind", "pos", "ins_url",
+            F.col("_seen").isNotNull().alias("in_seen"),
+        )
+        .collect()
+    )
+    t0 = _pmark("contested.collect", t0)
+    by_page: dict[int, list] = defaultdict(list)
+    for row in contested_rows:
+        by_page[row.parent_seq].append(row)
+
+    added: set[str] = set()
+    keep_keys: list[tuple[int, int, int]] = []
+    drop_pairs: list[tuple[int, int]] = []
+    for pseq in sorted(by_page):
+        rows = sorted(by_page[pseq], key=lambda r: (r.kind, r.pos))
+        drop_at = None
+        for row in rows:
+            if drop_at is not None:
+                break  # crawler.js:497-500 — page finished at the drop
+            if row.kind == 0:  # landing insert (D3)
+                if row.in_seen or row.ins_url in added:
+                    drop_at = row.pos
+                    drop_pairs.append((pseq, row.pos))
+                else:
+                    added.add(row.ins_url)
+                    keep_keys.append((pseq, row.kind, row.pos))
+            else:  # link insert (D1/D2)
+                if not row.in_seen and row.ins_url not in added:
+                    added.add(row.ins_url)
+                    keep_keys.append((pseq, row.kind, row.pos))
+
+    keep_df = spark.createDataFrame(
+        keep_keys or [], "parent_seq long, kind int, pos int"
+    )
+    drops = spark.createDataFrame(
+        drop_pairs or [], "parent_seq long, drop_idx int"
+    )
+    contested_keep = stream.join(
+        F.broadcast(keep_df), ["parent_seq", "kind", "pos"], "left_semi"
+    )
+    rest_keep = rest_probed.where(~F.col("_collides")).drop(
+        "_seen", "_rank", "_collides"
+    )
+    # one materialization of the merged stream — the seq assigner (and
+    # every downstream consumer) re-reads it several times
+    t0 = _pmark("walk", t0)
+    merged = contested_keep.unionByName(rest_keep).localCheckpoint()
+    t0 = _pmark("merged.ckpt", t0)
+    inserts = assign_global_seq(merged, max_seq, large_round)
+    t0 = _pmark("assign_seq", t0)
     return inserts, drops

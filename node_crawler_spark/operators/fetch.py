@@ -172,12 +172,15 @@ def run_fetch(
     done_parts: list[DataFrame] = []
     max_iters = (cfg.retries + 1) * (cfg.max_redirects + 2)
 
-    for _ in range(max_iters):
+    for it in range(max_iters):
         # localCheckpoint truncates lineage each iteration: the redirect/
         # retry loop otherwise compounds the expression tree ~11× deep
         # (driver-side Catalyst analysis blows up long before the data
-        # does). On a real cluster this would be a reliable checkpoint or
-        # an intermediate table write; semantics identical.
+        # does), and each iteration's residue is re-read by the next
+        # join, the isEmpty probe, and the finished-part consumers — one
+        # materialization beats re-running the frontier join per reader.
+        # On a real cluster this would be a reliable checkpoint or an
+        # intermediate table write; semantics identical.
         j = _join_meta(pending, http_exact, http_last).localCheckpoint()
         if persisted is not None:
             persisted.append(j)

@@ -48,8 +48,7 @@ from pyspark.sql import functions as F
 from node_crawler_spark.config import CrawlConfig
 from node_crawler_spark.functions.urlkit import canonicalize_url
 from node_crawler_spark.operators.expand import (
-    attach_bodies,
-    extract_and_resolve,
+    attach_bodies_and_links,
     landing_candidates,
     link_candidates,
     resolve_round_inserts,
@@ -207,10 +206,13 @@ def run_crawl(
             scheduled, http_exact, http_last, cfg, persisted=round_persists
         )
         tm.mark("fetch")
-        expanded = extract_and_resolve(attach_bodies(fetched, pages)).persist()
-        if _PROFILE:
-            expanded.count()
-            tm.mark("expand")
+        expanded = attach_bodies_and_links(fetched, pages).persist()
+        # eager materialization: every downstream consumer (links,
+        # landings, sinks, frontier) reads this cache; leaving it lazy
+        # lets the first consumer's job interleave cache population with
+        # its own shuffle and measurably destabilizes the round (~2×)
+        expanded.count()
+        tm.mark("expand")
 
         links = link_candidates(expanded, cfg)
         landings = landing_candidates(expanded)
@@ -218,13 +220,12 @@ def run_crawl(
             landings, links, seen, max_seq,
             # O1 two-phase rank once rounds get big (hint: last round's
             # insert volume); small rounds take the 1-job window path
-            large_round=prev_inserts > 200_000,
+            large_round=prev_inserts > 50_000,
         )
         inserts = inserts.persist()
         drops = drops.persist()
-        if _PROFILE:
-            inserts.count()
-            tm.mark("inserts")
+        inserts.count()
+        tm.mark("inserts")
 
         not_dropped = lambda df: df.join(
             F.broadcast(drops.select(F.col("parent_seq").alias("seq"))),
