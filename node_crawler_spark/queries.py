@@ -547,6 +547,110 @@ GROUP BY label
 """
 
 
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: all-pairs exact (the oracle
+    baseline for the LSH-bucketed scale path below). JVM-side math;
+    the self-join shuffles on nothing smaller at this shape, so at
+    scale you run sim_ann_lsh_pairs instead and this only on samples."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    norm = F.sqrt(F.aggregate("emb", F.lit(0.0), lambda a, x: a + x * x))
+    vn = v.withColumn("nrm", norm)
+    a, b = vn.alias("a"), vn.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.45)
+    )
+
+
+DEDUP_EMB_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.emb, b.emb)
+             / (sqrt(list_dot_product(a.emb, a.emb))
+                * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cosine
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND ROUND(list_dot_product(a.emb, b.emb)
+            / (sqrt(list_dot_product(a.emb, a.emb))
+               * sqrt(list_dot_product(b.emb, b.emb))), 4) >= 0.45
+"""
+
+
+def sim_ann_lsh_pairs(spark, sf_dir):
+    """ANN scale path: random-hyperplane LSH — 16 deterministic
+    hyperplanes (hash-derived coefficients), 2 bands × 8 bits; pairs
+    sharing a band bucket get exact cosine rerank. Collisions ∝
+    bucket sizes, never n² — the 10^10-row strategy. Spark-only
+    (bucket layout is engine-specific; exact rerank values match
+    dedup_embedding_cosine where pairs overlap)."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    n_planes, dim = 16, 64
+    # deterministic pseudo-random plane coefficients in [-0.5, 0.5]
+    bits = []
+    for p in range(n_planes):
+        coef = F.array(
+            *[
+                (F.lit(((hash((p, d)) % 1000) / 1000.0) - 0.5))
+                for d in range(dim)
+            ]
+        )
+        proj = F.aggregate(
+            F.zip_with("emb", coef, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)).alias(f"b{p}"))
+    hashed = v.select("vec_id", "emb", *bits)
+    bands = []
+    for band in range(2):
+        sig = sum(
+            F.col(f"b{band * 8 + j}") * (1 << j) for j in range(8)
+        )
+        bands.append(
+            hashed.select(
+                "vec_id", "emb", F.lit(band).alias("band"), sig.alias("bucket")
+            )
+        )
+    all_bands = bands[0].unionByName(bands[1])
+    a, b = all_bands.alias("a"), all_bands.alias("b")
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
+    dot = F.aggregate(
+        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                dot / (norm(F.col("a.emb")) * norm(F.col("b.emb"))), 4
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.45)
+        .distinct()
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Spark-only operators (no SQL oracle → driver rows-only check)
 # ---------------------------------------------------------------------------
@@ -693,6 +797,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_exact_dedup": d_exact_dedup,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_label_centroid_norm": sim_label_centroid_norm,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "sim_ann_lsh_pairs": sim_ann_lsh_pairs,
     "minhash_near_dup": minhash_near_dup,
     "simhash_fingerprint": simhash_fingerprint,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -720,6 +826,8 @@ ORACLES: dict[str, str] = {
     "d_exact_dedup": D_EXACT_SQL,
     "sim_cosine_topk": SIM_TOPK_SQL,
     "sim_label_centroid_norm": SIM_CENTROID_SQL,
+    "dedup_embedding_cosine": DEDUP_EMB_SQL,
+    # sim_ann_lsh_pairs: bucket layout engine-specific → rows-only
     # minhash_near_dup / simhash_fingerprint / ngram_jaccard_pairs:
     # hash-family-specific → rows-only check by design
 }
