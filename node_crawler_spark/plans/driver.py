@@ -185,8 +185,15 @@ def run_crawl(
 
     rounds_run = start_round - 1
     prev_inserts = max_seq  # round-size hint for the O1 rank strategy
+    kill_marker = os.path.join(store_root, "KILL")
     for r in range(start_round, cfg.max_rounds + 1):
         tm = _Timer(f"round {r}")
+        if os.path.exists(kill_marker):
+            # F7 kill switch (crawler.js:626-632): drop queued work,
+            # leave committed state intact. Unlike the reference, the
+            # checkpointed crawl CAN resume later (north_rule) once the
+            # marker is removed.
+            break
         if frontier.isEmpty():
             break
         # seen probes run against the in-memory checkpointed state (one

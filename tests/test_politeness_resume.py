@@ -84,6 +84,27 @@ def test_politeness_budget_respected(spark, tmp_path):
     assert seqs == sorted(seqs)
 
 
+def test_kill_switch_then_resume(spark, tmp_path):
+    """F7 analog: a KILL marker halts the loop at the next round
+    boundary; removing it and resuming completes bit-identically."""
+    import os
+
+    s = scenario("chain4")
+    pages, http = s.dfs(spark)
+    root = str(tmp_path / "killed")
+
+    os.makedirs(root, exist_ok=True)
+    open(os.path.join(root, "KILL"), "w").close()
+    res = run_crawl(spark, s.cfg, pages, http, s.seeds, root)
+    assert res.rounds == 0, "killed before round 1"
+    assert SnapshotStore(root).last_committed_round() == 0
+
+    os.remove(os.path.join(root, "KILL"))
+    resumed = run_crawl(spark, s.cfg, pages, http, s.seeds, root, resume=True)
+    full = run_crawl(spark, s.cfg, pages, http, s.seeds, str(tmp_path / "full2"))
+    assert _tables(spark, resumed) == _tables(spark, full)
+
+
 def test_politeness_skew_two_phase(spark, tmp_path):
     """Hot-domain shape: one domain with many urls + budget — the
     salted two-phase top-k must pick exactly the lowest seqs."""
