@@ -29,6 +29,7 @@ class CrawlConfig:
     retries: int = 0                      # crawler.js:44
     workers: int = 1                      # crawler.js:23; goldens pin 1
     auth: bool = False                    # crawler.js:38 (modeled in http_meta)
+    use_cookies: bool = True              # crawler.js:31-36 (jar:false disables)
     # --- engine extensions (north_star) ---
     max_rounds: int = 1000
     max_redirects: int = 9                # crawler.js:283

@@ -69,7 +69,7 @@ FETCHED_COLUMNS = [
 
 
 def _meta_columns(http_meta: DataFrame):
-    return [
+    cols = [
         F.col("status_code").alias("m_status"),
         F.col("location").alias("m_location"),
         F.col("content_type").alias("m_content_type"),
@@ -78,6 +78,14 @@ def _meta_columns(http_meta: DataFrame):
         F.col("error_code").alias("m_error_code"),
         F.col("requires_auth").alias("m_requires_auth"),
     ]
+    # optional cookie columns (cookieSpec.js model; absent ⇒ null)
+    for opt in ("set_cookie", "requires_cookie"):
+        if opt in http_meta.columns:
+            cols.append(F.col(opt).alias(f"m_{opt}"))
+        else:
+            typ = "string" if opt == "set_cookie" else "boolean"
+            cols.append(F.lit(None).cast(typ).alias(f"m_{opt}"))
+    return cols
 
 
 def prepare_http_meta(http_meta: DataFrame):
@@ -166,6 +174,11 @@ def run_fetch(
             "gzipped": F.lit(False),
             "redirects": F.array().cast("array<string>"),
             "events": empty_events,
+            # cookie jar, modeled chain-locally: domains that set a
+            # cookie during this page's redirect chain (crawler.js:31-36,
+            # :272-278 — cookies are saved on 30x hops and replayed on
+            # later hops via the request's cookie header)
+            "jar": F.array().cast("array<string>"),
         }
     )
 
@@ -193,6 +206,23 @@ def run_fetch(
             & (F.col("m_status") == 401)
         )
         j = j.withColumn("eff_status", F.when(auth_ok, F.lit(200)).otherwise(F.col("m_status")))
+
+        # cookie gate: a requires_cookie row answers 403 unless a hop of
+        # this chain already stored a cookie for the url's domain
+        # (tests/func/cookieSpec.js:44-67 behavior; jar:false disables)
+        cookie_missing = (
+            F.col("m_requires_cookie").eqNullSafe(True)
+            & (
+                F.lit(not cfg.use_cookies)
+                | ~F.array_contains(
+                    F.col("jar"),
+                    F.lower(F.coalesce(F.parse_url("cur_url", F.lit("HOST")), F.lit(""))),
+                )
+            )
+        )
+        j = j.withColumn(
+            "eff_status", F.when(cookie_missing, F.lit(403)).otherwise(F.col("eff_status"))
+        )
 
         is_redirect = (
             F.col("eff_status").isNotNull()
@@ -290,15 +320,27 @@ def run_fetch(
             (F.col("attempt") + 1).alias("attempt"),
             F.lit(0).alias("hops"),
             "type", "content_type_raw", "gzipped", "redirects", "events",
+            "jar",
         )
 
         # ---- redirect hops: resolve Location against the hop url ------
+        # cookies are saved only on 30x responses (crawler.js:272-278)
+        hop_jar = F.when(
+            F.col("m_set_cookie").isNotNull() & F.lit(cfg.use_cookies),
+            F.array_union(
+                F.col("jar"),
+                F.array(
+                    F.lower(F.coalesce(F.parse_url("cur_url", F.lit("HOST")), F.lit("")))
+                ),
+            ),
+        ).otherwise(F.col("jar"))
         hopping = hop.select(
             "url", "seq", "referrer", "is_external", "crawl_links", "page_url",
             resolve_url(F.col("cur_url"), F.col("m_location")).alias("cur_url"),
             "params_url", "params_external", "attempt",
             (F.col("hops") + 1).alias("hops"),
             "type", "content_type_raw", "gzipped", "redirects", "events",
+            hop_jar.alias("jar"),
         )
 
         # unions + broadcast joins ADD partition counts; without this

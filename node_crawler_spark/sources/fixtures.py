@@ -28,7 +28,8 @@ PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang st
 HTTP_SCHEMA = (
     "url string, attempt int, status_code int, location string, "
     "content_type string, content_encoding string, content_length string, "
-    "error_code string, requires_auth boolean"
+    "error_code string, requires_auth boolean, set_cookie string, "
+    "requires_cookie boolean"
 )
 
 _TS = datetime.datetime(2025, 1, 1)
@@ -53,6 +54,8 @@ class Scenario:
         content_length: str | None = None,
         error_code: str | None = None,
         requires_auth: bool = False,
+        set_cookie: str | None = None,
+        requires_cookie: bool = False,
         attempt: int = 0,
         warc_ts: datetime.datetime = _TS,
         store_body: bool = True,
@@ -62,7 +65,8 @@ class Scenario:
             self.pages.append((url, warc_ts, body, None, "en"))
         self.http.append(
             (url, attempt, status, location, content_type, content_encoding,
-             content_length, error_code, requires_auth)
+             content_length, error_code, requires_auth, set_cookie,
+             requires_cookie)
         )
         return self
 
@@ -242,6 +246,22 @@ def scenario(name: str) -> Scenario:  # noqa: C901 - a catalog is a catalog
         s.page(f"{BASE}/c", _links("/"))
         s.page(f"{BASE}/d", _links())
 
+    elif name == "cookie_redirect":
+        # tests/func/cookieSpec.js:44-67 — a 30x hop sets a cookie; the
+        # landing requires it. With jar enabled the chain succeeds.
+        s.page(f"{BASE}/", _links("/login"))
+        s.page(f"{BASE}/login", status=302, location="/account",
+               content_type=None, store_body=False, set_cookie="sid=abc")
+        s.page(f"{BASE}/account", _links(), requires_cookie=True)
+
+    elif name == "cookie_jar_disabled":
+        # jar:false — the cookie is never stored ⇒ landing 403s
+        s.cfg = CrawlConfig(use_cookies=False)
+        s.page(f"{BASE}/", _links("/login"))
+        s.page(f"{BASE}/login", status=302, location="/account",
+               content_type=None, store_body=False, set_cookie="sid=abc")
+        s.page(f"{BASE}/account", _links(), requires_cookie=True)
+
     elif name == "seed_fragment":
         # queueSpec/pageInit — seed keeps fragment in seen key, fetch
         # strips it (P2 asymmetry)
@@ -261,6 +281,7 @@ ALL_SCENARIOS = [
     "retry_then_ok", "retry_exhausted", "http_4xx", "transport_error",
     "hpe_external_forgiven", "auth_401", "malformed_html",
     "dup_links_one_page", "seed_fragment", "robots_block", "chain4",
+    "cookie_redirect", "cookie_jar_disabled",
 ]
 
 
@@ -340,6 +361,8 @@ def synthetic_webgraph(
         F.lit(None).cast("string").alias("content_length"),
         F.lit(None).cast("string").alias("error_code"),
         F.lit(False).alias("requires_auth"),
+        F.lit(None).cast("string").alias("set_cookie"),
+        F.lit(False).alias("requires_cookie"),
     )
     seeds = [g.where(F.col("id") == 0).select("url").first()[0]]
     return pages, http, seeds

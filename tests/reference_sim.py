@@ -76,9 +76,14 @@ def simulate(cfg, seeds, pages_rows, http_rows) -> SimResult:
 
     meta: dict[tuple[str, int], dict] = {}
     last_attempt: dict[str, dict] = {}
-    for (url, attempt, status, location, ct, ce, cl, err, req_auth) in http_rows:
+    for row_t in http_rows:
+        (url, attempt, status, location, ct, ce, cl, err, req_auth,
+         *cookie_cols) = row_t
+        set_cookie = cookie_cols[0] if cookie_cols else None
+        req_cookie = bool(cookie_cols[1]) if len(cookie_cols) > 1 else False
         row = dict(status=status, location=location, ct=ct, ce=ce, cl=cl,
-                   err=err, req_auth=bool(req_auth))
+                   err=err, req_auth=bool(req_auth), set_cookie=set_cookie,
+                   req_cookie=req_cookie)
         meta[(url, attempt)] = row
         if url not in last_attempt or attempt >= last_attempt[url]["_a"]:
             last_attempt[url] = {**row, "_a": attempt}
@@ -140,6 +145,7 @@ def simulate(cfg, seeds, pages_rows, http_rows) -> SimResult:
         dropped = False
         outcome = None  # (ok, status, err, ct_raw, ce, params_url)
 
+        jar: set[str] = set()  # chain-local cookie domains (crawler.js:272-278)
         for attempt in range(cfg.retries + 1):
             params_url = page.url
             params_external = page.is_external  # frozen per attempt
@@ -156,11 +162,17 @@ def simulate(cfg, seeds, pages_rows, http_rows) -> SimResult:
                 if (row["req_auth"] and cfg.auth and not params_external
                         and status == 401):
                     status = 200  # crawler.js:301-312
+                if row.get("req_cookie"):
+                    dom = node_parse(cur)["hostname"]
+                    if not cfg.use_cookies or dom not in jar:
+                        status = 403  # cookie gate (cookieSpec.js model)
                 if (status is not None and str(status).startswith("30")
                         and row["location"]):
                     if hops > cfg.max_redirects:
                         err = "MAX_REDIRECTS_REACHED"
                         break
+                    if row.get("set_cookie") and cfg.use_cookies:
+                        jar.add(node_parse(cur)["hostname"])
                     hops += 1
                     cur = node_resolve(cur, row["location"])
                     continue
