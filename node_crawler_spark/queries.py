@@ -651,6 +651,72 @@ def sim_ann_lsh_pairs(spark, sf_dir):
     )
 
 
+def sim_ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: per-label mean vectors act as the coarse
+    quantizer (the labels are the training clusters), every vector is
+    assigned to its nearest centroid, and the query probes the
+    nprobe=2 nearest cells with exact cosine rerank inside them.
+    Centroids broadcast (K tiny); the big table is touched once for
+    assignment and once per probe — never n². Spark-only (recall is
+    index-specific; the exact baseline is sim_cosine_topk)."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("emb"))
+    dim = 64
+    sums = v.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.col("emb").getItem(i)).alias(f"s{i}") for i in range(dim)],
+    )
+    cents = sums.select(
+        F.col("label").alias("cell"),
+        F.array(*[(F.col(f"s{i}") / F.col("n")) for i in range(dim)]).alias("cent"),
+    )
+
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(dot(c, c))
+
+    # assignment: argmax cosine(vec, centroid) over the broadcast cells
+    assigned = (
+        v.crossJoin(F.broadcast(cents))
+        .withColumn("sim", dot(F.col("emb"), F.col("cent")) / (norm(F.col("emb")) * norm(F.col("cent"))))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("vec_id", "emb", "cell")
+    )
+
+    # query vec 0 probes its 2 best cells
+    probe_cells = (
+        v.where(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("sim", dot(F.col("emb"), F.col("cent")) / (norm(F.col("emb")) * norm(F.col("cent"))))
+        .orderBy(F.col("sim").desc(), F.col("cell"))
+        .limit(2)
+        .select(F.col("cell"))
+    )
+    q = v.where(F.col("vec_id") == 0).select(F.col("emb").alias("q_emb"))
+    candidates = assigned.join(F.broadcast(probe_cells), "cell", "left_semi")
+    return (
+        candidates.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                dot(F.col("emb"), F.col("q_emb"))
+                / (norm(F.col("emb")) * norm(F.col("q_emb"))),
+                4,
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Spark-only operators (no SQL oracle → driver rows-only check)
 # ---------------------------------------------------------------------------
@@ -799,6 +865,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_label_centroid_norm": sim_label_centroid_norm,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "sim_ann_lsh_pairs": sim_ann_lsh_pairs,
+    "sim_ann_ivf_topk": sim_ann_ivf_topk,
     "minhash_near_dup": minhash_near_dup,
     "simhash_fingerprint": simhash_fingerprint,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
