@@ -147,7 +147,7 @@ def main() -> None:
                     help="also run the crawl at local[8] vs local[32]")
     ap.add_argument("--urls", type=int, default=CRAWL_URLS)
     ap.add_argument("--scale-urls", type=int,
-                    default=int(os.environ.get("SPARK_GRAFT_SCALE_URLS", "200000")))
+                    default=int(os.environ.get("SPARK_GRAFT_SCALE_URLS", "1600000")))
     ap.add_argument("--skip-queries", action="store_true")
     ap.add_argument("--skip-crawl", action="store_true")
     ap.add_argument("--steady-run", type=int, metavar="CORES", default=0,

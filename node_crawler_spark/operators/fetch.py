@@ -186,15 +186,11 @@ def run_fetch(
     max_iters = (cfg.retries + 1) * (cfg.max_redirects + 2)
 
     for it in range(max_iters):
-        # localCheckpoint truncates lineage each iteration: the redirect/
-        # retry loop otherwise compounds the expression tree ~11× deep
-        # (driver-side Catalyst analysis blows up long before the data
-        # does), and each iteration's residue is re-read by the next
-        # join, the isEmpty probe, and the finished-part consumers — one
-        # materialization beats re-running the frontier join per reader.
-        # On a real cluster this would be a reliable checkpoint or an
-        # intermediate table write; semantics identical.
-        j = _join_meta(pending, http_exact, http_last).localCheckpoint()
+        # columnar-cache the join output (one compute serves both the
+        # finished split and the residue filter); lineage stays shallow
+        # because `pending` below is checkpointed every iteration, so no
+        # row-RDD localCheckpoint (2× heavier write) is needed here
+        j = _join_meta(pending, http_exact, http_last).persist()
         if persisted is not None:
             persisted.append(j)
 
@@ -343,11 +339,25 @@ def run_fetch(
             hop_jar.alias("jar"),
         )
 
-        # unions + broadcast joins ADD partition counts; without this
-        # coalesce the loop compounds partitions exponentially (the
-        # 11-hop worst case schedules thousands of empty tasks)
+        # Checkpoint the RESIDUE, not the full join: the pending rows
+        # (redirect hops + retries, a tiny fraction) are re-read by the
+        # next iteration's join and the emptiness probe, so they get an
+        # eager localCheckpoint — which also truncates lineage each
+        # iteration (the loop otherwise compounds the expression tree
+        # ~11× deep and the unions/broadcast joins compound partition
+        # counts exponentially; the coalesce bounds that too). The big
+        # finished branch is consumed exactly once downstream (the
+        # driver persists the expanded round), so materializing the
+        # whole join here would write the round to the block store a
+        # second time for nothing — that single change is worth ~20 s
+        # per 400k-row round. On a real cluster the residue checkpoint
+        # would be a reliable checkpoint or a small intermediate table.
         base_parts = scheduled.sparkSession.sparkContext.defaultParallelism
-        pending = retrying.unionByName(hopping).coalesce(base_parts)
+        pending = (
+            retrying.unionByName(hopping).coalesce(base_parts).localCheckpoint()
+        )
+        if persisted is not None:
+            persisted.append(pending)
         if pending.isEmpty():
             break
 
