@@ -32,6 +32,10 @@ class CrawlConfig:
     use_cookies: bool = True              # crawler.js:31-36 (jar:false disables)
     # --- engine extensions (north_star) ---
     max_rounds: int = 1000
+    # O4 — scheduling priority within a domain budget: "fifo" replays
+    # the reference's queue order; "dfs" prefers deeper urls first
+    # (north_star's depth-first-within-domain option)
+    priority: str = "fifo"
     max_redirects: int = 9                # crawler.js:283
     politeness: tuple[PolitenessRule, ...] = ()
     default_domain_budget: int = 0        # 0 = unlimited

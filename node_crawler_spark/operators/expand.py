@@ -177,6 +177,7 @@ def link_candidates(expanded: DataFrame, cfg: CrawlConfig) -> DataFrame:
             F.col("seq").alias("parent_seq"),
             F.col("url").alias("parent_ctor_url"),
             F.col("page_url").alias("parent_page_url"),
+            (F.col("depth") + 1).alias("depth"),
             F.posexplode("links").alias("pos", "resolved"),
         )
     )
@@ -228,6 +229,7 @@ def link_candidates(expanded: DataFrame, cfg: CrawlConfig) -> DataFrame:
         F.col("parent_page_url").alias("referrer"),
         "is_external",
         (~F.col("is_external")).alias("crawl_links"),
+        "depth",
     )
 
 
@@ -245,6 +247,7 @@ def landing_candidates(fetched: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("referrer"),
         F.lit(None).cast("boolean").alias("is_external"),
         F.lit(None).cast("boolean").alias("crawl_links"),
+        F.lit(None).cast("int").alias("depth"),
     )
 
 

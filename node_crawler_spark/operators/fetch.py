@@ -61,7 +61,7 @@ REDIRECT_EVENT_TYPE = T.StructType(
 )
 
 FETCHED_COLUMNS = [
-    "url", "seq", "referrer", "is_external", "crawl_links",
+    "url", "seq", "referrer", "is_external", "crawl_links", "depth",
     "page_url", "params_url", "params_external", "attempt", "type",
     "content_type_raw", "gzipped", "status_code", "error_code",
     "redirects", "events", "ok",
@@ -156,7 +156,7 @@ def run_fetch(
     empty_events = F.expr(f"cast(array() as {events_ddl})")
 
     pending = scheduled.select(
-        "url", "seq", "referrer", "is_external", "crawl_links",
+        "url", "seq", "referrer", "is_external", "crawl_links", "depth",
         # Page ctor strips the fragment (crawler.js:66); urlData keeps it.
         F.regexp_replace("url", "#.*", "").alias("page_url"),
     ).withColumns(
@@ -298,7 +298,7 @@ def run_fetch(
 
         ok = F.col("a_error").isNull() & (F.col("a_status") == 200)
         finished = t.where(ok | (F.col("attempt") >= cfg.retries)).select(
-            "url", "seq", "referrer", "is_external", "crawl_links",
+            "url", "seq", "referrer", "is_external", "crawl_links", "depth",
             "page_url", "params_url", "params_external", "attempt", "type",
             "content_type_raw", "gzipped",
             F.col("a_status").cast("int").alias("status_code"),
@@ -309,7 +309,7 @@ def run_fetch(
         done_parts.append(finished)
 
         retrying = t.where(~ok & (F.col("attempt") < cfg.retries)).select(
-            "url", "seq", "referrer", "is_external", "crawl_links", "page_url",
+            "url", "seq", "referrer", "is_external", "crawl_links", "depth", "page_url",
             F.col("page_url").alias("cur_url"),
             F.col("page_url").alias("params_url"),
             F.col("is_external").alias("params_external"),
@@ -331,7 +331,7 @@ def run_fetch(
             ),
         ).otherwise(F.col("jar"))
         hopping = hop.select(
-            "url", "seq", "referrer", "is_external", "crawl_links", "page_url",
+            "url", "seq", "referrer", "is_external", "crawl_links", "depth", "page_url",
             resolve_url(F.col("cur_url"), F.col("m_location")).alias("cur_url"),
             "params_url", "params_external", "attempt",
             (F.col("hops") + 1).alias("hops"),

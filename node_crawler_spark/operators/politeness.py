@@ -65,15 +65,22 @@ def apply_domain_budget(
     unbudgeted = f.where(F.col("_budget").isNull())
     budgeted = f.where(F.col("_budget").isNotNull())
 
+    # O4 pluggable priority: "fifo" = reference queue order (seq);
+    # "dfs" = depth-first-within-domain (deeper first, seq tiebreak)
+    if cfg.priority == "dfs":
+        order = [F.col("depth").desc_nulls_last(), F.col("seq")]
+    else:
+        order = [F.col("seq")]
+
     # phase 1 — salted pre-rank (skew-proof)
     b = budgeted.withColumn("_salt", F.pmod(F.col("seq"), F.lit(salt_shards)))
-    w1 = Window.partitionBy("_domain", "_salt").orderBy("seq")
+    w1 = Window.partitionBy("_domain", "_salt").orderBy(*order)
     b = b.withColumn("_r1", F.row_number().over(w1))
     survivors = b.where(F.col("_r1") <= F.col("_budget"))
     overflow1 = b.where(F.col("_r1") > F.col("_budget"))
 
-    # phase 2 — exact FIFO rank over the bounded survivor set
-    w2 = Window.partitionBy("_domain").orderBy("seq")
+    # phase 2 — exact priority rank over the bounded survivor set
+    w2 = Window.partitionBy("_domain").orderBy(*order)
     s = survivors.withColumn("_r2", F.row_number().over(w2))
     scheduled = s.where(F.col("_r2") <= F.col("_budget"))
     overflow2 = s.where(F.col("_r2") > F.col("_budget"))

@@ -58,7 +58,8 @@ from node_crawler_spark.operators.politeness import apply_domain_budget
 from node_crawler_spark.sources.store import SnapshotStore
 
 FRONTIER_SCHEMA = (
-    "url string, seq long, referrer string, is_external boolean, crawl_links boolean"
+    "url string, seq long, referrer string, is_external boolean, "
+    "crawl_links boolean, depth int"
 )
 
 
@@ -133,6 +134,7 @@ def build_seed_frontier(spark: SparkSession, seeds, cfg: CrawlConfig) -> DataFra
         .select(
             "url", "seq", "referrer", "is_external",
             (~F.col("is_external")).alias("crawl_links"),
+            F.lit(0).alias("depth"),
         )
     )
     return df
@@ -167,6 +169,8 @@ def run_crawl(
     else:
         if initial_frontier is not None:
             frontier = initial_frontier
+            if "depth" not in frontier.columns:
+                frontier = frontier.withColumn("depth", F.lit(0))
         else:
             frontier = build_seed_frontier(spark, seeds, cfg)
         seen_delta = frontier.select(
@@ -278,7 +282,7 @@ def run_crawl(
         new_frontier = inserts.where(F.col("kind") == 1).select(
             F.col("ins_url").alias("url"),
             F.col("_new_seq").alias("seq"),
-            "referrer", "is_external", "crawl_links",
+            "referrer", "is_external", "crawl_links", "depth",
         )
         seen_delta = inserts.select(
             F.col("ins_url").alias("url"),

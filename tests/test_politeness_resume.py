@@ -84,6 +84,33 @@ def test_politeness_budget_respected(spark, tmp_path):
     assert seqs == sorted(seqs)
 
 
+def test_priority_dfs_prefers_depth(spark, tmp_path):
+    """O4: with priority='dfs' and a budget of 1, the scheduler picks
+    the deepest queued url first (seq breaks ties), unlike FIFO."""
+    from node_crawler_spark.operators.politeness import apply_domain_budget
+
+    rows = [
+        ("http://d.test/shallow", 1, None, False, True, 0),
+        ("http://d.test/mid", 2, None, False, True, 2),
+        ("http://d.test/deep", 3, None, False, True, 5),
+    ]
+    frontier = spark.createDataFrame(
+        rows,
+        "url string, seq long, referrer string, is_external boolean, "
+        "crawl_links boolean, depth int",
+    )
+    cfg_fifo = CrawlConfig(politeness=(PolitenessRule("d.test", budget=1),))
+    sched, _ = apply_domain_budget(frontier, cfg_fifo)
+    assert [r.url for r in sched.collect()] == ["http://d.test/shallow"]
+
+    cfg_dfs = CrawlConfig(
+        politeness=(PolitenessRule("d.test", budget=1),), priority="dfs"
+    )
+    sched, deferred = apply_domain_budget(frontier, cfg_dfs)
+    assert [r.url for r in sched.collect()] == ["http://d.test/deep"]
+    assert deferred.count() == 2
+
+
 def test_kill_switch_then_resume(spark, tmp_path):
     """F7 analog: a KILL marker halts the loop at the next round
     boundary; removing it and resuming completes bit-identically."""
