@@ -262,6 +262,15 @@ def scenario(name: str) -> Scenario:  # noqa: C901 - a catalog is a catalog
                content_type=None, store_body=False, set_cookie="sid=abc")
         s.page(f"{BASE}/account", _links(), requires_cookie=True)
 
+    elif name == "dup_snapshots":
+        # two warc_ts snapshots of one url ⇒ the engine must serve the
+        # latest (SURVEY §2.8 date handling; input_hint warc_ts)
+        old_ts = datetime.datetime(2024, 6, 1)
+        s.pages.append((f"{BASE}/", old_ts, _links("/stale").encode(), None, "en"))
+        s.page(f"{BASE}/", _links("/fresh"))  # default _TS = 2025-01-01
+        s.page(f"{BASE}/fresh", _links())
+        s.page(f"{BASE}/stale", _links())  # reachable only via stale body
+
     elif name == "seed_fragment":
         # queueSpec/pageInit — seed keeps fragment in seen key, fetch
         # strips it (P2 asymmetry)
@@ -281,7 +290,7 @@ ALL_SCENARIOS = [
     "retry_then_ok", "retry_exhausted", "http_4xx", "transport_error",
     "hpe_external_forgiven", "auth_401", "malformed_html",
     "dup_links_one_page", "seed_fragment", "robots_block", "chain4",
-    "cookie_redirect", "cookie_jar_disabled",
+    "cookie_redirect", "cookie_jar_disabled", "dup_snapshots",
 ]
 
 
