@@ -1,9 +1,9 @@
 """Driver-contract query registry (SURVEY.md §2 → /root/testdata).
 
-Each entry pairs a PySpark DataFrame builder with (where expressible)
-an ANSI-SQL oracle that DuckDB runs on the same parquet — the driver's
-CORRECTNESS gate. The crawl-shaped tables (pages/http_meta) don't
-exist in /root/testdata, so the crawl operators appear here as their
+Each entry pairs a PySpark DataFrame builder with an ANSI-SQL oracle
+that DuckDB runs on the same parquet — the driver's CORRECTNESS gate.
+The crawl-shaped tables (pages/http_meta) don't exist in
+/root/testdata, so the crawl operators appear here as their
 *relational shapes* on the TPC-H-ish tables (filter / anti-join /
 window-rank / first-wins dedup / budget-top-k / latest-snapshot …),
 each docstring citing the SURVEY §2 row it stands for; their crawl
@@ -14,9 +14,20 @@ The webtext / training-data operators (exact + MinHash/SimHash dedup,
 token counting, quality scoring, language id, fingerprinting, cosine
 similarity search) run on the ``documents`` / ``embeddings`` tables.
 
-Conventions: every computed column aliased identically on both sides;
-money sums go through decimal(18,2) so Spark and DuckDB agree exactly;
-float similarity scores round to 4 decimals.
+Cross-engine determinism rules (every query here follows them):
+  * a total ORDER BY on every result (the driver's value hash is
+    row-order-sensitive);
+  * every computed column aliased identically on both sides;
+  * money aggregates pinned to decimal(18,2) *after* aggregation;
+  * decimal factors cast BEFORE multiplying (double-product rounding
+    diverges between engines);
+  * hash families built from md5 hex (portable: Spark ``conv(hex)``
+    == DuckDB ``CAST('0x…' AS BIGINT)``) — so MinHash/SimHash/LSH
+    bucket layouts are bit-identical across engines and fully
+    oracle-checkable, not rows-only;
+  * floating-point folds written in the same association order on
+    both sides (Spark ``aggregate`` left fold == SQL left-assoc
+    ``a*b + c*d + …``), making even pre-rounding doubles identical.
 """
 
 from __future__ import annotations
@@ -32,6 +43,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Portable 60-bit hash (identical in Spark and DuckDB)
+# ---------------------------------------------------------------------------
+
+def _phash(col, salt: str):
+    """60-bit integer hash from md5 hex — engine-portable.
+    Spark: conv(substr(md5(s),1,15),16,10); DuckDB: '0x'||substr ⇒ BIGINT."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def _phash_sql(expr: str, salt: str) -> str:
+    return f"CAST('0x' || substr(md5('{salt}:' || ({expr})), 1, 15) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
 # Aggregations / joins (A3, J1, O1 analogs) — TPC-H classics
 # ---------------------------------------------------------------------------
 
@@ -44,40 +71,45 @@ def q1_pricing_summary(spark, sf_dir):
         l.where(F.col("l_shipdate") <= F.lit("2002-09-01"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
+        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2002-09-01 00:00:00'
 GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
 """
 
 
 def q3_top_orders(spark, sf_dir):
     """J1 fetch-join analog: 3-way join + ranked top-k with a total
-    tiebreak (TPC-H Q3 shape). Catalyst broadcasts the dimension side."""
+    tiebreak (TPC-H Q3 shape). Catalyst broadcasts the dimension side.
+
+    Exact decimal arithmetic throughout: each factor is cast to
+    decimal BEFORE multiplying (double→decimal cast of the *product*
+    hits HALF_UP-vs-binary rounding divergence between engines), and
+    the aggregate is pinned to decimal(18,2) on both sides."""
     c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
-    # exact decimal arithmetic (double→decimal cast of the *product*
-    # would hit HALF_UP-vs-HALF_EVEN divergence between engines)
     rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
-        F.lit(1.0) - F.col("l_discount")
-    ).cast("decimal(5,2)")
+        F.lit(1).cast("decimal(12,4)") - F.col("l_discount").cast("decimal(12,4)")
+    )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(rev).alias("revenue"))
+        .agg(F.round(F.sum(rev), 2).cast("decimal(18,2)").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
@@ -85,7 +117,9 @@ def q3_top_orders(spark, sf_dir):
 
 Q3_SQL = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(5,2))) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))), 2)
+            AS DECIMAL(18,2)) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
@@ -112,17 +146,19 @@ def f_filter_gates(spark, sf_dir):
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_value"),
         )
+        .orderBy("event_type")
     )
 
 
 F_FILTER_SQL = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
 FROM events
 WHERE event_type NOT IN ('error','timeout') AND value > 5.0 AND user_id % 7 <> 0
 GROUP BY event_type
+ORDER BY event_type
 """
 
 
@@ -134,6 +170,7 @@ def f_exclude_rlike(spark, sf_dir):
         d.where(~F.col("text").rlike("(?i)hash\\s+join"))
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("kept"), F.min("doc_id").alias("first_doc"))
+        .orderBy("lang")
     )
 
 
@@ -142,6 +179,7 @@ SELECT lang, COUNT(*) AS kept, MIN(doc_id) AS first_doc
 FROM documents
 WHERE NOT regexp_matches(text, 'hash\\s+join', 'i')
 GROUP BY lang
+ORDER BY lang
 """
 
 
@@ -159,6 +197,7 @@ def p_mime_normalize(spark, sf_dir):
         )
         .groupBy("mime")
         .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("mime")
     )
 
 
@@ -167,6 +206,7 @@ SELECT TRIM(REGEXP_REPLACE(source || '; charset=utf-8', ';.*', '')) AS mime,
        COUNT(*) AS n
 FROM documents
 GROUP BY 1
+ORDER BY mime
 """
 
 
@@ -181,7 +221,7 @@ def p_fragment_strip(spark, sf_dir):
                      F.col("doc_id").cast("string")),
             "#.*", "",
         ).alias("fetch_url"),
-    )
+    ).orderBy("doc_id")
 
 
 P_FRAG_SQL = """
@@ -189,6 +229,7 @@ SELECT doc_id,
        REGEXP_REPLACE('http://corpus.test/' || source || '#sec' || CAST(doc_id AS VARCHAR),
                       '#.*', '') AS fetch_url
 FROM documents
+ORDER BY doc_id
 """
 
 
@@ -203,12 +244,14 @@ def s_status_prefix(spark, sf_dir):
         )
         .groupBy("is_redirectish")
         .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("is_redirectish")
     )
 
 
 S_STATUS_SQL = """
 SELECT CAST(o_orderkey AS VARCHAR) LIKE '30%' AS is_redirectish, COUNT(*) AS n
 FROM orders GROUP BY 1
+ORDER BY is_redirectish
 """
 
 
@@ -225,6 +268,7 @@ def j_anti_join_seen(spark, sf_dir):
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("never_seen"))
+        .orderBy("c_mktsegment")
     )
 
 
@@ -232,6 +276,7 @@ J_ANTI_SQL = """
 SELECT c_mktsegment, COUNT(*) AS never_seen
 FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
 GROUP BY c_mktsegment
+ORDER BY c_mktsegment
 """
 
 
@@ -241,8 +286,10 @@ def j_left_outer_fetch(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
     joined = o.join(l, o.o_orderkey == l.l_orderkey, "left")
-    return joined.groupBy(F.col("l_orderkey").isNull().alias("is_miss")).agg(
-        F.countDistinct("o_orderkey").alias("orders_n")
+    return (
+        joined.groupBy(F.col("l_orderkey").isNull().alias("is_miss"))
+        .agg(F.countDistinct("o_orderkey").alias("orders_n"))
+        .orderBy("is_miss")
     )
 
 
@@ -250,6 +297,7 @@ J_LEFT_SQL = """
 SELECT l.l_orderkey IS NULL AS is_miss, COUNT(DISTINCT o.o_orderkey) AS orders_n
 FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY 1
+ORDER BY is_miss
 """
 
 
@@ -262,6 +310,7 @@ def d_first_wins(spark, sf_dir):
         l.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .orderBy("l_orderkey")
     )
 
 
@@ -271,6 +320,7 @@ SELECT l_orderkey, l_linenumber, l_shipdate FROM (
          ROW_NUMBER() OVER (PARTITION BY l_orderkey
                             ORDER BY l_shipdate, l_linenumber) AS rn
   FROM lineitem) WHERE rn = 1
+ORDER BY l_orderkey
 """
 
 
@@ -311,19 +361,21 @@ def o_domain_budget(spark, sf_dir):
         .groupBy("l_suppkey")
         .agg(
             F.count(F.lit(1)).alias("scheduled"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sched_qty"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sched_qty"),
         )
+        .orderBy("l_suppkey")
     )
 
 
 O_BUDGET_SQL = """
 SELECT l_suppkey, COUNT(*) AS scheduled,
-       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sched_qty
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sched_qty
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY l_suppkey
             ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rk
   FROM lineitem) WHERE rk <= 3
 GROUP BY l_suppkey
+ORDER BY l_suppkey
 """
 
 
@@ -332,14 +384,17 @@ def o_global_seq(spark, sf_dir):
     (engine ranks (round, parent_seq, pos); here (regionkey, name))."""
     n = _t(spark, sf_dir, "nation")
     w = Window.orderBy("n_regionkey", "n_name")
-    return n.withColumn("seq", F.row_number().over(w)).select(
-        "seq", "n_name", "n_regionkey"
+    return (
+        n.withColumn("seq", F.row_number().over(w))
+        .select("seq", "n_name", "n_regionkey")
+        .orderBy("seq")
     )
 
 
 O_SEQ_SQL = """
 SELECT ROW_NUMBER() OVER (ORDER BY n_regionkey, n_name) AS seq, n_name, n_regionkey
 FROM nation
+ORDER BY seq
 """
 
 
@@ -354,6 +409,7 @@ def a_latest_snapshot(spark, sf_dir):
         e.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("user_id", "event_id", "event_type")
+        .orderBy("user_id")
     )
 
 
@@ -362,6 +418,7 @@ SELECT user_id, event_id, event_type FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
             ORDER BY ts DESC, event_id DESC) AS rn
   FROM events) WHERE rn = 1
+ORDER BY user_id
 """
 
 
@@ -376,13 +433,14 @@ def t_token_stats(spark, sf_dir):
         "doc_id",
         F.size(F.split(F.trim("text"), "\\s+")).alias("n_tokens"),
         F.length("text").alias("len_chars"),
-    )
+    ).orderBy("doc_id")
 
 
 T_TOKENS_SQL = """
 SELECT doc_id, LEN(string_split_regex(TRIM(text), '\\s+')) AS n_tokens,
        LENGTH(text) AS len_chars
 FROM documents
+ORDER BY doc_id
 """
 
 
@@ -402,7 +460,7 @@ def t_quality_score(spark, sf_dir):
         stop.alias("n_stopwords"),
         punct.alias("n_punct"),
         F.round(stop.cast("double") / tokens, 4).alias("stopword_ratio"),
-    )
+    ).orderBy("doc_id")
 
 
 T_QUALITY_SQL = """
@@ -413,6 +471,7 @@ SELECT doc_id,
        ROUND(CAST(LEN(regexp_extract_all(' ' || text || ' ', ' (the|a|and|of|to|in) ')) AS DOUBLE)
              / LEN(string_split_regex(TRIM(text), '\\s+')), 4) AS stopword_ratio
 FROM documents
+ORDER BY doc_id
 """
 
 
@@ -427,7 +486,7 @@ def t_lang_id(spark, sf_dir):
     pred = F.when(stop.cast("double") / tokens > 0.02, F.lit("en")).otherwise(
         F.lit("unk")
     )
-    return d.select("doc_id", pred.alias("pred_lang"))
+    return d.select("doc_id", pred.alias("pred_lang")).orderBy("doc_id")
 
 
 T_LANG_SQL = """
@@ -437,6 +496,7 @@ SELECT doc_id,
         / LEN(string_split_regex(TRIM(text), '\\s+')) > 0.02
        THEN 'en' ELSE 'unk' END AS pred_lang
 FROM documents
+ORDER BY doc_id
 """
 
 
@@ -447,12 +507,13 @@ def t_fingerprint(spark, sf_dir):
     return d.select(
         "doc_id",
         F.md5(F.lower(F.regexp_replace("text", "\\s+", " "))).alias("fingerprint"),
-    )
+    ).orderBy("doc_id")
 
 
 T_FP_SQL = """
 SELECT doc_id, MD5(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS fingerprint
 FROM documents
+ORDER BY doc_id
 """
 
 
@@ -467,6 +528,7 @@ def d_exact_dedup(spark, sf_dir):
             F.min("doc_id").alias("keeper"),
             F.count(F.lit(1)).alias("dup_count"),
         )
+        .orderBy("fingerprint")
     )
 
 
@@ -474,8 +536,13 @@ D_EXACT_SQL = """
 SELECT MD5(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS fingerprint,
        MIN(doc_id) AS keeper, COUNT(*) AS dup_count
 FROM documents GROUP BY 1
+ORDER BY fingerprint
 """
 
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings) — exact baseline, LSH, IVF
+# ---------------------------------------------------------------------------
 
 def sim_cosine_topk(spark, sf_dir):
     """ANN baseline: brute-force cosine top-20 against the vec_id=0
@@ -536,7 +603,7 @@ def sim_label_centroid_norm(spark, sf_dir):
     sq = sum((F.col(f"s{i}") / F.col("n_vecs")) ** 2 for i in range(n))
     return sums.select(
         "label", "n_vecs", F.round(F.sqrt(sq), 4).alias("centroid_norm")
-    )
+    ).orderBy("label")
 
 
 SIM_CENTROID_SQL = f"""
@@ -544,6 +611,7 @@ SELECT label, COUNT(*) AS n_vecs,
        ROUND(sqrt({' + '.join(f'POW(SUM(embedding[{i + 1}]) / COUNT(*), 2)' for i in range(64))}), 4) AS centroid_norm
 FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings)
 GROUP BY label
+ORDER BY label
 """
 
 
@@ -570,6 +638,7 @@ def dedup_embedding_cosine(spark, sf_dir):
             F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4).alias("cosine"),
         )
         .where(F.col("cosine") >= 0.45)
+        .orderBy("vec_a", "vec_b")
     )
 
 
@@ -584,28 +653,56 @@ WHERE a.vec_id < b.vec_id
   AND ROUND(list_dot_product(a.emb, b.emb)
             / (sqrt(list_dot_product(a.emb, a.emb))
                * sqrt(list_dot_product(b.emb, b.emb))), 4) >= 0.45
+ORDER BY vec_a, vec_b
 """
+
+
+# ---- random-hyperplane LSH (engine-portable) ------------------------------
+
+LSH_PLANES, LSH_DIM, LSH_BANDS, LSH_BITS = 16, 64, 2, 8
+
+
+def _lsh_coefs() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane coefficients in
+    [-0.5, 0.5], 6-decimal literals — embedded identically in the
+    Spark plan and the DuckDB oracle SQL (an LCG, not Python hash(),
+    so the values are printable and reproducible everywhere)."""
+    x = 1234567891
+    out = []
+    for _p in range(LSH_PLANES):
+        row = []
+        for _d in range(LSH_DIM):
+            x = (1103515245 * x + 12345) % (1 << 31)
+            row.append(round(x / float(1 << 31) - 0.5, 6))
+        out.append(row)
+    return out
+
+
+_LSH_COEFS = _lsh_coefs()
+
+
+def _dot_sql(a: str, b: str, dim: int = LSH_DIM) -> str:
+    """Left-associated explicit dot product — the same FP association
+    order as Spark's aggregate() left fold, so doubles match exactly."""
+    return " + ".join(f"{a}[{i + 1}]*{b}[{i + 1}]" for i in range(dim))
+
+
+def _proj_sql(emb: str, coefs: list[float]) -> str:
+    return " + ".join(f"{emb}[{i + 1}]*({c!r})" for i, c in enumerate(coefs))
 
 
 def sim_ann_lsh_pairs(spark, sf_dir):
     """ANN scale path: random-hyperplane LSH — 16 deterministic
-    hyperplanes (hash-derived coefficients), 2 bands × 8 bits; pairs
-    sharing a band bucket get exact cosine rerank. Collisions ∝
-    bucket sizes, never n² — the 10^10-row strategy. Spark-only
-    (bucket layout is engine-specific; exact rerank values match
-    dedup_embedding_cosine where pairs overlap)."""
+    hyperplanes, 2 bands × 8 bits; pairs sharing a band bucket get
+    exact cosine rerank. Collisions ∝ bucket sizes, never n² — the
+    10^10-row strategy. Coefficients are shared literals and the FP
+    fold order matches the SQL oracle, so the bucket layout itself is
+    oracle-verified (not rows-only)."""
     e = _t(spark, sf_dir, "embeddings")
     v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    n_planes, dim = 16, 64
-    # deterministic pseudo-random plane coefficients in [-0.5, 0.5]
     bits = []
-    for p in range(n_planes):
-        coef = F.array(
-            *[
-                (F.lit(((hash((p, d)) % 1000) / 1000.0) - 0.5))
-                for d in range(dim)
-            ]
-        )
+    for p in range(LSH_PLANES):
+        coef = F.array(*[F.lit(c) for c in _LSH_COEFS[p]])
         proj = F.aggregate(
             F.zip_with("emb", coef, lambda x, c: x * c),
             F.lit(0.0),
@@ -613,17 +710,13 @@ def sim_ann_lsh_pairs(spark, sf_dir):
         )
         bits.append(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)).alias(f"b{p}"))
     hashed = v.select("vec_id", "emb", *bits)
-    bands = []
-    for band in range(2):
-        sig = sum(
-            F.col(f"b{band * 8 + j}") * (1 << j) for j in range(8)
-        )
-        bands.append(
-            hashed.select(
-                "vec_id", "emb", F.lit(band).alias("band"), sig.alias("bucket")
-            )
-        )
-    all_bands = bands[0].unionByName(bands[1])
+    band_sigs = [
+        sum(F.col(f"b{band * LSH_BITS + j}") * (1 << j) for j in range(LSH_BITS))
+        for band in range(LSH_BANDS)
+    ]
+    all_bands = hashed.select(
+        "vec_id", "emb", F.posexplode(F.array(*band_sigs)).alias("band", "bucket")
+    )
     a, b = all_bands.alias("a"), all_bands.alias("b")
     norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
     dot = F.aggregate(
@@ -651,24 +744,70 @@ def sim_ann_lsh_pairs(spark, sf_dir):
     )
 
 
+def _lsh_sql() -> str:
+    bit_cols = ",\n       ".join(
+        f"CASE WHEN ({_proj_sql('emb', _LSH_COEFS[p])}) > 0 THEN 1 ELSE 0 END AS b{p}"
+        for p in range(LSH_PLANES)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT vec_id, emb, {band} AS band, ({sig}) AS bucket FROM hashed".format(
+            band=band,
+            sig=" + ".join(
+                f"b{band * LSH_BITS + j}*{1 << j}" for j in range(LSH_BITS)
+            ),
+        )
+        for band in range(LSH_BANDS)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+hashed AS (SELECT vec_id, emb,
+       {bit_cols}
+FROM v),
+bands AS ({band_rows})
+SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(({_dot_sql('a.emb', 'b.emb')})
+             / (sqrt({_dot_sql('a.emb', 'a.emb')}) * sqrt({_dot_sql('b.emb', 'b.emb')})), 4) AS cosine
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND(({_dot_sql('a.emb', 'b.emb')})
+            / (sqrt({_dot_sql('a.emb', 'a.emb')}) * sqrt({_dot_sql('b.emb', 'b.emb')})), 4) >= 0.45
+ORDER BY vec_a, vec_b
+"""
+
+
+SIM_LSH_SQL = _lsh_sql()
+
+
+# ---- IVF ANN (engine-portable) --------------------------------------------
+
 def sim_ann_ivf_topk(spark, sf_dir):
-    """IVF-style ANN: per-label mean vectors act as the coarse
-    quantizer (the labels are the training clusters), every vector is
-    assigned to its nearest centroid, and the query probes the
-    nprobe=2 nearest cells with exact cosine rerank inside them.
-    Centroids broadcast (K tiny); the big table is touched once for
-    assignment and once per probe — never n². Spark-only (recall is
-    index-specific; the exact baseline is sim_cosine_topk)."""
+    """IVF-style ANN: the label column is the coarse quantizer's
+    training clustering (the inverted file); each cell's centroid is
+    its mean vector, the query probes the nprobe=2 nearest cells and
+    exact cosine reranks inside them. Centroids broadcast (K tiny);
+    the big table is touched once per probe — never n².
+
+    Determinism: per-dimension sums go through decimal(24,10) (exact,
+    order-independent — double sums would differ across engines by
+    reduction order), then back to double; all dot products use the
+    same left-fold association as the SQL oracle."""
     e = _t(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("emb"))
-    dim = 64
+    v = e.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    dim = LSH_DIM
     sums = v.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
-        *[F.sum(F.col("emb").getItem(i)).alias(f"s{i}") for i in range(dim)],
+        *[
+            F.sum(F.col("emb").getItem(i).cast("decimal(24,10)")).alias(f"s{i}")
+            for i in range(dim)
+        ],
     )
     cents = sums.select(
         F.col("label").alias("cell"),
-        F.array(*[(F.col(f"s{i}") / F.col("n")) for i in range(dim)]).alias("cent"),
+        F.array(
+            *[(F.col(f"s{i}").cast("double") / F.col("n")) for i in range(dim)]
+        ).alias("cent"),
     )
 
     dot = lambda a, b: F.aggregate(
@@ -676,31 +815,21 @@ def sim_ann_ivf_topk(spark, sf_dir):
     )
     norm = lambda c: F.sqrt(dot(c, c))
 
-    # assignment: argmax cosine(vec, centroid) over the broadcast cells
-    assigned = (
-        v.crossJoin(F.broadcast(cents))
-        .withColumn("sim", dot(F.col("emb"), F.col("cent")) / (norm(F.col("emb")) * norm(F.col("cent"))))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
-            ),
-        )
-        .where(F.col("rn") == 1)
-        .select("vec_id", "emb", "cell")
-    )
-
-    # query vec 0 probes its 2 best cells
+    q = v.where(F.col("vec_id") == 0).select(F.col("emb").alias("q_emb"))
     probe_cells = (
-        v.where(F.col("vec_id") == 0)
-        .crossJoin(F.broadcast(cents))
-        .withColumn("sim", dot(F.col("emb"), F.col("cent")) / (norm(F.col("emb")) * norm(F.col("cent"))))
+        cents.crossJoin(F.broadcast(q))
+        .withColumn(
+            "sim",
+            dot(F.col("cent"), F.col("q_emb"))
+            / (norm(F.col("cent")) * norm(F.col("q_emb"))),
+        )
         .orderBy(F.col("sim").desc(), F.col("cell"))
         .limit(2)
-        .select(F.col("cell"))
+        .select("cell")
     )
-    q = v.where(F.col("vec_id") == 0).select(F.col("emb").alias("q_emb"))
-    candidates = assigned.join(F.broadcast(probe_cells), "cell", "left_semi")
+    candidates = v.join(
+        F.broadcast(probe_cells), v.label == F.col("cell"), "left_semi"
+    )
     return (
         candidates.where(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
@@ -717,63 +846,287 @@ def sim_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def _ivf_sql() -> str:
+    dim = LSH_DIM
+    cent_list = ", ".join(
+        f"CAST(SUM(CAST(emb[{i + 1}] AS DECIMAL(24,10))) AS DOUBLE) / COUNT(*)"
+        for i in range(dim)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+cents AS (SELECT label AS cell, [{cent_list}] AS cent FROM v GROUP BY label),
+q AS (SELECT emb AS q_emb FROM v WHERE vec_id = 0),
+probe AS (
+  SELECT cell FROM cents, q
+  ORDER BY ({_dot_sql('cent', 'q_emb')})
+           / (sqrt({_dot_sql('cent', 'cent')}) * sqrt({_dot_sql('q_emb', 'q_emb')})) DESC, cell
+  LIMIT 2)
+SELECT vec_id,
+       ROUND(({_dot_sql('emb', 'q_emb')})
+             / (sqrt({_dot_sql('emb', 'emb')}) * sqrt({_dot_sql('q_emb', 'q_emb')})), 4) AS cosine
+FROM v, q
+WHERE label IN (SELECT cell FROM probe) AND vec_id <> 0
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+SIM_IVF_SQL = _ivf_sql()
+
+
 # ---------------------------------------------------------------------------
-# Spark-only operators (no SQL oracle → driver rows-only check)
+# Near-dup family on documents (engine-portable hashes → full oracles)
 # ---------------------------------------------------------------------------
 
-def minhash_near_dup(spark, sf_dir):
-    """MinHash near-dup candidates: word-shingle → 16 xxhash64 perms →
-    band-bucket join (4 bands × 4 rows). Spark-only (hash family is
-    engine-specific); driver records rows-only. The per-band bucket
-    join is the LSH scale path: candidates ∝ collisions, never n²."""
+MH_PERMS, MH_BANDS, MH_ROWS = 16, 4, 4   # 4 bands × 4 rows
+MH_JACCARD = 0.5                          # rerank threshold
+SHINGLE_WORDS = 3                         # word 3-grams
+
+
+def _doc_shingles(spark, sf_dir):
+    """Distinct word-3-gram shingles per document (lowercased,
+    whitespace-tokenized) — shared by MinHash, recall, and the exact
+    Jaccard path."""
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("w")
-    )
-    n_perm = 16
-    mins = toks.groupBy("doc_id").agg(
+    w = d.select(
+        "doc_id", F.split(F.lower(F.trim("text")), "\\s+").alias("w")
+    ).where(F.size("w") >= SHINGLE_WORDS)
+    return w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 3), "
+                "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"
+            )
+        ).alias("shingle"),
+    ).distinct()
+
+
+_SHINGLES_CTE = """
+words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+          FROM documents),
+shingles AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(range(1, len(w) - 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+             FROM words WHERE len(w) >= 3)
+"""
+
+
+def _minhash_bands(shingles: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket): 16 portable min-hashes in ONE groupBy
+    pass, banded 4×4 via a posexplode (no per-band recompute of the
+    aggregate lineage — the r1 plan re-read it 4×)."""
+    mins = shingles.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.concat(F.lit(str(i) + ":"), F.col("w")))).alias(f"h{i}")
-            for i in range(n_perm)
+            F.min(_phash(F.col("shingle"), str(i))).alias(f"h{i}")
+            for i in range(MH_PERMS)
         ]
     )
-    bands = []
-    for b in range(4):
-        cols = [F.col(f"h{b * 4 + j}") for j in range(4)]
-        bands.append(
-            mins.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.xxhash64(*cols).alias("bucket"),
+    band_buckets = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"h{b * MH_ROWS + j}").cast("string")
+                    for j in range(MH_ROWS)
+                ],
             )
         )
-    all_bands = bands[0]
-    for x in bands[1:]:
-        all_bands = all_bands.unionByName(x)
-    left = all_bands.alias("a")
-    right = all_bands.alias("b")
+        for b in range(MH_BANDS)
+    ]
+    return mins.select(
+        "doc_id", F.posexplode(F.array(*band_buckets)).alias("band", "bucket")
+    )
+
+
+def _minhash_bands_sql() -> str:
+    mins_cols = ",\n       ".join(
+        f"MIN({_phash_sql('shingle', str(i))}) AS h{i}" for i in range(MH_PERMS)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({expr}) AS bucket FROM mins".format(
+            b=b,
+            expr=" || ',' || ".join(
+                f"CAST(h{b * MH_ROWS + j} AS VARCHAR)" for j in range(MH_ROWS)
+            ),
+        )
+        for b in range(MH_BANDS)
+    )
+    return f"""mins AS (SELECT doc_id,
+       {mins_cols}
+FROM shingles GROUP BY doc_id),
+bands AS ({band_rows})"""
+
+
+def _exact_jaccard(shingles: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard per candidate pair (or all inverted-index pairs
+    when pairs=None): |A∩B| via the shared-shingle join, sizes via a
+    groupBy — the intersection join is bounded by shingle sharing,
+    never n²."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if pairs is None:
+        inter = (
+            shingles.alias("a")
+            .join(
+                shingles.alias("b"),
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        inter = (
+            pairs.join(
+                shingles.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+            )
+            .join(
+                shingles.select(F.col("doc_id").alias("doc_b"), "shingle"),
+                ["doc_b", "shingle"],
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sh_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("sh_a") + F.col("sh_b") - F.col("n_common")),
+                6,
+            ),
+        )
+    )
+
+
+def minhash_near_dup(spark, sf_dir):
+    """MinHash+LSH near-dup: word-3-gram shingles → 16 portable
+    min-hashes → 4×4 band-bucket join → exact Jaccard rerank ≥ 0.5.
+    The whole pipeline (hash family, banding, rerank) is replicated in
+    the DuckDB oracle — wrong buckets fail the gate, not just wrong
+    row counts. Band-bucket join = the LSH scale path: candidates ∝
+    collisions, never n²."""
+    sh = _doc_shingles(spark, sf_dir)
+    bands = _minhash_bands(sh)
     pairs = (
-        left.join(
-            right,
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return pairs.orderBy("doc_a", "doc_b")
+    return (
+        _exact_jaccard(sh, pairs)
+        .where(F.col("jaccard") >= MH_JACCARD)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+MINHASH_SQL = f"""
+WITH {_SHINGLES_CTE},
+{_minhash_bands_sql()},
+pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+          FROM pairs p
+          JOIN shingles sa ON sa.doc_id = p.doc_a
+          JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+          GROUP BY p.doc_a, p.doc_b)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= {MH_JACCARD}
+ORDER BY doc_a, doc_b
+"""
+
+
+def minhash_recall(spark, sf_dir):
+    """LSH quality, quantified (the checked scalar the hash family
+    owes): recall of the band-bucket candidate set against the exact
+    Jaccard ≥ 0.5 truth. One row: n_true, n_candidates, n_hit,
+    recall — all reproduced by the oracle."""
+    sh = _doc_shingles(spark, sf_dir)
+    truth = (
+        _exact_jaccard(sh, None)
+        .where(F.col("jaccard") >= MH_JACCARD)
+        .select("doc_a", "doc_b")
+    )
+    bands = _minhash_bands(sh)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hit",
+            F.round(F.col("n_hit").cast("double") / F.col("n_true"), 4).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+MINHASH_RECALL_SQL = f"""
+WITH {_SHINGLES_CTE},
+{_minhash_bands_sql()},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter_all AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+              FROM shingles a JOIN shingles b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+truth AS (SELECT doc_a, doc_b FROM inter_all
+          JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= {MH_JACCARD}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+hit AS (SELECT * FROM truth WHERE (doc_a, doc_b) IN (SELECT (doc_a, doc_b) FROM cand))
+SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+       (SELECT COUNT(*) FROM cand) AS n_candidates,
+       (SELECT COUNT(*) FROM hit) AS n_hit,
+       ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+             / (SELECT COUNT(*) FROM truth), 4) AS recall
+"""
 
 
 def simhash_fingerprint(spark, sf_dir):
-    """SimHash-64: sign-aggregated token-hash bits per document.
-    Spark-only (xxhash64 bit family)."""
+    """SimHash-16: sign-aggregated token-hash bits per document, built
+    from the portable md5-derived hash so the oracle reproduces the
+    exact fingerprints."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("w")
-    ).withColumn("h", F.xxhash64("w"))
+    ).withColumn("h", _phash(F.col("w"), "sh"))
     bit_sums = toks.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -789,52 +1142,74 @@ def simhash_fingerprint(spark, sf_dir):
             for i in range(16)
         ).alias("simhash16"),
     )
-    return sim
+    return sim.orderBy("doc_id")
+
+
+SIMHASH_SQL = """
+WITH toks AS (SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+              FROM documents),
+h AS (SELECT doc_id, {h} AS h FROM toks),
+bit_sums AS (SELECT doc_id,
+       {bits}
+FROM h GROUP BY doc_id)
+SELECT doc_id, {sig} AS simhash16
+FROM bit_sums
+ORDER BY doc_id
+""".format(
+    h=_phash_sql("w", "sh"),
+    bits=",\n       ".join(
+        f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(16)
+    ),
+    sig=" + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+    ),
+)
 
 
 def ngram_jaccard_pairs(spark, sf_dir):
     """Word-bigram Jaccard near-dup (exact, bounded by inverted-index
-    join on shared shingles — not n²). Spark-only."""
+    join on shared shingles — not n²)."""
     d = _t(spark, sf_dir, "documents")
-    words = F.split(F.lower(F.trim("text")), "\\s+")
-    shingled = d.select(
+    w = d.select(
+        "doc_id", F.split(F.lower(F.trim("text")), "\\s+").alias("w")
+    ).where(F.size("w") >= 2)
+    shingled = w.select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(0, size(split(lower(trim(text)), '\\\\s+')) - 2), "
-                "i -> concat(split(lower(trim(text)), '\\\\s+')[i], ' ', "
-                "split(lower(trim(text)), '\\\\s+')[i+1]))"
+                "transform(sequence(0, size(w) - 2), "
+                "i -> concat(w[i], ' ', w[i+1]))"
             )
         ).alias("shingle"),
     ).distinct()
-    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        shingled.alias("a")
-        .join(
-            shingled.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    j = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "sh_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "sh_b"), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("sh_a") + F.col("sh_b") - F.col("n_common")),
-                4,
-            ),
-        )
+    return (
+        _exact_jaccard(shingled, None)
         .where(F.col("jaccard") >= 0.8)
         .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
     )
-    return j.orderBy("doc_a", "doc_b")
+
+
+NGRAM_SQL = """
+WITH words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+               FROM documents),
+shingles AS (SELECT DISTINCT doc_id,
+                    unnest(list_transform(range(1, len(w)),
+                           i -> w[i] || ' ' || w[i+1])) AS shingle
+             FROM words WHERE len(w) >= 2),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM shingles a JOIN shingles b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.8
+ORDER BY doc_a, doc_b
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -867,6 +1242,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_lsh_pairs": sim_ann_lsh_pairs,
     "sim_ann_ivf_topk": sim_ann_ivf_topk,
     "minhash_near_dup": minhash_near_dup,
+    "minhash_recall": minhash_recall,
     "simhash_fingerprint": simhash_fingerprint,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
 }
@@ -894,7 +1270,10 @@ ORACLES: dict[str, str] = {
     "sim_cosine_topk": SIM_TOPK_SQL,
     "sim_label_centroid_norm": SIM_CENTROID_SQL,
     "dedup_embedding_cosine": DEDUP_EMB_SQL,
-    # sim_ann_lsh_pairs: bucket layout engine-specific → rows-only
-    # minhash_near_dup / simhash_fingerprint / ngram_jaccard_pairs:
-    # hash-family-specific → rows-only check by design
+    "sim_ann_lsh_pairs": SIM_LSH_SQL,
+    "sim_ann_ivf_topk": SIM_IVF_SQL,
+    "minhash_near_dup": MINHASH_SQL,
+    "minhash_recall": MINHASH_RECALL_SQL,
+    "simhash_fingerprint": SIMHASH_SQL,
+    "ngram_jaccard_pairs": NGRAM_SQL,
 }
