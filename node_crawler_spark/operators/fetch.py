@@ -169,6 +169,10 @@ def run_fetch(
             "params_external": F.col("is_external"),
             "attempt": F.lit(0),
             "hops": F.lit(0),
+            # last hop url that actually produced an HTTP response —
+            # crawler.js's `response` var: on a transport error mid-chain,
+            # finalURL is this url, not the dead hop (requestSpec model)
+            "resp_url": F.lit(None).cast("string"),
             "type": F.lit(""),
             "content_type_raw": F.lit(None).cast("string"),
             "gzipped": F.lit(False),
@@ -246,11 +250,18 @@ def run_fetch(
                     F.col("m_content_type").isNotNull(),
                     F.trim(F.regexp_replace("m_content_type", ";.*", "")),
                 ).otherwise(F.col("type")),
-                "content_type_raw": F.when(
-                    F.col("m_content_type").isNotNull(), F.col("m_content_type")
-                ).otherwise(F.col("content_type_raw")),
+                # the body-download gate reads the per-response contentType
+                # var (crawler.js:255): NOT sticky — a final 200 without a
+                # content-type header downloads nothing even if an earlier
+                # attempt had text/html
+                "content_type_raw": F.col("m_content_type"),
                 "gzipped": F.col("m_content_encoding").eqNullSafe("gzip"),
-                "landing": F.col("cur_url"),
+                # landing = finalURL = the last url that RESPONDED: the
+                # current hop if it answered, else the prior 30x hop (a
+                # transport error mid-chain leaves `response` at hop N-1)
+                "landing": F.when(
+                    F.col("m_status").isNotNull(), F.col("cur_url")
+                ).otherwise(F.coalesce(F.col("resp_url"), F.col("page_url"))),
             }
         )
 
@@ -315,7 +326,11 @@ def run_fetch(
             F.col("is_external").alias("params_external"),
             (F.col("attempt") + 1).alias("attempt"),
             F.lit(0).alias("hops"),
-            "type", "content_type_raw", "gzipped", "redirects", "events",
+            # per-attempt state resets: a retry is a fresh _request call
+            F.lit(None).cast("string").alias("resp_url"),
+            "type",
+            F.lit(None).cast("string").alias("content_type_raw"),
+            "gzipped", "redirects", "events",
             "jar",
         )
 
@@ -335,6 +350,9 @@ def run_fetch(
             resolve_url(F.col("cur_url"), F.col("m_location")).alias("cur_url"),
             "params_url", "params_external", "attempt",
             (F.col("hops") + 1).alias("hops"),
+            # this hop's url responded (30x) — it becomes the fallback
+            # landing if a later hop transport-errors
+            F.col("cur_url").alias("resp_url"),
             "type", "content_type_raw", "gzipped", "redirects", "events",
             hop_jar.alias("jar"),
         )

@@ -17,7 +17,6 @@ tests/test_resume.py.
 
 from __future__ import annotations
 
-import json
 import os
 import time
 from dataclasses import dataclass
@@ -176,13 +175,15 @@ def run_crawl(
         seen_delta = frontier.select(
             "url", "seq", F.lit(0).alias("round"), F.lit("seed").alias("kind")
         )
-        n_seeds = frontier.count()
+        # watermark = max(seq), NOT count: a supplied initial_frontier
+        # may carry non-contiguous seqs and count would collide new seqs
+        wm = frontier.agg(F.max("seq").alias("m")).first().m
+        max_seq = int(wm) if wm is not None else 0
         store.write_round(
             0,
             {"seen_delta": seen_delta, "next_frontier": frontier},
-            extra={"max_seq": n_seeds, "killed": False},
+            extra={"max_seq": max_seq, "killed": False},
         )
-        max_seq = n_seeds
         frontier = store.read_table(spark, 0, "next_frontier")
         start_round = 1
         seen_state = frontier.select("url", "seq").localCheckpoint()
@@ -235,7 +236,7 @@ def run_crawl(
         )
         inserts = inserts.persist()
         drops = drops.persist()
-        inserts.count()
+        n_inserts = inserts.count()
         tm.mark("inserts")
 
         not_dropped = lambda df: df.join(
@@ -292,7 +293,12 @@ def run_crawl(
         )
         next_frontier = new_frontier.unionByName(deferred)
 
-        manifest = store.write_round(
+        # the manifest is the atomic commit point: max_seq is final at
+        # publish time (n_inserts was materialized above), so a kill at
+        # any instant leaves either no round r or a consistent one — no
+        # placeholder-then-patch window (ADVICE r1)
+        max_seq += n_inserts
+        store.write_round(
             r,
             {
                 "crawled": crawled,
@@ -301,22 +307,17 @@ def run_crawl(
                 "seen_delta": seen_delta,
                 "next_frontier": next_frontier,
             },
-            extra={"max_seq": -1, "killed": False},  # patched below
+            extra={"max_seq": max_seq, "killed": False},
+            known_counts={"seen_delta": n_inserts},
         )
         tm.mark("commit")
-        n_inserts = manifest["tables"]["seen_delta"]["rows"]
         prev_inserts = n_inserts
-        max_seq += n_inserts
         delta_ckpt = seen_delta.select("url", "seq").localCheckpoint()
         seen_state = seen_state.unionByName(delta_ckpt)
         if r % 10 == 0:  # bound the union width on long crawls
             seen_state = seen_state.coalesce(
                 spark.sparkContext.defaultParallelism
             ).localCheckpoint()
-        # manifest is tiny JSON — rewrite with the final watermark
-        manifest["max_seq"] = max_seq
-        with open(store._commit_path(r), "w") as fh:
-            json.dump(manifest, fh)
 
         expanded.unpersist()
         inserts.unpersist()

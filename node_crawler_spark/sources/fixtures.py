@@ -194,6 +194,31 @@ def scenario(name: str) -> Scenario:  # noqa: C901 - a catalog is a catalog
         s.page(f"{BASE}/flaky", status=500, attempt=0, store_body=False)
         s.page(f"{BASE}/flaky", _links(), attempt=1)  # never reached
 
+    elif name == "retry_no_content_type":
+        # ADVICE r1: the body-download gate reads the PER-RESPONSE
+        # contentType (crawler.js:255) — attempt0 fails with text/html,
+        # the final 200 has no content-type header ⇒ empty body, no
+        # links followed (page.type stays sticky from attempt0)
+        s.cfg = CrawlConfig(retries=1)
+        s.page(f"{BASE}/", _links("/flaky"))
+        s.page(f"{BASE}/flaky", status=500, attempt=0, store_body=False)
+        s.page(f"{BASE}/flaky", _links("/hidden"), attempt=1, content_type=None)
+        s.page(f"{BASE}/hidden", _links())  # must never be crawled
+
+    elif name == "redirect_dead_hop":
+        # ADVICE r1: transport error mid-chain — finalURL is the last
+        # hop that RESPONDED (crawler.js `response` var), not the dead
+        # hop. /chain2: 2 hops then dead ⇒ landing = the second 30x url;
+        # /chain1: 1 hop then dead ⇒ no redirect event at all.
+        s.page(f"{BASE}/", _links("/chain2", "/chain1"))
+        s.page(f"{BASE}/chain2", status=301, location="/mid",
+               content_type=None, store_body=False)
+        s.page(f"{BASE}/mid", status=302, location="/dead2",
+               content_type=None, store_body=False)
+        s.page(f"{BASE}/chain1", status=301, location="/dead1",
+               content_type=None, store_body=False)
+        # /dead1, /dead2 absent from http_meta = transport errors
+
     elif name == "http_4xx":
         # callbackSpec.js:123-156 — 4xx ⇒ onError, never onPageCrawl
         s.page(f"{BASE}/", _links("/a", "/b", "/c", "/d"))
@@ -287,7 +312,8 @@ ALL_SCENARIOS = [
     "relative_links", "non_page_urls", "exclude_patterns",
     "redirect_chain", "redirect_multi_hop", "redirect_to_seen",
     "redirect_infinite", "gzip_body", "non_text_body", "media_extensions",
-    "retry_then_ok", "retry_exhausted", "http_4xx", "transport_error",
+    "retry_then_ok", "retry_exhausted", "retry_no_content_type",
+    "redirect_dead_hop", "http_4xx", "transport_error",
     "hpe_external_forgiven", "auth_401", "malformed_html",
     "dup_links_one_page", "seed_fragment", "robots_block", "chain4",
     "cookie_redirect", "cookie_jar_disabled", "dup_snapshots",

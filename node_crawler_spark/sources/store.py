@@ -70,15 +70,24 @@ class SnapshotStore:
         extra: dict | None = None,
         lineage: bool = False,
         count_tables: tuple = ("seen_delta",),
+        lineage_tables: tuple = ("seen_delta", "next_frontier"),
+        known_counts: dict[str, int] | None = None,
     ) -> dict:
         """Write every table, then publish the manifest atomically.
 
-        ``lineage=True`` additionally records per-partition row counts
-        for every table (the north_rule's per-partition lineage); by
-        default only ``count_tables`` get a total row count (one count
-        job each) to keep the per-round job budget small.
+        Per-partition lineage (the north_rule's resume contract) is
+        recorded for ``lineage_tables`` — for the seen delta the
+        partitions are its url-hash buckets, so a resume can verify
+        each shard independently; ``lineage=True`` extends that to
+        every table. ``known_counts`` lets the caller pass row counts
+        it already materialized (skips one count job per table).
+        ``extra`` must carry the FINAL values (e.g. max_seq): the
+        manifest is the atomic commit point — it is never rewritten,
+        so a kill at any instant leaves either no round r or a fully
+        consistent one.
         """
         manifest: dict = {"round": r, "tables": {}, **(extra or {})}
+        known_counts = known_counts or {}
         for name, df in tables.items():
             path = self._round_dir(r, name)
             if name == "seen_delta":
@@ -93,17 +102,22 @@ class SnapshotStore:
             else:
                 df.write.mode("overwrite").parquet(path)
             entry: dict = {"schema": df.schema.json()}
-            if lineage:
-                part_counts = (
-                    df.sparkSession.read.parquet(path)
-                    .groupBy(F.spark_partition_id().alias("pid"))
-                    .count()
-                    .collect()
-                )
+            if lineage or name in lineage_tables:
+                if self._has_data(path):
+                    part_counts = (
+                        df.sparkSession.read.parquet(path)
+                        .groupBy(F.spark_partition_id().alias("pid"))
+                        .count()
+                        .collect()
+                    )
+                else:
+                    part_counts = []
                 entry["rows"] = sum(c["count"] for c in part_counts)
                 entry["partitions"] = {
                     str(c["pid"]): c["count"] for c in part_counts
                 }
+            elif name in known_counts:
+                entry["rows"] = known_counts[name]
             elif name in count_tables:
                 entry["rows"] = (
                     df.sparkSession.read.parquet(path).count()

@@ -151,6 +151,7 @@ def simulate(cfg, seeds, pages_rows, http_rows) -> SimResult:
             params_external = page.is_external  # frozen per attempt
             cur = page.url
             hops = 0
+            resp_url = None  # last hop that actually responded (crawler.js `response`)
             # _request redirect-following loop (crawler.js:265-293)
             while True:
                 row = lookup(cur, attempt)
@@ -174,20 +175,28 @@ def simulate(cfg, seeds, pages_rows, http_rows) -> SimResult:
                     if row.get("set_cookie") and cfg.use_cookies:
                         jar.add(node_parse(cur)["hostname"])
                     hops += 1
+                    resp_url = cur  # this 30x hop responded
                     cur = node_resolve(cur, row["location"])
                     continue
                 break
+
+            # finalURL = the last url that responded: the current hop if
+            # it answered, else the prior 30x hop (a transport error
+            # mid-chain leaves crawler.js's `response` var at hop N-1)
+            landing = cur if status is not None else (
+                resp_url if resp_url is not None else page.url
+            )
 
             if ct is not None:  # crawler.js:466-469 — sticky type
                 page.type = re.sub(r";.*", "", ct).strip()
 
             # redirect bookkeeping (crawler.js:521-542)
-            if cur != page.url:
-                if not page.is_external and is_external_pair(page.url, cur):
+            if landing != page.url:
+                if not page.is_external and is_external_pair(page.url, landing):
                     page.is_external = True
-                clean = node_href(cur)
+                clean = node_href(landing)
                 redirect_events.append(
-                    dict(seq=page.seq, pre_url=page.url, final_url=cur,
+                    dict(seq=page.seq, pre_url=page.url, final_url=landing,
                          clean_final=clean, status_code=status,
                          redirects_before=list(page.redirects))
                 )

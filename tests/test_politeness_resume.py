@@ -51,6 +51,17 @@ def test_resume_bit_identical(spark, tmp_path):
     assert got == want
     assert resumed.max_seq == full.max_seq
 
+    # north_rule: every committed round's manifest carries per-partition
+    # lineage for the seen delta + next frontier, and a final max_seq
+    # (the manifest is published once, atomically — never patched)
+    for r in range(store.last_committed_round() + 1):
+        m = store.read_manifest(r)
+        assert m["max_seq"] >= 0
+        for t in ("seen_delta", "next_frontier"):
+            entry = m["tables"][t]
+            assert "partitions" in entry, f"round {r} {t} missing lineage"
+            assert entry["rows"] == sum(entry["partitions"].values())
+
 
 def test_politeness_budget_respected(spark, tmp_path):
     """Budget 1/domain/round: the crawl stretches over more rounds,
