@@ -14,7 +14,10 @@ from dataclasses import dataclass, field
 
 @dataclass(frozen=True)
 class PolitenessRule:
-    """Per-domain budget: max URLs scheduled per round + crawl delay."""
+    """Per-domain politeness: ``budget`` = max URLs scheduled per round
+    (≤0 means unlimited — a delay-only rule); ``crawl_delay_ms`` is
+    enforced against ``CrawlConfig.round_time_ms`` (see
+    operators/politeness.py)."""
 
     domain: str
     budget: int
@@ -39,14 +42,33 @@ class CrawlConfig:
     max_redirects: int = 9                # crawler.js:283
     politeness: tuple[PolitenessRule, ...] = ()
     default_domain_budget: int = 0        # 0 = unlimited
+    # nominal wall-clock a round models — crawl_delay_ms is enforced
+    # against it: a domain with delay D schedules at most floor(T/D)
+    # urls per round, or 1 url every ceil(D/T) rounds when D > T
+    round_time_ms: int = 1000
     robots: tuple[tuple[str, str], ...] = ()  # (domain, disallow_prefix)
-    # --- scale knobs ---
+    # --- scale knobs (operators/seenset.py — the D1 bloom sidecar) ---
     use_bloom_prefilter: bool = True
     bloom_shards: int = 64
     bloom_bits_per_key: int = 10
     bloom_hashes: int = 6
+    # engage the bloom probe only once the seen set has this many keys
+    # (below it the exact anti-join is cheaper than the extra Arrow hop;
+    # the filter is still maintained so engagement is instant)
+    bloom_min_keys: int = 0
     seen_salt_buckets: int = 32           # domain-hash salt for skew
     shuffle_partitions: int | None = None
+    # contested-redirect residue rows above which the sequential walk
+    # moves from the driver to a single executor task (bounds driver
+    # memory on adversarial all-redirect rounds)
+    redirect_residue_cap: int = 200_000
+    # fold seen deltas into the bucketed base table every N rounds
+    # (0 = off): bounds the delta-log fan-in for probes and resume
+    compact_every: int = 0
+    # probe the seen set from the bucket-partitioned store (candidate
+    # buckets pushed down as partition filters) instead of the
+    # in-memory checkpointed state — the cold-probe / huge-seen path
+    probe_from_store: bool = False
 
     # convenience -----------------------------------------------------
     def politeness_rows(self) -> list[tuple[str, int, int]]:

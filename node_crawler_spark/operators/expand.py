@@ -52,6 +52,7 @@ from node_crawler_spark.config import CrawlConfig
 from node_crawler_spark.functions.html import decode_body, extract_links
 from node_crawler_spark.functions.urlkit import resolve_links
 from node_crawler_spark.operators.fetch import MEDIA_EXT_RE
+from node_crawler_spark.operators.seenset import BloomSeenSet, mark_seen
 
 
 def _proto(c):
@@ -302,6 +303,41 @@ def assign_global_seq(
     )
 
 
+def _sequential_walk(rows):
+    """The reference's sequential interleaving of seen inserts and
+    redirect-landing drops (crawler.js:474-504 + :576-618), over the
+    contested residue only. Inherently sequential — a drop removes a
+    page's later link inserts, which can un-collide a later landing;
+    the relational fixed point oscillates on exactly these chains.
+    Returns (keep_keys, drop_pairs)."""
+    from collections import defaultdict
+
+    by_page = defaultdict(list)
+    for row in rows:
+        by_page[row.parent_seq].append(row)
+    added: set[str] = set()
+    keep_keys: list[tuple[int, int, int]] = []
+    drop_pairs: list[tuple[int, int]] = []
+    for pseq in sorted(by_page):
+        page_rows = sorted(by_page[pseq], key=lambda r: (r.kind, r.pos))
+        drop_at = None
+        for row in page_rows:
+            if drop_at is not None:
+                break  # crawler.js:497-500 — page finished at the drop
+            if row.kind == 0:  # landing insert (D3)
+                if row.in_seen or row.ins_url in added:
+                    drop_at = row.pos
+                    drop_pairs.append((pseq, row.pos))
+                else:
+                    added.add(row.ins_url)
+                    keep_keys.append((pseq, row.kind, row.pos))
+            else:  # link insert (D1/D2)
+                if not row.in_seen and row.ins_url not in added:
+                    added.add(row.ins_url)
+                    keep_keys.append((pseq, row.kind, row.pos))
+    return keep_keys, drop_pairs
+
+
 def resolve_round_inserts(
     landings: DataFrame,
     links: DataFrame,
@@ -309,6 +345,8 @@ def resolve_round_inserts(
     max_seq: int,
     max_fixpoint_iters: int = 10,
     large_round: bool = False,
+    bloom: BloomSeenSet | None = None,
+    residue_cap: int = 200_000,
 ):
     """The round's seen-insert stream: first occurrence wins, redirect
     landings that collide drop their page (crawler.js:484-500).
@@ -335,11 +373,9 @@ def resolve_round_inserts(
     if empty_landings:
         w = Window.partitionBy("ins_url").orderBy("parent_seq", "kind", "pos")
         probed = (
-            links.join(
-                seen_keys.withColumn("_seen", F.lit(True)), on="ins_url", how="left"
-            )
+            mark_seen(links, seen_keys, bloom)
             .withColumn("_rank", F.row_number().over(w))
-            .withColumn("_collides", F.col("_seen").isNotNull() | (F.col("_rank") > 1))
+            .withColumn("_collides", F.col("_seen") | (F.col("_rank") > 1))
         )
         fo = probed.where(~F.col("_collides"))
         if large_round:
@@ -381,71 +417,74 @@ def resolve_round_inserts(
     t0 = _pmark("rest.ckpt", t0)
     w_rest = Window.partitionBy("ins_url").orderBy("parent_seq", "kind", "pos")
     rest_probed = (
-        rest.join(
-            seen_keys.withColumn("_seen", F.lit(True)), on="ins_url", how="left"
-        )
+        mark_seen(rest, seen_keys, bloom)
         .withColumn("_rank", F.row_number().over(w_rest))
-        .withColumn("_collides", F.col("_seen").isNotNull() | (F.col("_rank") > 1))
+        .withColumn("_collides", F.col("_seen") | (F.col("_rank") > 1))
     )
 
-    # Exact sequential resolution of the contested residue ON THE
-    # DRIVER. A simultaneous relational fixed point does not converge
-    # here (drop → links vanish → a later landing un-collides → un-drop
-    # → oscillation): the reference resolves these interleavings
+    # Exact sequential resolution of the contested residue. A
+    # simultaneous relational fixed point does not converge here
+    # (drop → links vanish → a later landing un-collides → un-drop →
+    # oscillation): the reference resolves these interleavings
     # *sequentially*, and sequential-vs-simultaneous genuinely differ.
     # The contested set is bounded by the round's redirect fan (pages
     # with a redirect event + rows sharing their urls — ~2% of a real
-    # crawl), so one driver-side pass over the collected residue is both
-    # exact and cheap; the other ~98% of the stream never leaves the
-    # executors. At a truly adversarial redirect density the collect
-    # would grow — that is a deliberate, documented trade for exactness.
-    from collections import defaultdict
-
-    contested_rows = (
-        stream.join(
-            seen_keys.withColumn("_seen", F.lit(True)), on="ins_url", how="left"
+    # crawl). Below ``residue_cap`` rows the walk runs on the driver
+    # (one collect, broadcast back); an adversarial all-redirect round
+    # instead runs the SAME walk in a single executor task via
+    # applyInPandas — sequential either way (it must be), but never an
+    # unbounded driver-memory path.
+    marked = mark_seen(stream, seen_keys, bloom).select(
+        "parent_seq", "kind", "pos", "ins_url",
+        F.col("_seen").alias("in_seen"),
+    )
+    n_contested = marked.count()
+    t0 = _pmark("contested.count", t0)
+    if n_contested <= residue_cap:
+        keep_keys, drop_pairs = _sequential_walk(marked.collect())
+        t0 = _pmark("contested.walk.driver", t0)
+        keep_df = spark.createDataFrame(
+            keep_keys or [], "parent_seq long, kind int, pos int"
         )
-        .select(
-            "parent_seq", "kind", "pos", "ins_url",
-            F.col("_seen").isNotNull().alias("in_seen"),
+        drops = spark.createDataFrame(
+            drop_pairs or [], "parent_seq long, drop_idx int"
         )
-        .collect()
-    )
-    t0 = _pmark("contested.collect", t0)
-    by_page: dict[int, list] = defaultdict(list)
-    for row in contested_rows:
-        by_page[row.parent_seq].append(row)
+        contested_keep = stream.join(
+            F.broadcast(keep_df), ["parent_seq", "kind", "pos"], "left_semi"
+        )
+    else:
+        import pandas as pd
 
-    added: set[str] = set()
-    keep_keys: list[tuple[int, int, int]] = []
-    drop_pairs: list[tuple[int, int]] = []
-    for pseq in sorted(by_page):
-        rows = sorted(by_page[pseq], key=lambda r: (r.kind, r.pos))
-        drop_at = None
-        for row in rows:
-            if drop_at is not None:
-                break  # crawler.js:497-500 — page finished at the drop
-            if row.kind == 0:  # landing insert (D3)
-                if row.in_seen or row.ins_url in added:
-                    drop_at = row.pos
-                    drop_pairs.append((pseq, row.pos))
-                else:
-                    added.add(row.ins_url)
-                    keep_keys.append((pseq, row.kind, row.pos))
-            else:  # link insert (D1/D2)
-                if not row.in_seen and row.ins_url not in added:
-                    added.add(row.ins_url)
-                    keep_keys.append((pseq, row.kind, row.pos))
+        def walk_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+            keep_keys, drop_pairs = _sequential_walk(
+                list(pdf.itertuples(index=False))
+            )
+            keep = pd.DataFrame(
+                keep_keys, columns=["parent_seq", "kind", "pos"]
+            ).assign(keep=True, drop_idx=None)
+            drp = pd.DataFrame(
+                drop_pairs, columns=["parent_seq", "drop_idx"]
+            ).assign(kind=None, pos=None, keep=False)
+            cols = ["parent_seq", "kind", "pos", "keep", "drop_idx"]
+            return pd.concat(
+                [keep[cols], drp[cols]], ignore_index=True
+            )
 
-    keep_df = spark.createDataFrame(
-        keep_keys or [], "parent_seq long, kind int, pos int"
-    )
-    drops = spark.createDataFrame(
-        drop_pairs or [], "parent_seq long, drop_idx int"
-    )
-    contested_keep = stream.join(
-        F.broadcast(keep_df), ["parent_seq", "kind", "pos"], "left_semi"
-    )
+        walked = (
+            marked.withColumn("_g", F.lit(0))
+            .groupBy("_g")
+            .applyInPandas(
+                lambda _key, pdf: walk_pdf(pdf.drop(columns=["_g"])),
+                "parent_seq long, kind int, pos int, keep boolean, drop_idx int",
+            )
+            .localCheckpoint()
+        )
+        t0 = _pmark("contested.walk.executor", t0)
+        keep_df = walked.where(F.col("keep")).select("parent_seq", "kind", "pos")
+        drops = walked.where(~F.col("keep")).select("parent_seq", "drop_idx")
+        contested_keep = stream.join(
+            keep_df, ["parent_seq", "kind", "pos"], "left_semi"
+        )
     rest_keep = rest_probed.where(~F.col("_collides")).drop(
         "_seen", "_rank", "_collides"
     )

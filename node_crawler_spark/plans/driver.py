@@ -54,6 +54,7 @@ from node_crawler_spark.operators.expand import (
 )
 from node_crawler_spark.operators.fetch import prepare_http_meta, run_fetch
 from node_crawler_spark.operators.politeness import apply_domain_budget
+from node_crawler_spark.operators.seenset import BloomSeenSet
 from node_crawler_spark.sources.store import SnapshotStore
 
 FRONTIER_SCHEMA = (
@@ -190,6 +191,13 @@ def run_crawl(
 
     rounds_run = start_round - 1
     prev_inserts = max_seq  # round-size hint for the O1 rank strategy
+    # D1 bloom sidecar: seeded with the current seen set, fed each
+    # round's delta; probes engage once the seen set is big enough that
+    # skipping the exact-join shuffle pays for the filter pass
+    bloom = None
+    if cfg.use_bloom_prefilter:
+        bloom = BloomSeenSet.from_config(spark, cfg)
+        bloom.insert(seen_state.select("url"), n_keys=max_seq)
     kill_marker = os.path.join(store_root, "KILL")
     for r in range(start_round, cfg.max_rounds + 1):
         tm = _Timer(f"round {r}")
@@ -204,13 +212,22 @@ def run_crawl(
         # seen probes run against the in-memory checkpointed state (one
         # flat scan) — NOT a re-read of every round's delta files. The
         # store stays the commit-protocol source of truth for resume.
+        # (probe_from_store switches to the bucket-pruned cold path —
+        # wired below once the round's candidate buckets are known.)
         seen = seen_state
 
         scheduled, deferred = apply_domain_budget(
-            frontier, cfg, salt_shards=cfg.seen_salt_buckets
+            frontier, cfg, salt_shards=cfg.seen_salt_buckets, round_idx=r
         )
         if scheduled.isEmpty():
-            break  # budget starvation guard: nothing schedulable
+            # crawl-delay can legitimately shut every domain for a
+            # round (D > round_time phases) — skip ahead, the gate
+            # reopens within ceil(D/T) rounds. Without delay rules an
+            # empty schedule is budget starvation: stop.
+            if any(p.crawl_delay_ms > 0 for p in cfg.politeness):
+                rounds_run = r
+                continue
+            break
         tm.mark("schedule")
 
         round_persists: list = []
@@ -228,11 +245,35 @@ def run_crawl(
 
         links = link_candidates(expanded, cfg)
         landings = landing_candidates(expanded)
+        if cfg.probe_from_store:
+            # cold-probe path: the exact join reads only the candidate
+            # urls' hash buckets from the bucket-partitioned store
+            # (partition filters prune everything else). The collect is
+            # ≤ seen_buckets ints.
+            bks = {
+                row.b
+                for row in links.select(
+                    SnapshotStore.bucket_of(F.col("ins_url"), store.seen_buckets).alias("b")
+                )
+                .unionByName(
+                    landings.select(
+                        SnapshotStore.bucket_of(F.col("ins_url"), store.seen_buckets).alias("b")
+                    )
+                )
+                .distinct()
+                .collect()
+            }
+            pruned = store.read_seen_pruned(spark, sorted(bks))
+            if pruned is not None:
+                seen = pruned.select("url", "seq")
         inserts, drops = resolve_round_inserts(
             landings, links, seen, max_seq,
             # O1 two-phase rank once rounds get big (hint: last round's
             # insert volume); small rounds take the 1-job window path
             large_round=prev_inserts > 50_000,
+            bloom=bloom if bloom is not None
+            and bloom.n_keys >= cfg.bloom_min_keys else None,
+            residue_cap=cfg.redirect_residue_cap,
         )
         inserts = inserts.persist()
         drops = drops.persist()
@@ -318,6 +359,19 @@ def run_crawl(
             seen_state = seen_state.coalesce(
                 spark.sparkContext.defaultParallelism
             ).localCheckpoint()
+        if bloom is not None and n_inserts > 0:
+            bloom.insert(delta_ckpt.select("url"), n_keys=n_inserts)
+            bloom.rebuild_if_overloaded(seen_state.select("url"))
+        if cfg.compact_every > 0 and r % cfg.compact_every == 0:
+            # fold the delta log into the bucketed base and restart the
+            # in-memory lineage from the flat compacted scan
+            store.compact_seen(spark, r)
+            seen_state = (
+                store.read_seen(spark)
+                .select("url", "seq")
+                .repartition(spark.sparkContext.defaultParallelism)
+                .localCheckpoint()
+            )
 
         expanded.unpersist()
         inserts.unpersist()

@@ -50,12 +50,18 @@ class SnapshotStore:
     def _commit_path(self, r: int) -> str:
         return os.path.join(self.root, "commits", f"{r:06d}.json")
 
+    def _base_dir(self, r: int) -> str:
+        return os.path.join(self.root, "seen_base", f"v={r:06d}")
+
+    def _compaction_state_path(self) -> str:
+        return os.path.join(self.root, "commits", "compaction.json")
+
     # -- commit protocol -------------------------------------------------
     def last_committed_round(self) -> int | None:
         commits = [
             int(f.split(".")[0])
             for f in os.listdir(os.path.join(self.root, "commits"))
-            if f.endswith(".json")
+            if f.endswith(".json") and f.split(".")[0].isdigit()
         ]
         return max(commits) if commits else None
 
@@ -183,5 +189,81 @@ class SnapshotStore:
             out = out.unionByName(d)
         return out
 
+    # -- seen compaction + bucket-pruned probe ---------------------------
+    # A 1000-round crawl must not pay a 1000-way union per probe/resume:
+    # deltas ≤ W are periodically folded into ONE bucketed base table
+    # (Iceberg rewrite_data_files analog), and readers take base ∪
+    # deltas > W. Deltas are never deleted — they remain the per-round
+    # commit log (resume/lineage); the base is an accelerator, published
+    # atomically via dir-rename + state-file replace, so a kill mid-
+    # compaction leaves the previous view intact.
+
+    def compaction_round(self) -> int | None:
+        try:
+            with open(self._compaction_state_path()) as fh:
+                return int(json.load(fh)["base_round"])
+        except FileNotFoundError:
+            return None
+
+    def compact_seen(self, spark: SparkSession, upto: int) -> int:
+        """Fold seen deltas ≤ upto into a bucket-partitioned base table.
+        Returns the row count of the new base."""
+        deltas = self.read_union(spark, "seen_delta", upto)
+        if deltas is None:
+            return 0
+        tmp = os.path.join(self.root, "seen_base", f".tmp-{upto:06d}")
+        (
+            deltas.repartition(self.seen_buckets, "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(tmp)
+        )
+        final = self._base_dir(upto)
+        if os.path.exists(final):  # idempotent re-compaction
+            import shutil
+
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+        prev = self.compaction_round()
+        fd, tmp_state = tempfile.mkstemp(dir=os.path.join(self.root, "commits"))
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"base_round": upto}, fh)
+        os.replace(tmp_state, self._compaction_state_path())
+        if prev is not None and prev != upto:  # retire the old base
+            import shutil
+
+            shutil.rmtree(self._base_dir(prev), ignore_errors=True)
+        return spark.read.parquet(final).count()
+
     def read_seen(self, spark: SparkSession, upto: int | None = None) -> DataFrame | None:
-        return self.read_union(spark, "seen_delta", upto)
+        base_round = self.compaction_round()
+        if base_round is None or (upto is not None and upto < base_round):
+            # no base, or the reader wants a point-in-time view older
+            # than the base: the per-round delta log serves it
+            return self.read_union(spark, "seen_delta", upto)
+        base = spark.read.parquet(self._base_dir(base_round))
+        last = self.last_committed_round()
+        upto = last if upto is None else min(upto, last)
+        out = base
+        for r in range(base_round + 1, upto + 1):
+            path = self._round_dir(r, "seen_delta")
+            if self._has_data(path):
+                out = out.unionByName(spark.read.parquet(path))
+        return out
+
+    def read_seen_pruned(
+        self, spark: SparkSession, buckets, upto: int | None = None
+    ) -> DataFrame | None:
+        """Seen view restricted to the given url-hash buckets — the
+        filter lands on the parquet partition column, so a cold probe
+        scans only the candidate buckets' files (PartitionFilters in
+        the physical plan; tests/test_store_compaction.py asserts it)."""
+        df = self.read_seen(spark, upto)
+        if df is None:
+            return None
+        return df.where(F.col("bucket").isin(list(buckets)))
+
+    @staticmethod
+    def bucket_of(col, buckets: int = SEEN_BUCKETS):
+        """The url→bucket function (shared by writer and probe side)."""
+        return F.pmod(F.xxhash64(col), F.lit(buckets))

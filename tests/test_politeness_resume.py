@@ -122,6 +122,67 @@ def test_priority_dfs_prefers_depth(spark, tmp_path):
     assert deferred.count() == 2
 
 
+def test_crawl_delay_caps_per_round(spark):
+    """A4 crawl-delay: D ≤ T caps floor(T/D) per round; D > T opens the
+    gate only every ceil(D/T)-th round; budget-only domains are
+    untouched by the round index."""
+    from node_crawler_spark.operators.politeness import apply_domain_budget
+
+    rows = [(f"http://slow.test/p{i}", i + 1, None, False, True, 0) for i in range(6)]
+    rows += [(f"http://fast.test/p{i}", 10 + i, None, False, True, 0) for i in range(6)]
+    rows += [(f"http://plain.test/p{i}", 20 + i, None, False, True, 0) for i in range(6)]
+    frontier = spark.createDataFrame(
+        rows,
+        "url string, seq long, referrer string, is_external boolean, "
+        "crawl_links boolean, depth int",
+    )
+    cfg = CrawlConfig(
+        politeness=(
+            PolitenessRule("slow.test", budget=0, crawl_delay_ms=2000),  # 1 every 2 rounds
+            PolitenessRule("fast.test", budget=0, crawl_delay_ms=250),   # 4 per round
+            PolitenessRule("plain.test", budget=2),                      # budget only
+        ),
+        round_time_ms=1000,
+    )
+
+    def counts(round_idx):
+        sched, _ = apply_domain_budget(frontier, cfg, round_idx=round_idx)
+        out = {"slow": 0, "fast": 0, "plain": 0}
+        for r in sched.collect():
+            for k in out:
+                if k in r.url:
+                    out[k] += 1
+        return out
+
+    odd, even = counts(1), counts(2)
+    assert odd == {"slow": 0, "fast": 4, "plain": 2}
+    assert even == {"slow": 1, "fast": 4, "plain": 2}
+
+
+def test_crawl_delay_spreads_rounds_e2e(spark, tmp_path):
+    """End-to-end: a delayed domain's fetches land only on its due
+    rounds, the crawl still completes, and the delay gate's empty
+    rounds don't trip the drain detector."""
+    s = scenario("chain4")
+    pages, http = s.dfs(spark)
+    cfg = CrawlConfig(
+        politeness=(PolitenessRule("www.site.test", budget=0, crawl_delay_ms=3000),),
+        round_time_ms=1000,
+        max_rounds=40,
+    )
+    res = run_crawl(spark, cfg, pages, http, s.seeds, str(tmp_path / "delay"))
+    base = run_crawl(spark, s.cfg, pages, http, s.seeds, str(tmp_path / "base"))
+    # same coverage
+    assert {r.url for r in res.seen(spark).collect()} == {
+        r.url for r in base.seen(spark).collect()
+    }
+    crawled = res.crawled(spark).collect()
+    fetch_rounds = sorted(r.round for r in crawled)
+    # one fetch per due round, due rounds are multiples of ceil(3000/1000)=3
+    assert all(r % 3 == 0 for r in fetch_rounds), fetch_rounds
+    assert len(set(fetch_rounds)) == len(fetch_rounds)
+
+
 def test_kill_switch_then_resume(spark, tmp_path):
     """F7 analog: a KILL marker halts the loop at the next round
     boundary; removing it and resuming completes bit-identically."""
