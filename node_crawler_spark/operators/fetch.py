@@ -64,7 +64,7 @@ FETCHED_COLUMNS = [
     "url", "seq", "referrer", "is_external", "crawl_links", "depth",
     "page_url", "params_url", "params_external", "attempt", "type",
     "content_type_raw", "gzipped", "status_code", "error_code",
-    "redirects", "events", "ok",
+    "redirects", "events", "ok", "jar",
 ]
 
 
@@ -144,6 +144,7 @@ def run_fetch(
     http_last: DataFrame,
     cfg: CrawlConfig,
     persisted: list | None = None,
+    cookie_jar: DataFrame | None = None,
 ) -> DataFrame:
     """Resolve every scheduled fetch to its terminal outcome.
 
@@ -151,6 +152,14 @@ def run_fetch(
     seq, referrer, is_external, crawl_links. Returns FETCHED_COLUMNS;
     ``page_url`` is the final (post-redirect) page url, ``events`` the
     ordered redirect events for the S5 sink + D3 seen inserts.
+
+    ``cookie_jar``: one-column (domain) table of domains whose cookies
+    were committed by earlier rounds — the crawl-global jar
+    (crawler.js:31-36 keeps one jar for the whole crawl). Visibility
+    has a round barrier: a cookie set in round r gates fetches from
+    round r+1 on (plus the chain-local jar within a page's own
+    redirect/retry chain); same-round cross-page visibility — a race
+    under the reference's 4 workers too — is deliberately out.
     """
     events_ddl = f"array<{REDIRECT_EVENT_TYPE.simpleString()}>"
     empty_events = F.expr(f"cast(array() as {events_ddl})")
@@ -207,22 +216,32 @@ def run_fetch(
         )
         j = j.withColumn("eff_status", F.when(auth_ok, F.lit(200)).otherwise(F.col("m_status")))
 
-        # cookie gate: a requires_cookie row answers 403 unless a hop of
-        # this chain already stored a cookie for the url's domain
-        # (tests/func/cookieSpec.js:44-67 behavior; jar:false disables)
+        # cookie gate: a requires_cookie row answers 403 unless this
+        # chain stored a cookie for the url's domain OR an earlier
+        # round committed one (crawl-global jar, crawler.js:31-36;
+        # jar:false disables both)
+        cur_dom = F.lower(F.coalesce(F.parse_url("cur_url", F.lit("HOST")), F.lit("")))
+        have_cookie = F.array_contains(F.col("jar"), cur_dom)
+        if cookie_jar is not None:
+            j = j.join(
+                F.broadcast(
+                    cookie_jar.select(
+                        F.col("domain").alias("_g_dom")
+                    ).withColumn("_g_jar", F.lit(True))
+                ),
+                cur_dom == F.col("_g_dom"),
+                "left",
+            ).drop("_g_dom")
+            have_cookie = have_cookie | F.col("_g_jar").isNotNull()
+            j = j.withColumn("_have_cookie", have_cookie).drop("_g_jar")
+            have_cookie = F.col("_have_cookie")
         cookie_missing = (
             F.col("m_requires_cookie").eqNullSafe(True)
-            & (
-                F.lit(not cfg.use_cookies)
-                | ~F.array_contains(
-                    F.col("jar"),
-                    F.lower(F.coalesce(F.parse_url("cur_url", F.lit("HOST")), F.lit(""))),
-                )
-            )
+            & (F.lit(not cfg.use_cookies) | ~have_cookie)
         )
         j = j.withColumn(
             "eff_status", F.when(cookie_missing, F.lit(403)).otherwise(F.col("eff_status"))
-        )
+        ).drop("_have_cookie")
 
         is_redirect = (
             F.col("eff_status").isNotNull()
@@ -263,6 +282,25 @@ def run_fetch(
                     F.col("m_status").isNotNull(), F.col("cur_url")
                 ).otherwise(F.coalesce(F.col("resp_url"), F.col("page_url"))),
             }
+        )
+
+        # terminal responses with Set-Cookie also feed the jar (the
+        # request lib's jar stores cookies from every response, not
+        # just 30x hops) — surfaced in the output so the driver can
+        # commit them to the crawl-global jar for later rounds
+        t = t.withColumn(
+            "jar",
+            F.when(
+                F.col("m_set_cookie").isNotNull()
+                & F.lit(cfg.use_cookies)
+                & F.col("m_status").isNotNull(),
+                F.array_union(
+                    F.col("jar"),
+                    F.array(
+                        F.lower(F.coalesce(F.parse_url("cur_url", F.lit("HOST")), F.lit("")))
+                    ),
+                ),
+            ).otherwise(F.col("jar")),
         )
 
         # redirect bookkeeping (crawler.js:521-542, :474-504)
@@ -316,6 +354,7 @@ def run_fetch(
             F.col("a_error").alias("error_code"),
             "redirects", "events",
             ok.alias("ok"),
+            "jar",
         )
         done_parts.append(finished)
 

@@ -159,6 +159,14 @@ def run_crawl(
     http_exact = http_exact.persist()
     http_last = http_last.persist()
 
+    cookie_schema = "domain string"
+    # one probe per crawl: if no scripted response ever sets a cookie,
+    # every jar stays empty — skip the per-round cookie fold entirely
+    cookies_possible = (
+        cfg.use_cookies
+        and "set_cookie" in http_meta.columns
+        and not http_meta.where(F.col("set_cookie").isNotNull()).isEmpty()
+    )
     last = store.last_committed_round() if resume else None
     if last is not None:
         manifest = store.read_manifest(last)
@@ -166,6 +174,11 @@ def run_crawl(
         frontier = store.read_table(spark, last, "next_frontier")
         start_round = last + 1
         seen_state = store.read_seen(spark).select("url", "seq").localCheckpoint()
+        cookie_state = store.read_table(spark, last, "cookies")
+        if cookie_state is None:
+            cookie_state = spark.createDataFrame([], cookie_schema)
+        cookie_state = cookie_state.localCheckpoint()
+        n_cookie_domains = cookie_state.count()
     else:
         if initial_frontier is not None:
             frontier = initial_frontier
@@ -188,6 +201,8 @@ def run_crawl(
         frontier = store.read_table(spark, 0, "next_frontier")
         start_round = 1
         seen_state = frontier.select("url", "seq").localCheckpoint()
+        cookie_state = spark.createDataFrame([], cookie_schema)
+        n_cookie_domains = 0
 
     rounds_run = start_round - 1
     prev_inserts = max_seq  # round-size hint for the O1 rank strategy
@@ -232,7 +247,10 @@ def run_crawl(
 
         round_persists: list = []
         fetched = run_fetch(
-            scheduled, http_exact, http_last, cfg, persisted=round_persists
+            scheduled, http_exact, http_last, cfg, persisted=round_persists,
+            # crawl-global jar: domains whose cookies earlier rounds
+            # committed (round-barrier visibility; None skips the join)
+            cookie_jar=cookie_state if n_cookie_domains > 0 else None,
         )
         tm.mark("fetch")
         expanded = attach_bodies_and_links(fetched, pages).persist()
@@ -321,6 +339,18 @@ def run_crawl(
             )
         )
 
+        # crawl-global cookie jar: fold every domain any chain cookied
+        # this round into the committed jar (visible from round r+1)
+        if cookies_possible:
+            cookie_state = (
+                cookie_state.unionByName(
+                    expanded.select(F.explode("jar").alias("domain"))
+                )
+                .distinct()
+                .localCheckpoint()
+            )
+            n_cookie_domains = cookie_state.count()
+
         new_frontier = inserts.where(F.col("kind") == 1).select(
             F.col("ins_url").alias("url"),
             F.col("_new_seq").alias("seq"),
@@ -339,15 +369,18 @@ def run_crawl(
         # any instant leaves either no round r or a consistent one — no
         # placeholder-then-patch window (ADVICE r1)
         max_seq += n_inserts
+        round_tables = {
+            "crawled": crawled,
+            "errors": errors,
+            "redirects": redirect_sink,
+            "seen_delta": seen_delta,
+            "next_frontier": next_frontier,
+        }
+        if cookies_possible:  # resume reads it; absent table = empty jar
+            round_tables["cookies"] = cookie_state
         store.write_round(
             r,
-            {
-                "crawled": crawled,
-                "errors": errors,
-                "redirects": redirect_sink,
-                "seen_delta": seen_delta,
-                "next_frontier": next_frontier,
-            },
+            round_tables,
             extra={"max_seq": max_seq, "killed": False},
             known_counts={"seen_delta": n_inserts},
         )

@@ -279,6 +279,14 @@ def scenario(name: str) -> Scenario:  # noqa: C901 - a catalog is a catalog
                content_type=None, store_body=False, set_cookie="sid=abc")
         s.page(f"{BASE}/account", _links(), requires_cookie=True)
 
+    elif name == "cookie_cross_page":
+        # crawl-GLOBAL jar (crawler.js:31-36 — one jar per crawl, not
+        # per chain): the seed's 200 response sets a cookie; a linked
+        # page fetched a round later requires it. A chain-local model
+        # 403s the second page; cookieSpec.js crawl scope succeeds.
+        s.page(f"{BASE}/", _links("/member"), set_cookie="sid=abc")
+        s.page(f"{BASE}/member", _links(), requires_cookie=True)
+
     elif name == "cookie_jar_disabled":
         # jar:false — the cookie is never stored ⇒ landing 403s
         s.cfg = CrawlConfig(use_cookies=False)
@@ -316,7 +324,8 @@ ALL_SCENARIOS = [
     "redirect_dead_hop", "http_4xx", "transport_error",
     "hpe_external_forgiven", "auth_401", "malformed_html",
     "dup_links_one_page", "seed_fragment", "robots_block", "chain4",
-    "cookie_redirect", "cookie_jar_disabled", "dup_snapshots",
+    "cookie_redirect", "cookie_cross_page", "cookie_jar_disabled",
+    "dup_snapshots",
 ]
 
 

@@ -54,6 +54,7 @@ class SimPage:
     is_external: bool
     crawl_links: bool   # frozen at queue time (crawler.js:612)
     seq: int
+    depth: int = 0
     type: str = ""
     redirects: list = field(default_factory=list)
 
@@ -66,7 +67,14 @@ class SimResult:
     redirect_events: list  # dicts per onRedirect
 
 
-def simulate(cfg, seeds, pages_rows, http_rows) -> SimResult:
+def simulate(cfg, seeds, pages_rows, http_rows, workers: int = 1,
+             completion_order=None) -> SimResult:
+    """``workers`` models the reference's K-worker async queue
+    (crawler.js:23-26): up to K pages are dispatched FIFO as a batch;
+    ``completion_order`` (a callable batch→batch) permutes the order
+    their completions are processed in — the nondeterminism real
+    concurrent fetches introduce. Dispatch order is always FIFO.
+    workers=1 is the sequential oracle the goldens pin."""
     # latest snapshot per url (warc_ts desc) — matches the engine's pick
     page_store: dict[str, tuple] = {}
     for url, warc_ts, html, _text, _lang in pages_rows:
@@ -107,7 +115,7 @@ def simulate(cfg, seeds, pages_rows, http_rows) -> SimResult:
         path = d["pathname"]
         return any(host == dom and path.startswith(pref) for dom, pref in cfg.robots)
 
-    def enqueue(url: str, referrer, is_external: bool) -> bool:
+    def enqueue(url: str, referrer, is_external: bool, depth: int = 0) -> bool:
         # crawler.js:576-618 — gate order matters
         if is_external and not cfg.crawl_external:
             return False
@@ -129,6 +137,7 @@ def simulate(cfg, seeds, pages_rows, http_rows) -> SimResult:
                 is_external=is_external,
                 crawl_links=not is_external,
                 seq=len(seen),
+                depth=depth,
             )
         )
         return True
@@ -140,11 +149,20 @@ def simulate(cfg, seeds, pages_rows, http_rows) -> SimResult:
             url, referrer, is_external = (tuple(s) + (None, False))[:3]
             enqueue(url, referrer, bool(is_external))
 
-    while queue:
-        page = queue.popleft()
+    # crawl-global jar with round-barrier visibility: cookies set by
+    # pages at depth < d are visible to a page at depth d (the engine's
+    # BFS round r fetches depth r-1, so "committed by an earlier round"
+    # == "set at a strictly smaller depth" when politeness is off)
+    committed_cookies: dict[int, set] = {}
+
+    def _process(page: SimPage) -> None:
         dropped = False
         outcome = None  # (ok, status, err, ct_raw, ce, params_url)
 
+        visible: set[str] = set()
+        for d, doms in committed_cookies.items():
+            if d < page.depth:
+                visible |= doms
         jar: set[str] = set()  # chain-local cookie domains (crawler.js:272-278)
         for attempt in range(cfg.retries + 1):
             params_url = page.url
@@ -165,7 +183,8 @@ def simulate(cfg, seeds, pages_rows, http_rows) -> SimResult:
                     status = 200  # crawler.js:301-312
                 if row.get("req_cookie"):
                     dom = node_parse(cur)["hostname"]
-                    if not cfg.use_cookies or dom not in jar:
+                    if not cfg.use_cookies or (dom not in jar
+                                               and dom not in visible):
                         status = 403  # cookie gate (cookieSpec.js model)
                 if (status is not None and str(status).startswith("30")
                         and row["location"]):
@@ -186,6 +205,11 @@ def simulate(cfg, seeds, pages_rows, http_rows) -> SimResult:
             landing = cur if status is not None else (
                 resp_url if resp_url is not None else page.url
             )
+
+            # terminal responses with Set-Cookie also feed the jar
+            if (cfg.use_cookies and status is not None and row is not None
+                    and row.get("set_cookie")):
+                jar.add(node_parse(cur)["hostname"])
 
             if ct is not None:  # crawler.js:466-469 — sticky type
                 page.type = re.sub(r";.*", "", ct).strip()
@@ -220,8 +244,13 @@ def simulate(cfg, seeds, pages_rows, http_rows) -> SimResult:
             if ok or attempt >= cfg.retries:
                 break
 
+        # whatever happened (ok / error / dropped), cookies the chain
+        # stored are committed for later depths
+        if jar:
+            committed_cookies.setdefault(page.depth, set()).update(jar)
+
         if dropped or outcome is None:
-            continue
+            return
 
         ok, status, err, ct_raw, ce, params_url, params_external = outcome
         if ok:
@@ -240,7 +269,7 @@ def simulate(cfg, seeds, pages_rows, http_rows) -> SimResult:
                     if d["protocol"] in ("mailto:", "javascript:", "tel:") or d["host"] == "":
                         continue
                     ext = is_external_pair(page.ctor_href, link)
-                    enqueue(strip_fragment(link), page.url, ext)
+                    enqueue(strip_fragment(link), page.url, ext, page.depth + 1)
             crawled.append(
                 dict(seq=page.seq, url=page.url, queued_url=page.ctor_href,
                      referrer=page.referrer, is_external=page.is_external,
@@ -253,6 +282,13 @@ def simulate(cfg, seeds, pages_rows, http_rows) -> SimResult:
                      referrer=page.referrer, is_external=page.is_external,
                      type=page.type, error_code=err, status_code=status)
             )
+
+    while queue:
+        batch = [queue.popleft() for _ in range(min(workers, len(queue)))]
+        if completion_order is not None:
+            batch = completion_order(batch)
+        for page in batch:
+            _process(page)
 
     return SimResult(seen=seen, crawled=crawled, errors=errors,
                      redirect_events=redirect_events)
