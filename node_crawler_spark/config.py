@@ -56,6 +56,12 @@ class CrawlConfig:
     # (below it the exact anti-join is cheaper than the extra Arrow hop;
     # the filter is still maintained so engagement is instant)
     bloom_min_keys: int = 0
+    # ...and only when the seen set dwarfs the round: the prefilter
+    # pays when it spares a shuffle of seen >> candidates; while
+    # seen ≈ round size (BFS growth phase) the plain anti-join wins.
+    # Engaged iff n_keys >= max(bloom_min_keys, ratio * last_round_inserts).
+    # Set to 0.0 to force the bloom on regardless of round size.
+    bloom_engage_ratio: float = 10.0
     seen_salt_buckets: int = 32           # domain-hash salt for skew
     shuffle_partitions: int | None = None
     # contested-redirect residue rows above which the sequential walk

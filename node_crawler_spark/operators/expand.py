@@ -434,10 +434,13 @@ def resolve_round_inserts(
     # instead runs the SAME walk in a single executor task via
     # applyInPandas — sequential either way (it must be), but never an
     # unbounded driver-memory path.
+    # one materialization: the count, the walk (collect or executor
+    # task) and nothing else read this — without the checkpoint the
+    # probe lineage would run once per consumer
     marked = mark_seen(stream, seen_keys, bloom).select(
         "parent_seq", "kind", "pos", "ins_url",
         F.col("_seen").alias("in_seen"),
-    )
+    ).localCheckpoint()
     n_contested = marked.count()
     t0 = _pmark("contested.count", t0)
     if n_contested <= residue_cap:

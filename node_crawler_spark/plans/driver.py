@@ -289,8 +289,11 @@ def run_crawl(
             # O1 two-phase rank once rounds get big (hint: last round's
             # insert volume); small rounds take the 1-job window path
             large_round=prev_inserts > 50_000,
-            bloom=bloom if bloom is not None
-            and bloom.n_keys >= cfg.bloom_min_keys else None,
+            bloom=bloom
+            if bloom is not None
+            and bloom.n_keys
+            >= max(cfg.bloom_min_keys, cfg.bloom_engage_ratio * prev_inserts)
+            else None,
             residue_cap=cfg.redirect_residue_cap,
         )
         inserts = inserts.persist()

@@ -95,7 +95,8 @@ def test_crawl_identical_with_bloom_disabled(spark, tmp_path):
 
     s = scenario("chain4")
     pages, http = s.dfs(spark)
-    on = run_crawl(spark, s.cfg, pages, http, s.seeds, str(tmp_path / "on"))
+    cfg_on = CrawlConfig(**{**s.cfg.__dict__, "bloom_engage_ratio": 0.0})
+    on = run_crawl(spark, cfg_on, pages, http, s.seeds, str(tmp_path / "on"))
     cfg_off = CrawlConfig(**{**s.cfg.__dict__, "use_bloom_prefilter": False})
     off = run_crawl(spark, cfg_off, pages, http, s.seeds, str(tmp_path / "off"))
     a = sorted((r.seq, r.url) for r in on.seen(spark).collect())
