@@ -180,6 +180,22 @@ def main() -> None:
         "queries": queries,
         "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
         "crawl": crawl,
+        # last OFFICIAL `--scaling` run (not re-measured in this
+        # invocation — full legs + per-phase decomposition + the
+        # box's Spark-ceiling controls live in BENCH/BASELINE.md §2-3)
+        "scaling_recorded": {
+            "date": "2026-08-17",
+            "steady_urls_per_sec": {"local[2]": 4309, "local[8]": 8531,
+                                    "local[32]": 6091},
+            "efficiency_2_to_8": 0.495,
+            "efficiency_8_to_32": 0.179,
+            "spark_ceiling_controls_2_to_8": {"codegen": 0.60,
+                                              "shuffle": 0.60,
+                                              "arrow_udf": 0.74},
+            "note": "codegen control = simplest possible Spark job; "
+                    "0.8 unreachable by any Spark program on this box "
+                    "(see BENCH/BASELINE.md)",
+        },
     }
 
     if args.scaling:

@@ -36,27 +36,27 @@ def main() -> None:
 
     out = {"cores": n}
 
-    # A: codegen-only aggregate, 2e9 rows of xxhash64
+    # A: codegen-only aggregate, 8e9 rows of xxhash64
     t0 = time.perf_counter()
-    spark.range(0, 2_000_000_000, 1, n * 4).selectExpr(
+    spark.range(0, 8_000_000_000, 1, n * 4).selectExpr(
         "sum(xxhash64(id) % 1000000) as s"
     ).collect()
     out["a_codegen_sec"] = round(time.perf_counter() - t0, 2)
 
-    # B: shuffled groupBy, 100M rows -> 1M groups
+    # B: shuffled groupBy, 400M rows -> 1M groups
     t0 = time.perf_counter()
-    spark.range(0, 100_000_000, 1, n * 4).groupBy(
+    spark.range(0, 400_000_000, 1, n * 4).groupBy(
         (F.col("id") % 1_000_000).alias("k")
     ).agg(F.count("id").alias("c")).selectExpr("sum(c)").collect()
     out["b_shuffle_sec"] = round(time.perf_counter() - t0, 2)
 
-    # C: Arrow pandas-UDF pass over 100M rows
+    # C: Arrow pandas-UDF pass over 400M rows
     @F.pandas_udf("long")
     def bump(s: pd.Series) -> pd.Series:
         return s * 3 + 1
 
     t0 = time.perf_counter()
-    spark.range(0, 100_000_000, 1, n * 4).select(
+    spark.range(0, 400_000_000, 1, n * 4).select(
         F.count(bump("id"))
     ).collect()
     out["c_arrow_udf_sec"] = round(time.perf_counter() - t0, 2)
