@@ -185,9 +185,9 @@ def main() -> None:
         # box's Spark-ceiling controls live in BENCH/BASELINE.md §2-3)
         "scaling_recorded": {
             "date": "2026-08-17",
-            "steady_urls_per_sec": {"local[2]": 4309, "local[8]": 8531,
+            "steady_urls_per_sec": {"local[2]": 3901, "local[8]": 9141,
                                     "local[32]": 6091},
-            "efficiency_2_to_8": 0.495,
+            "efficiency_2_to_8": 0.586,
             "efficiency_8_to_32": 0.179,
             "spark_ceiling_controls_2_to_8": {"codegen": 0.60,
                                               "shuffle": 0.60,

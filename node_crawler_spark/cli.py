@@ -34,9 +34,18 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--auth", action="store_true")
     ap.add_argument("--max-rounds", type=int, default=1000)
     ap.add_argument("--budget", action="append", default=[],
-                    help="politeness domain=budget (repeatable)")
+                    help="politeness domain=budget[:delay_ms] (repeatable; "
+                         "budget 0 = unlimited, delay-only rule)")
     ap.add_argument("--robots", action="append", default=[],
                     help="robots rule domain=/disallow-prefix (repeatable)")
+    ap.add_argument("--priority", choices=["fifo", "dfs"], default="fifo",
+                    help="within-domain scheduling priority (O4)")
+    ap.add_argument("--compact-every", type=int, default=0,
+                    help="fold seen deltas into the bucketed base every N rounds")
+    ap.add_argument("--probe-from-store", action="store_true",
+                    help="bucket-pruned cold seen probe from the store")
+    ap.add_argument("--no-bloom", action="store_true",
+                    help="disable the bloom seen prefilter")
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     return ap
@@ -45,8 +54,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
 def config_from_args(args) -> CrawlConfig:
     politeness = []
     for spec in args.budget:
-        domain, _, budget = spec.partition("=")
-        politeness.append(PolitenessRule(domain=domain, budget=int(budget)))
+        domain, _, rest = spec.partition("=")
+        budget, _, delay = rest.partition(":")
+        politeness.append(
+            PolitenessRule(
+                domain=domain,
+                budget=int(budget),
+                crawl_delay_ms=int(delay) if delay else 0,
+            )
+        )
     robots = []
     for spec in args.robots:
         domain, _, prefix = spec.partition("=")
@@ -59,6 +75,10 @@ def config_from_args(args) -> CrawlConfig:
         max_rounds=args.max_rounds,
         politeness=tuple(politeness),
         robots=tuple(robots),
+        priority=args.priority,
+        compact_every=args.compact_every,
+        probe_from_store=args.probe_from_store,
+        use_bloom_prefilter=not args.no_bloom,
     )
 
 
@@ -66,9 +86,14 @@ def main(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
     cfg = config_from_args(args)
 
+    from pyspark.sql import SparkSession
+
     from node_crawler_spark.plans.driver import run_crawl
     from node_crawler_spark.session import build_session
 
+    # getOrCreate may hand us a pre-existing session (embedded use /
+    # tests) — only stop what we started
+    owns_session = SparkSession.getActiveSession() is None
     spark = build_session(
         app_name="node-crawler-spark",
         master=args.master,
@@ -102,7 +127,8 @@ def main(argv=None) -> int:
         "per_round": per_round,
     }
     print(json.dumps(summary))
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 

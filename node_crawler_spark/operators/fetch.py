@@ -35,7 +35,7 @@ the Arrow-vectorized relative-``Location`` resolver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -88,42 +88,68 @@ def _meta_columns(http_meta: DataFrame):
     return cols
 
 
-def prepare_http_meta(http_meta: DataFrame):
-    """Split http_meta into an exact (url, attempt) lookup plus a
-    per-url last-attempt fallback (reference: a retried request that
-    runs out of scripted attempts observes the last response again).
+_META_FIELDS = (
+    "m_status", "m_location", "m_content_type", "m_content_encoding",
+    "m_content_length", "m_error_code", "m_requires_auth",
+    "m_set_cookie", "m_requires_cookie",
+)
 
-    The fallback window runs once per crawl over http_meta; both sides
-    are reused (cached by the driver loop) across rounds.
-    """
-    exact = http_meta.select(
-        F.col("url").alias("m_url"), F.col("attempt").alias("m_attempt"),
-        *_meta_columns(http_meta),
+
+def prepare_http_meta(http_meta: DataFrame) -> DataFrame:
+    """ONE row per url: a map attempt→response plus the last scripted
+    attempt (reference: a retried request that runs out of scripted
+    attempts observes the last response again).
+
+    Why a map instead of the r1 (exact, last) pair of tables: the
+    fetch loop used to run TWO joins per iteration — an exact
+    (url, attempt) join plus a fallback join that reshuffled the whole
+    last-attempt table for a tiny miss side, every iteration. The
+    per-url grouping makes it one equi-join on url with the
+    exact-vs-fallback choice as a map lookup in codegen, and the
+    result is persisted pre-partitioned on the join key, so each
+    iteration exchanges only the (shrinking) pending side."""
+    meta_struct = F.struct(*_meta_columns(http_meta))
+    per_attempt = (
+        http_meta.select(
+            F.col("url").alias("m_url"),
+            F.col("attempt").alias("m_attempt"),
+            meta_struct.alias("m_row"),
+        )
+        .groupBy("m_url", "m_attempt")
+        .agg(F.first("m_row").alias("m_row"))
     )
-    w = Window.partitionBy("url").orderBy(F.col("attempt").desc())
-    last = (
-        http_meta.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(F.col("url").alias("m_url"), *_meta_columns(http_meta))
+    spark = http_meta.sparkSession
+    return (
+        per_attempt.groupBy("m_url")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("m_attempt"), F.col("m_row")))
+            ).alias("m_map"),
+            F.max_by("m_row", "m_attempt").alias("m_last"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "m_url")
     )
-    return exact, last
 
 
-def _join_meta(pending: DataFrame, exact: DataFrame, last: DataFrame) -> DataFrame:
+def _join_meta(pending: DataFrame, http_by_url: DataFrame) -> DataFrame:
     """Effective http response for each in-flight row at its current
-    hop url and attempt number (exact match, else last scripted
-    attempt, else transport error — modeled as a join miss)."""
-    hit = pending.join(
-        exact,
-        (pending.cur_url == exact.m_url) & (pending.attempt == exact.m_attempt),
-        "left",
-    ).drop("m_url", "m_attempt")
-    matched = hit.where(F.col("m_status").isNotNull() | F.col("m_error_code").isNotNull())
-    missed = hit.where(
-        F.col("m_status").isNull() & F.col("m_error_code").isNull()
-    ).select(*pending.columns)
-    fallback = missed.join(last, missed.cur_url == last.m_url, "left").drop("m_url")
-    return matched.unionByName(fallback)
+    hop url and attempt number (exact attempt, else last scripted
+    attempt, else transport error — modeled as a join miss). Single
+    equi-join; the choice is a codegen map lookup."""
+    j = pending.join(
+        http_by_url, pending.cur_url == http_by_url.m_url, "left"
+    ).drop("m_url")
+    chosen = F.col("m_map")[F.col("attempt")]
+    # an exact-attempt row with neither status nor error defers to the
+    # last attempt — the r1 two-join semantics, preserved
+    use_last = chosen.isNull() | (
+        chosen["m_status"].isNull() & chosen["m_error_code"].isNull()
+    )
+    j = j.withColumn(
+        "_eff", F.when(use_last, F.col("m_last")).otherwise(chosen)
+    ).drop("m_map", "m_last")
+    j = j.withColumns({f: F.col("_eff")[f] for f in _META_FIELDS})
+    return j.drop("_eff")
 
 
 def _is_external_pair(a, b):
@@ -140,8 +166,7 @@ def _is_external_pair(a, b):
 
 def run_fetch(
     scheduled: DataFrame,
-    http_exact: DataFrame,
-    http_last: DataFrame,
+    http_by_url: DataFrame,
     cfg: CrawlConfig,
     persisted: list | None = None,
     cookie_jar: DataFrame | None = None,
@@ -203,7 +228,7 @@ def run_fetch(
         # finished split and the residue filter); lineage stays shallow
         # because `pending` below is checkpointed every iteration, so no
         # row-RDD localCheckpoint (2× heavier write) is needed here
-        j = _join_meta(pending, http_exact, http_last).persist()
+        j = _join_meta(pending, http_by_url).persist()
         if persisted is not None:
             persisted.append(j)
 

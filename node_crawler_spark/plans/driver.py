@@ -155,9 +155,7 @@ def run_crawl(
     resumed/bulk frontier (and the scaling benchmark's single big
     round)."""
     store = SnapshotStore(store_root)
-    http_exact, http_last = prepare_http_meta(http_meta)
-    http_exact = http_exact.persist()
-    http_last = http_last.persist()
+    http_by_url = prepare_http_meta(http_meta).persist()
 
     cookie_schema = "domain string"
     # one probe per crawl: if no scripted response ever sets a cookie,
@@ -247,7 +245,7 @@ def run_crawl(
 
         round_persists: list = []
         fetched = run_fetch(
-            scheduled, http_exact, http_last, cfg, persisted=round_persists,
+            scheduled, http_by_url, cfg, persisted=round_persists,
             # crawl-global jar: domains whose cookies earlier rounds
             # committed (round-barrier visibility; None skips the join)
             cookie_jar=cookie_state if n_cookie_domains > 0 else None,
@@ -418,6 +416,5 @@ def run_crawl(
         rounds_run = r
         tm.report()
 
-    http_exact.unpersist()
-    http_last.unpersist()
+    http_by_url.unpersist()
     return CrawlResult(store=store, rounds=rounds_run, max_seq=max_seq)

@@ -915,10 +915,19 @@ shingles AS (SELECT DISTINCT doc_id,
 def _minhash_bands(shingles: DataFrame) -> DataFrame:
     """(doc_id, band, bucket): 16 portable min-hashes in ONE groupBy
     pass, banded 4×4 via a posexplode (no per-band recompute of the
-    aggregate lineage — the r1 plan re-read it 4×)."""
-    mins = shingles.groupBy("doc_id").agg(
+    aggregate lineage — the r1 plan re-read it 4×).
+
+    One md5 per shingle, not 16: Kirsch-Mitzenmacher double hashing
+    h_i = h1 + i·h2 with h1 = 60 bits (hex 1-15) and h2 = 48 bits
+    (hex 17-28) of the same digest — i·h2 < 2^52 so the sum never
+    overflows a signed 64-bit int in either engine (Spark ANSI mode
+    would error on overflow; DuckDB would too)."""
+    h1 = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5("shingle"), 17, 12), 16, 10).cast("long")
+    hashed = shingles.select("doc_id", h1.alias("_h1"), h2.alias("_h2"))
+    mins = hashed.groupBy("doc_id").agg(
         *[
-            F.min(_phash(F.col("shingle"), str(i))).alias(f"h{i}")
+            F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"h{i}")
             for i in range(MH_PERMS)
         ]
     )
@@ -940,8 +949,10 @@ def _minhash_bands(shingles: DataFrame) -> DataFrame:
 
 
 def _minhash_bands_sql() -> str:
+    h1 = "CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)"
+    h2 = "CAST('0x' || substr(md5(shingle), 17, 12) AS BIGINT)"
     mins_cols = ",\n       ".join(
-        f"MIN({_phash_sql('shingle', str(i))}) AS h{i}" for i in range(MH_PERMS)
+        f"MIN(({h1}) + {i} * ({h2})) AS h{i}" for i in range(MH_PERMS)
     )
     band_rows = "\n  UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5({expr}) AS bucket FROM mins".format(

@@ -1,0 +1,58 @@
+"""S7 — the debugger.js-analog CLI, end to end: parquet inputs →
+run_crawl → per-round metrics + JSON summary (previously the one §2.1
+row without a pytest)."""
+
+from __future__ import annotations
+
+import json
+
+from node_crawler_spark.cli import build_arg_parser, config_from_args, main
+from node_crawler_spark.sources.fixtures import scenario
+
+
+def test_config_from_args_parses_new_knobs():
+    ap = build_arg_parser()
+    args = ap.parse_args(
+        [
+            "--seeds", "http://a.test/",
+            "--pages", "p", "--http-meta", "h", "--store", "s",
+            "--budget", "a.test=3:1500",
+            "--budget", "b.test=0:4000",
+            "--exclude", r"\.pdf$",
+            "--priority", "dfs",
+            "--compact-every", "4",
+            "--probe-from-store",
+        ]
+    )
+    cfg = config_from_args(args)
+    assert cfg.politeness[0].budget == 3
+    assert cfg.politeness[0].crawl_delay_ms == 1500
+    assert cfg.politeness[1].budget == 0  # delay-only rule
+    assert cfg.politeness[1].crawl_delay_ms == 4000
+    assert cfg.priority == "dfs"
+    assert cfg.compact_every == 4
+    assert cfg.probe_from_store
+    assert cfg.use_bloom_prefilter
+
+
+def test_cli_end_to_end(spark, tmp_path, capsys):
+    s = scenario("chain4")
+    pages, http = s.dfs(spark)
+    pages.write.parquet(str(tmp_path / "pages"))
+    http.write.parquet(str(tmp_path / "http"))
+
+    rc = main(
+        [
+            "--seeds", *s.seeds,
+            "--pages", str(tmp_path / "pages"),
+            "--http-meta", str(tmp_path / "http"),
+            "--store", str(tmp_path / "store"),
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr()
+    summary = json.loads(out.out.strip().splitlines()[-1])
+    assert summary["urls_seen"] == 6  # chain4: /, a, b, a2, c, d
+    assert summary["rounds"] >= 4
+    assert any("seen_delta" in row for row in summary["per_round"])
+    assert "round 1:" in out.err
