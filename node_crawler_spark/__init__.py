@@ -18,6 +18,7 @@ See SURVEY.md for the operator-by-operator mapping to the reference
 (file:line citations live in each module's docstrings).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
-from node_crawler_spark.config import CrawlConfig  # noqa: F401
+from node_crawler_spark.config import CrawlConfig, PolitenessRule  # noqa: F401
+from node_crawler_spark.crawler import Crawler  # noqa: F401

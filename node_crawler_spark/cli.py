@@ -38,6 +38,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                          "budget 0 = unlimited, delay-only rule)")
     ap.add_argument("--robots", action="append", default=[],
                     help="robots rule domain=/disallow-prefix (repeatable)")
+    ap.add_argument("--robots-from-store", action="store_true",
+                    help="also derive rules from robots.txt snapshots "
+                         "found in the page store")
     ap.add_argument("--priority", choices=["fifo", "dfs"], default="fifo",
                     help="within-domain scheduling priority (O4)")
     ap.add_argument("--compact-every", type=int, default=0,
@@ -101,6 +104,17 @@ def main(argv=None) -> int:
     )
     pages = spark.read.parquet(args.pages)
     http_meta = spark.read.parquet(args.http_meta)
+
+    if args.robots_from_store:
+        import dataclasses
+
+        from node_crawler_spark.operators.robots import (
+            robots_rules_from_pages,
+            rules_tuples,
+        )
+
+        derived = rules_tuples(robots_rules_from_pages(pages))
+        cfg = dataclasses.replace(cfg, robots=cfg.robots + derived)
 
     res = run_crawl(
         spark, cfg, pages, http_meta, args.seeds, args.store, resume=args.resume
