@@ -67,14 +67,13 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def run_crawl_bench(spark, n_urls: int, hot_pct: float = 0.0) -> dict:
+def run_crawl_bench(spark, n_urls: int) -> dict:
     from node_crawler_spark.config import CrawlConfig
     from node_crawler_spark.plans.driver import run_crawl
     from node_crawler_spark.sources.fixtures import synthetic_webgraph
 
     pages, http, seeds = synthetic_webgraph(
-        spark, n_urls, n_domains=max(16, n_urls // 500),
-        links_per_page=8, hot_domain_pct=hot_pct,
+        spark, n_urls, n_domains=max(16, n_urls // 500), links_per_page=8,
     )
     pages = pages.persist()
     http = http.persist()

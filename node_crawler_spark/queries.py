@@ -129,6 +129,62 @@ LIMIT 10
 """
 
 
+def q5_region_supplier_rollup(spark, sf_dir):
+    """J1 dimension-chain analog on the remaining TPC-H dims: region ⋈
+    nation ⋈ supplier rollup (both dim joins broadcast)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.countDistinct("n_name").alias("n_nations"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+Q5_SQL = """
+SELECT r_name, COUNT(*) AS n_suppliers, COUNT(DISTINCT n_name) AS n_nations,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+def p_part_type_stats(spark, sf_dir):
+    """Projection/aggregate over part: per-type counts + pinned-decimal
+    retail-price stats (completes table coverage of /root/testdata)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min(F.col("p_retailprice").cast("decimal(18,2)")).alias("min_price"),
+            F.max(F.col("p_retailprice").cast("decimal(18,2)")).alias("max_price"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_price"),
+        )
+        .orderBy("p_type")
+    )
+
+
+P_PART_SQL = """
+SELECT p_type, COUNT(*) AS n_parts,
+       MIN(CAST(p_retailprice AS DECIMAL(18,2))) AS min_price,
+       MAX(CAST(p_retailprice AS DECIMAL(18,2))) AS max_price,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+FROM part
+GROUP BY p_type
+ORDER BY p_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Filters / projections (F1-F5, P2, P6 analogs)
 # ---------------------------------------------------------------------------
@@ -1230,6 +1286,8 @@ ORDER BY doc_a, doc_b
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
+    "q5_region_supplier_rollup": q5_region_supplier_rollup,
+    "p_part_type_stats": p_part_type_stats,
     "f_filter_gates": f_filter_gates,
     "f_exclude_rlike": f_exclude_rlike,
     "p_mime_normalize": p_mime_normalize,
@@ -1261,6 +1319,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,
+    "q5_region_supplier_rollup": Q5_SQL,
+    "p_part_type_stats": P_PART_SQL,
     "f_filter_gates": F_FILTER_SQL,
     "f_exclude_rlike": F_EXCLUDE_SQL,
     "p_mime_normalize": P_MIME_SQL,

@@ -338,7 +338,6 @@ def synthetic_webgraph(
     n_urls: int,
     n_domains: int = 100,
     links_per_page: int = 8,
-    hot_domain_pct: float = 0.0,
     error_pct: float = 0.02,
     redirect_pct: float = 0.02,
     partitions: int | None = None,
@@ -351,8 +350,10 @@ def synthetic_webgraph(
     urls via deterministic hashes (link 0 = i+1, an exact Hamiltonian
     edge, so BFS from p0 reaches every url), plus one external link
     per page to exercise the F2/F3 gates. ``n_domains`` shapes the
-    external-link fan; at hot_domain_pct the *internal* url space is
-    what a politeness budget throttles. Bodies are real HTML built
+    external-link fan. The internal url space lives on ONE domain —
+    the graph is maximally hot by construction, which is what a
+    politeness budget throttles (the skew-shape politeness tests use
+    their own multi-domain frontiers). Bodies are real HTML built
     executor-side; nothing materializes on the driver.
     """
     base = spark.range(0, n_urls, 1, partitions or spark.sparkContext.defaultParallelism)
