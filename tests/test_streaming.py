@@ -48,3 +48,40 @@ def test_seed_ingest_drains_and_dedups(spark, tmp_path):
         "http://www.site.test/new",
         "http://www.site.test/page",
     ], "no duplicates across micro-batches"
+
+
+def test_token_bucket_stateful_politeness(spark, tmp_path):
+    """applyInPandasWithState token bucket (§2.9): capacity 2, refill 2
+    — batch 1 admits 2 of 4 hot-domain urls; the refill admits 2 more
+    in batch 2; the cold domain is independent state."""
+    from node_crawler_spark.streaming.token_bucket import start_token_bucket
+
+    urls_dir = str(tmp_path / "urls")
+    out_dir = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "tb_ckpt")
+
+    _write_seed_file(urls_dir, "b1.txt", [
+        "http://hot.test/p1", "http://hot.test/p2",
+        "http://hot.test/p3", "http://hot.test/p4",
+        "http://cold.test/x",
+    ])
+    q = start_token_bucket(spark, urls_dir, out_dir, ckpt,
+                           capacity=2, refill=2, available_now=True)
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(out_dir).collect()
+    hot = {r.url: r.admitted for r in rows if r.domain == "hot.test"}
+    assert sum(hot.values()) == 2, hot      # 2 of 4 admitted
+    assert len(hot) == 4
+    assert all(r.admitted for r in rows if r.domain == "cold.test")
+
+    # batch 2: refill lets two deferred urls through on resubmission
+    _write_seed_file(urls_dir, "b2.txt", [
+        u for u, ok in sorted(hot.items()) if not ok
+    ])
+    q = start_token_bucket(spark, urls_dir, out_dir, ckpt,
+                           capacity=2, refill=2, available_now=True)
+    q.awaitTermination(120)
+    rows2 = spark.read.parquet(out_dir).collect()
+    hot_admitted = [r.url for r in rows2 if r.domain == "hot.test" and r.admitted]
+    assert len(hot_admitted) == 4, "refill admits the deferred pair"
