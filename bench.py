@@ -12,9 +12,10 @@ The headline metric follows BASELINE.json: URLs scheduled+deduped per
 second through the full pipeline (canonicalize → politeness window →
 fetch join → link explode/resolve → seen anti-join → rank → commit).
 
-``--scaling`` additionally runs the same crawl at local[8] and
-local[32] and reports throughput at both plus scaling efficiency
-(the sandbox substitute for N vs 4N executors — see BASELINE.md).
+``--scaling`` additionally runs the steady-state round at local[2],
+local[8] and local[32] (one process per leg) and reports throughput
+plus N→4N scaling efficiency (the sandbox substitute for N vs 4N
+executors — see BENCH/BASELINE.md for the ceiling controls).
 """
 
 from __future__ import annotations

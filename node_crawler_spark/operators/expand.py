@@ -343,7 +343,6 @@ def resolve_round_inserts(
     links: DataFrame,
     seen: DataFrame,
     max_seq: int,
-    max_fixpoint_iters: int = 10,
     large_round: bool = False,
     bloom: BloomSeenSet | None = None,
     residue_cap: int = 200_000,
@@ -371,6 +370,11 @@ def resolve_round_inserts(
     empty_landings = landings.isEmpty()
     t0 = _pmark("landings.isEmpty", t0)
     if empty_landings:
+        if bloom is not None:
+            # the bloom probe splits into maybe/definitely-not branches
+            # whose union would otherwise recompute the links lineage
+            # (explode + url gates) once per branch
+            links = links.localCheckpoint()
         w = Window.partitionBy("ins_url").orderBy("parent_seq", "kind", "pos")
         probed = (
             mark_seen(links, seen_keys, bloom)
