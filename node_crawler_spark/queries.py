@@ -800,7 +800,8 @@ def sim_ann_lsh_pairs(spark, sf_dir):
     )
 
 
-def _lsh_sql() -> str:
+def _lsh_ctes() -> str:
+    """The shared v/hashed/bands CTE block of the LSH SQL oracles."""
     bit_cols = ",\n       ".join(
         f"CASE WHEN ({_proj_sql('emb', _LSH_COEFS[p])}) > 0 THEN 1 ELSE 0 END AS b{p}"
         for p in range(LSH_PLANES)
@@ -814,12 +815,16 @@ def _lsh_sql() -> str:
         )
         for band in range(LSH_BANDS)
     )
-    return f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    return f"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 hashed AS (SELECT vec_id, emb,
        {bit_cols}
 FROM v),
-bands AS ({band_rows})
+bands AS ({band_rows})"""
+
+
+def _lsh_sql() -> str:
+    return f"""
+WITH {_lsh_ctes()}
 SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND(({_dot_sql('a.emb', 'b.emb')})
              / (sqrt({_dot_sql('a.emb', 'a.emb')}) * sqrt({_dot_sql('b.emb', 'b.emb')})), 4) AS cosine
@@ -832,6 +837,55 @@ ORDER BY vec_a, vec_b
 
 
 SIM_LSH_SQL = _lsh_sql()
+
+
+def sim_ann_lsh_recall(spark, sf_dir):
+    """LSH quality, quantified: recall of the band-bucket candidate
+    pairs against the exact all-pairs cosine ≥ 0.45 truth
+    (dedup_embedding_cosine). One row: n_true, n_found, n_hit,
+    recall — all oracle-reproduced (the hyperplanes are shared
+    literals)."""
+    truth = dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    found = sim_ann_lsh_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    hit = truth.join(found, ["vec_a", "vec_b"], "left_semi")
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(found.agg(F.count(F.lit(1)).alias("n_found")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_true",
+            "n_found",
+            "n_hit",
+            F.round(F.col("n_hit").cast("double") / F.col("n_true"), 4).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+def _lsh_recall_sql() -> str:
+    return f"""
+WITH {_lsh_ctes()},
+found AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+          WHERE ROUND(({_dot_sql('a.emb', 'b.emb')})
+                / (sqrt({_dot_sql('a.emb', 'a.emb')}) * sqrt({_dot_sql('b.emb', 'b.emb')})), 4) >= 0.45),
+truth AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM v a, v b
+          WHERE a.vec_id < b.vec_id
+            AND ROUND(({_dot_sql('a.emb', 'b.emb')})
+                / (sqrt({_dot_sql('a.emb', 'a.emb')}) * sqrt({_dot_sql('b.emb', 'b.emb')})), 4) >= 0.45),
+hit AS (SELECT * FROM truth WHERE (vec_a, vec_b) IN (SELECT (vec_a, vec_b) FROM found))
+SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+       (SELECT COUNT(*) FROM found) AS n_found,
+       (SELECT COUNT(*) FROM hit) AS n_hit,
+       ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+             / (SELECT COUNT(*) FROM truth), 4) AS recall
+"""
+
+
+SIM_LSH_RECALL_SQL = _lsh_recall_sql()
 
 
 # ---- IVF ANN (engine-portable) --------------------------------------------
@@ -1309,6 +1363,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_label_centroid_norm": sim_label_centroid_norm,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "sim_ann_lsh_pairs": sim_ann_lsh_pairs,
+    "sim_ann_lsh_recall": sim_ann_lsh_recall,
     "sim_ann_ivf_topk": sim_ann_ivf_topk,
     "minhash_near_dup": minhash_near_dup,
     "minhash_recall": minhash_recall,
@@ -1342,6 +1397,7 @@ ORACLES: dict[str, str] = {
     "sim_label_centroid_norm": SIM_CENTROID_SQL,
     "dedup_embedding_cosine": DEDUP_EMB_SQL,
     "sim_ann_lsh_pairs": SIM_LSH_SQL,
+    "sim_ann_lsh_recall": SIM_LSH_RECALL_SQL,
     "sim_ann_ivf_topk": SIM_IVF_SQL,
     "minhash_near_dup": MINHASH_SQL,
     "minhash_recall": MINHASH_RECALL_SQL,
