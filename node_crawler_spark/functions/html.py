@@ -104,7 +104,7 @@ def decode_extract_resolve(
     (decode_body → extract_links → resolve_links) moves the body text
     across the JVM↔Python socket three times; at crawl scale the body
     bytes dominate traffic, so the fused kernel is the hot path."""
-    from node_crawler_spark.functions.urlkit import node_resolve
+    from node_crawler_spark.functions.urlkit import resolve_many
 
     gz = gzipped.fillna(False)
     texts, links = [], []
@@ -112,7 +112,7 @@ def decode_extract_resolve(
         t = decode_body_py(r, bool(g))
         texts.append(t)
         if t:
-            links.append([node_resolve(base, h) for h in extract_links_py(t)])
+            links.append(resolve_many(base, extract_links_py(t)))
         else:
             links.append([])
     return pd.DataFrame({"text": texts, "links": links}, index=raw.index)

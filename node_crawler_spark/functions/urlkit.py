@@ -170,6 +170,35 @@ def node_href(url: str) -> str:
     return node_parse(url)["href"]
 
 
+# resolve fast path: absolute-path href with no query/fragment/escapable
+# chars against a canonical slashed-protocol base — the dominant link
+# shape in a domain crawl ("/p123" against "http://host/...").
+_SIMPLE_ABS_PATH_RE = re.compile(r"^/(?:[^/ \t\n\r\"'<>`{}|\\^#?][^ \t\n\r\"'<>`{}|\\^#?]*)?$")
+_ORIGIN_RE = re.compile(
+    r"^((?:http|https|ftp|ws|wss)://[a-z0-9](?:[a-z0-9.-]*[a-z0-9])?(?::\d+)?)/"
+)
+
+
+def resolve_many(base: str, hrefs) -> list[str]:
+    """node_resolve for a page's whole href list: the base's origin is
+    matched ONCE and same-origin absolute-path links concatenate
+    directly (provably equal to urljoin+node_href for this shape);
+    everything else takes the full path. Semantics identical to
+    [node_resolve(base, h) for h in hrefs] — pinned by
+    tests/test_urlkit.py::test_resolve_many_equals_node_resolve."""
+    b = "" if base is None else str(base)
+    om = _ORIGIN_RE.match(b)
+    origin = om.group(1) if om else None
+    out = []
+    for href in hrefs:
+        h = "" if href is None else str(href).strip()
+        if origin is not None and h.startswith("/") and _SIMPLE_ABS_PATH_RE.match(h):
+            out.append(origin + h)
+        else:
+            out.append(node_resolve(b, h))
+    return out
+
+
 def node_resolve(base: str, href: str) -> str:
     """``urllib.resolve(base, href)`` (crawler.js:91, :135).
 
@@ -260,7 +289,7 @@ def resolve_links(base: pd.Series, links: pd.Series) -> pd.Series:
         if hrefs is None or len(hrefs) == 0:
             out.append([])
         else:
-            out.append([node_resolve(page_url, h) for h in hrefs])
+            out.append(resolve_many(page_url, hrefs))
     return pd.Series(out, index=base.index)
 
 

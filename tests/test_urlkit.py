@@ -278,3 +278,33 @@ class TestHtmlFunctions:
         got = df.select(extract_links("html").alias("links")).collect()
         assert got[0]["links"] == ["/x"]
         assert got[1]["links"] == []
+
+
+def test_resolve_many_equals_node_resolve():
+    """The batched origin fast path must be indistinguishable from the
+    scalar resolver on every link shape, including the ones it must
+    NOT fast-path (protocol-relative, query, fragment, escapables,
+    relative, auth'd or non-canonical bases)."""
+    from node_crawler_spark.functions.urlkit import node_resolve, resolve_many
+
+    bases = [
+        "http://www.site.test/",
+        "http://www.site.test/deep/dir/page",
+        "https://host.test:8443/x?q=1#f",
+        "http://user:pw@host.test/x",        # auth → no fast path
+        "HTTP://UPPER.test/x",               # non-canonical → no fast path
+        "ftp://files.test/pub/",
+        "",
+    ]
+    hrefs = [
+        "/", "/abs", "/abs/deeper", "/p123",
+        "//proto.relative.test/x",            # protocol-relative
+        "/with?query=1", "/with#frag", "/with space", '/quo"te',
+        "sibling", "../up", "section/", "#frag", "?q=2",
+        "http://absolute.test/y", "mailto:a@b.test", "javascript:void(0)",
+        "", "  /padded  ",
+    ]
+    for b in bases:
+        got = resolve_many(b, hrefs)
+        want = [node_resolve(b, h) for h in hrefs]
+        assert got == want, (b, [(h, g, w) for h, g, w in zip(hrefs, got, want) if g != w])
