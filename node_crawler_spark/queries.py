@@ -18,7 +18,12 @@ Cross-engine determinism rules (every query here follows them):
   * a total ORDER BY on every result (the driver's value hash is
     row-order-sensitive);
   * every computed column aliased identically on both sides;
-  * money aggregates pinned to decimal(18,2) *after* aggregation;
+  * money aggregates computed in exact decimal(18,2) but OUTPUT as
+    ROUND(x,2) doubles — DECIMAL result columns proved sensitive to
+    the driver environment's decimal rendering (r2: 4 hash fails that
+    passed the strict local replica) while every double-output query
+    passed both; green legacy rows that still emit decimal are left
+    untouched;
   * decimal factors cast BEFORE multiplying (double-product rounding
     diverges between engines);
   * hash families built from md5 hex (portable: Spark ``conv(hex)``
@@ -64,15 +69,22 @@ def _phash_sql(expr: str, salt: str) -> str:
 
 def q1_pricing_summary(spark, sf_dir):
     """A3 per-run counters analog: grouped aggregate with decimal-exact
-    sums (TPC-H Q1 shape) on lineitem."""
+    sums (TPC-H Q1 shape) on lineitem.
+
+    Output discipline (round-3): the sums aggregate in exact
+    decimal(18,2) but the RESULT columns are ROUND(x,2) doubles — the
+    DECIMAL-rendering class diverged in the driver env despite passing
+    the strict local gate, and every double-output query passes.  The
+    shipdate filter compares against a DATE literal (not a timestamp
+    string) so no session-timezone cast can shift row membership."""
     l = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")
     return (
-        l.where(F.col("l_shipdate") <= F.lit("2002-09-01"))
+        l.where(F.col("l_shipdate") <= F.lit("2002-09-01").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
+            F.round(F.sum(dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -81,11 +93,11 @@ def q1_pricing_summary(spark, sf_dir):
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
        COUNT(*) AS count_order
 FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2002-09-01 00:00:00'
+WHERE l_shipdate <= DATE '2002-09-01'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
@@ -142,7 +154,7 @@ def q5_region_supplier_rollup(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
             F.countDistinct("n_name").alias("n_nations"),
-            F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_acctbal"),
+            F.round(F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double"), 2).alias("total_acctbal"),
         )
         .orderBy("r_name")
     )
@@ -150,7 +162,7 @@ def q5_region_supplier_rollup(spark, sf_dir):
 
 Q5_SQL = """
 SELECT r_name, COUNT(*) AS n_suppliers, COUNT(DISTINCT n_name) AS n_nations,
-       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_acctbal
+       ROUND(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_acctbal
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
@@ -166,9 +178,9 @@ def p_part_type_stats(spark, sf_dir):
         p.groupBy("p_type")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.min(F.col("p_retailprice").cast("decimal(18,2)")).alias("min_price"),
-            F.max(F.col("p_retailprice").cast("decimal(18,2)")).alias("max_price"),
-            F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total_price"),
+            F.round(F.min("p_retailprice"), 2).alias("min_price"),
+            F.round(F.max("p_retailprice"), 2).alias("max_price"),
+            F.round(F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double"), 2).alias("total_price"),
         )
         .orderBy("p_type")
     )
@@ -176,9 +188,9 @@ def p_part_type_stats(spark, sf_dir):
 
 P_PART_SQL = """
 SELECT p_type, COUNT(*) AS n_parts,
-       MIN(CAST(p_retailprice AS DECIMAL(18,2))) AS min_price,
-       MAX(CAST(p_retailprice AS DECIMAL(18,2))) AS max_price,
-       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+       ROUND(MIN(p_retailprice), 2) AS min_price,
+       ROUND(MAX(p_retailprice), 2) AS max_price,
+       ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
 FROM part
 GROUP BY p_type
 ORDER BY p_type
@@ -417,7 +429,7 @@ def o_domain_budget(spark, sf_dir):
         .groupBy("l_suppkey")
         .agg(
             F.count(F.lit(1)).alias("scheduled"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sched_qty"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).alias("sched_qty"),
         )
         .orderBy("l_suppkey")
     )
@@ -425,7 +437,7 @@ def o_domain_budget(spark, sf_dir):
 
 O_BUDGET_SQL = """
 SELECT l_suppkey, COUNT(*) AS scheduled,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sched_qty
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sched_qty
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY l_suppkey
             ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rk
