@@ -65,7 +65,9 @@ def _hostport(c):
     return F.concat(host, F.when(port != "", F.concat(F.lit(":"), port)).otherwise(F.lit("")))
 
 
-def attach_bodies(fetched: DataFrame, pages: DataFrame) -> DataFrame:
+def attach_bodies(
+    fetched: DataFrame, pages: DataFrame, body_side: DataFrame | None = None
+) -> DataFrame:
     """F5 + P7: join the page store for rows passing the content gate,
     pick the latest warc_ts snapshot per page, decode (gunzip + UTF-8).
 
@@ -73,6 +75,11 @@ def attach_bodies(fetched: DataFrame, pages: DataFrame) -> DataFrame:
     window runs on the *joined* (round-sized) result so the 100 TB page
     table itself is never windowed — Catalyst prunes the scan to
     (url, warc_ts, html) and pushes the join keys down.
+
+    ``body_side``: a pre-prepared (p_url, p_ts, p_html) side — bucketed
+    table scan or key-partitioned persisted projection
+    (sources/pagestore.py). When given, the SMJ exchanges/sorts only
+    the round-sized fetched side; the page side joins in place.
     """
     gate = (
         F.col("ok")
@@ -86,11 +93,10 @@ def attach_bodies(fetched: DataFrame, pages: DataFrame) -> DataFrame:
     )
     gated = fetched.withColumn("_wants_body", gate)
 
-    body_side = pages.select(
-        F.col("url").alias("p_url"),
-        F.col("warc_ts").alias("p_ts"),
-        F.col("html").alias("p_html"),
-    )
+    if body_side is None:
+        from node_crawler_spark.sources.pagestore import _project_body
+
+        body_side = _project_body(pages)
     with_body = (
         gated.where(F.col("_wants_body"))
         .join(body_side, F.col("page_url") == F.col("p_url"), "left")
@@ -108,11 +114,17 @@ def attach_bodies(fetched: DataFrame, pages: DataFrame) -> DataFrame:
     return with_body.unionByName(without_body).drop("_wants_body")
 
 
-def attach_bodies_and_links(fetched: DataFrame, pages: DataFrame) -> DataFrame:
+def attach_bodies_and_links(
+    fetched: DataFrame, pages: DataFrame, body_side: DataFrame | None = None
+) -> DataFrame:
     """Fused F5+P7+P5+P4: the content-gated pages join followed by ONE
     Arrow pass producing (text, links). Equivalent to
     extract_and_resolve(attach_bodies(...)) but with a single
-    JVM↔Python round-trip for the body bytes — the hot path at scale."""
+    JVM↔Python round-trip for the body bytes — the hot path at scale.
+
+    ``body_side`` as in attach_bodies: when the page store side is
+    bucketed / key-partition-persisted, each round's join leaves it
+    unexchanged and unsorted."""
     from node_crawler_spark.functions.html import decode_extract_resolve
 
     gate = (
@@ -123,11 +135,10 @@ def attach_bodies_and_links(fetched: DataFrame, pages: DataFrame) -> DataFrame:
         & ~F.col("params_external")
     )
     gated = fetched.withColumn("_wants_body", gate)
-    body_side = pages.select(
-        F.col("url").alias("p_url"),
-        F.col("warc_ts").alias("p_ts"),
-        F.col("html").alias("p_html"),
-    )
+    if body_side is None:
+        from node_crawler_spark.sources.pagestore import _project_body
+
+        body_side = _project_body(pages)
     with_body = (
         gated.where(F.col("_wants_body"))
         .join(body_side, F.col("page_url") == F.col("p_url"), "left")

@@ -149,13 +149,34 @@ def run_crawl(
     store_root: str,
     resume: bool = False,
     initial_frontier: DataFrame | None = None,
+    pages_prepared: bool = False,
 ) -> CrawlResult:
     """``initial_frontier`` (url, seq, referrer, is_external,
     crawl_links) bypasses seed queueing — the steady-state shape for a
     resumed/bulk frontier (and the scaling benchmark's single big
-    round)."""
+    round). ``pages_prepared=True`` declares that ``pages`` already
+    scans with HashPartitioning(url) — a bucketed table
+    (sources/pagestore.bucketize_pages) or Iceberg bucket transform —
+    so the driver skips its own one-time repartition+persist."""
     store = SnapshotStore(store_root)
     http_by_url = prepare_http_meta(http_meta).persist()
+    # page-body side prepared ONCE per crawl (repartition+sort+persist
+    # on the join key — sources/pagestore.py): every round's expand
+    # join then exchanges/sorts only the round-sized fetched side.
+    # A caller whose `pages` is already a bucketed/Iceberg-bucket scan
+    # passes pages_prepared=True and the projection joins in place
+    # straight off storage.
+    from node_crawler_spark.sources.pagestore import (
+        _project_body,
+        prepare_body_side,
+    )
+
+    if pages_prepared:
+        body_side = _project_body(pages)
+    else:
+        body_side = prepare_body_side(
+            pages, spark.sparkContext.defaultParallelism
+        )
 
     cookie_schema = "domain string"
     # one probe per crawl: if no scripted response ever sets a cookie,
@@ -251,7 +272,9 @@ def run_crawl(
             cookie_jar=cookie_state if n_cookie_domains > 0 else None,
         )
         tm.mark("fetch")
-        expanded = attach_bodies_and_links(fetched, pages).persist()
+        expanded = attach_bodies_and_links(
+            fetched, pages, body_side=body_side
+        ).persist()
         # eager materialization: every downstream consumer (links,
         # landings, sinks, frontier) reads this cache; leaving it lazy
         # lets the first consumer's job interleave cache population with
@@ -417,4 +440,6 @@ def run_crawl(
         tm.report()
 
     http_by_url.unpersist()
+    if not pages_prepared:
+        body_side.unpersist()
     return CrawlResult(store=store, rounds=rounds_run, max_seq=max_seq)

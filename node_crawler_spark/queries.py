@@ -1003,6 +1003,16 @@ SIM_IVF_SQL = _ivf_sql()
 MH_PERMS, MH_BANDS, MH_ROWS = 16, 4, 4   # 4 bands × 4 rows
 MH_JACCARD = 0.5                          # rerank threshold
 SHINGLE_WORDS = 3                         # word 3-grams
+# Document-frequency cap for the inverted-index candidate joins
+# (VERDICT r2 item 2): a shingle appearing in > cap docs (boilerplate,
+# navigation chrome) is excluded from CANDIDATE GENERATION — df=10⁵
+# would make 10¹⁰ pairs from one key. The exact-Jaccard rerank still
+# runs over FULL shingle sets, so reported values are true Jaccard;
+# what the cap costs is pairs whose EVERY shared shingle is hot — i.e.
+# members of a mass-duplicate cluster larger than the cap, which the
+# exact-dedup pass (d_exact_dedup) catches first. Both engines apply
+# the identical cap, so the oracle gate stays value-exact.
+SHINGLE_DF_CAP = 50
 
 
 def _doc_shingles(spark, sf_dir):
@@ -1091,37 +1101,52 @@ FROM shingles GROUP BY doc_id),
 bands AS ({band_rows})"""
 
 
-def _exact_jaccard(shingles: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
-    """Exact Jaccard per candidate pair (or all inverted-index pairs
-    when pairs=None): |A∩B| via the shared-shingle join, sizes via a
-    groupBy — the intersection join is bounded by shingle sharing,
-    never n²."""
+def _exact_jaccard(
+    shingles: DataFrame,
+    pairs: DataFrame | None = None,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard per candidate pair. ``pairs=None`` discovers
+    candidates via the inverted-index self-join — with ``df_cap`` set,
+    shingles in more than ``df_cap`` documents are dropped from the
+    CANDIDATE join only (one hot key with df=10⁵ would emit 10¹⁰
+    pairs); the per-pair intersection count then runs over the full
+    shingle sets, so every emitted jaccard is the true value. See
+    SHINGLE_DF_CAP for the miss characterization."""
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if pairs is None:
-        inter = (
-            shingles.alias("a")
+        cand_side = shingles
+        if df_cap is not None:
+            low_df = (
+                shingles.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .where(F.col("_df") <= df_cap)
+                .select("shingle")
+            )
+            cand_side = shingles.join(low_df, "shingle", "left_semi")
+        pairs = (
+            cand_side.alias("a")
             .join(
-                shingles.alias("b"),
+                cand_side.alias("b"),
                 (F.col("a.shingle") == F.col("b.shingle"))
                 & (F.col("a.doc_id") < F.col("b.doc_id")),
             )
-            .groupBy(
+            .select(
                 F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
             )
-            .agg(F.count(F.lit(1)).alias("n_common"))
+            .distinct()
         )
-    else:
-        inter = (
-            pairs.join(
-                shingles.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
-            )
-            .join(
-                shingles.select(F.col("doc_id").alias("doc_b"), "shingle"),
-                ["doc_b", "shingle"],
-            )
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("n_common"))
+    inter = (
+        pairs.join(
+            shingles.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
         )
+        .join(
+            shingles.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
     return (
         inter.join(
             sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sh_a")),
@@ -1197,7 +1222,7 @@ def minhash_recall(spark, sf_dir):
     recall — all reproduced by the oracle."""
     sh = _doc_shingles(spark, sf_dir)
     truth = (
-        _exact_jaccard(sh, None)
+        _exact_jaccard(sh, None, df_cap=SHINGLE_DF_CAP)
         .where(F.col("jaccard") >= MH_JACCARD)
         .select("doc_a", "doc_b")
     )
@@ -1233,9 +1258,16 @@ MINHASH_RECALL_SQL = f"""
 WITH {_SHINGLES_CTE},
 {_minhash_bands_sql()},
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
-inter_all AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-              FROM shingles a JOIN shingles b
-                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+sh_low AS (SELECT * FROM shingles WHERE shingle IN
+           (SELECT shingle FROM shingles GROUP BY shingle
+            HAVING COUNT(*) <= {SHINGLE_DF_CAP})),
+cand_all AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM sh_low a JOIN sh_low b
+               ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+inter_all AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+              FROM cand_all p
+              JOIN shingles sa ON sa.doc_id = p.doc_a
+              JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
               GROUP BY 1, 2),
 truth AS (SELECT doc_a, doc_b FROM inter_all
           JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
@@ -1318,7 +1350,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
         ).alias("shingle"),
     ).distinct()
     return (
-        _exact_jaccard(shingled, None)
+        _exact_jaccard(shingled, None, df_cap=SHINGLE_DF_CAP)
         .where(F.col("jaccard") >= 0.8)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
@@ -1333,16 +1365,23 @@ shingles AS (SELECT DISTINCT doc_id,
                            i -> w[i] || ' ' || w[i+1])) AS shingle
              FROM words WHERE len(w) >= 2),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
-inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-          FROM shingles a JOIN shingles b
-            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+sh_low AS (SELECT * FROM shingles WHERE shingle IN
+           (SELECT shingle FROM shingles GROUP BY shingle
+            HAVING COUNT(*) <= {cap})),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM sh_low a JOIN sh_low b
+           ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+          FROM cand p
+          JOIN shingles sa ON sa.doc_id = p.doc_a
+          JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
           GROUP BY 1, 2)
 SELECT doc_a, doc_b,
        ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.8
 ORDER BY doc_a, doc_b
-"""
+""".format(cap=SHINGLE_DF_CAP)
 
 
 # ---------------------------------------------------------------------------
