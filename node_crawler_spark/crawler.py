@@ -15,17 +15,28 @@ becomes
     c.on("redirect", cb); c.on("drain", cb)
     c.queue(url); c.start()
 
-Semantics: ``queue()`` collects seeds in order (the reference's
-pre-start queueing; queueing after start is the frontier's job);
-``start()`` runs the batch crawl to drain, then fires the callbacks in
-global seq order — ``pageCrawl(page_row)`` per crawled page,
-``error(error_row)`` per failed page, ``redirect(event_row)`` per
-redirect event, ``drain()`` once. Callback delivery iterates the
-committed sink tables with ``toLocalIterator`` (one partition in
-memory at a time) — callbacks are the reference-compat convenience
-surface for driver-side consumers; the scale path is the sink tables
-themselves (CrawlResult / SnapshotStore), which never funnel through
-the driver.
+Semantics: ``queue()`` is callable any time, like the reference's
+(crawler.js:576-618) — pre-start calls collect seeds; calls from
+inside a callback mid-crawl buffer urls that join the NEXT round's
+frontier through the same gate chain. ``start()`` runs the crawl;
+after each round commits, that round's events fire as ONE interleaved
+stream in the reference's callback order (crawler.js:491 fires
+onRedirect during the fetch, :157/:174 fire onPageCrawl/onError at
+completion, after the page's links are queued): within a round pages
+deliver in schedule (seq) order, and within a page every redirect
+event precedes the terminal pageCrawl/error. ``drain()`` fires once
+at the end — unless ``kill()`` ran (crawler.js:626-632: a killed
+queue never drains). Callback delivery iterates the committed sink
+tables with ``toLocalIterator`` (one partition in memory at a time) —
+callbacks are the reference-compat convenience surface for
+driver-side consumers; the scale path is the sink tables themselves
+(CrawlResult / SnapshotStore), which never funnel through the driver.
+
+Ordering caveat (COVERAGE.md): a url queue()d from a callback of
+page X slots after ALL urls queued by X's round, whereas the
+reference slots it after X's own links but before later pages' —
+identical whenever X is the last-completed page of its round (always
+true when the round has one page).
 
 Constructor knobs mirror crawler.js names (camelCase accepted via
 **kwargs): crawlExternal, excludePatterns, retries, workers, auth,
@@ -73,7 +84,10 @@ class Crawler:
             cfg_kwargs[k] = v
         self.cfg = CrawlConfig(**cfg_kwargs)
         self._seeds: list = []
+        self._pending: list = []
         self._handlers: dict[str, list[Callable]] = {e: [] for e in _EVENTS}
+        self._started = False
+        self._killed = False
         self.result = None  # CrawlResult after start()
 
     # -- reference API ---------------------------------------------------
@@ -85,44 +99,86 @@ class Crawler:
 
     def queue(self, url: str, referrer: str | None = None,
               is_external: bool = False) -> "Crawler":
-        """Pre-start seed queueing (crawler.js queue()); the queue-gate
-        chain (external/exclude/robots/seen) applies at start."""
-        self._seeds.append((url, referrer, is_external))
+        """Callable any time (crawler.js queue(), :576-618). Pre-start
+        calls collect seeds; mid-crawl calls (from inside a callback)
+        buffer urls that join the next round's frontier. The queue-gate
+        chain (external/exclude/robots/seen) applies either way."""
+        if self._started:
+            self._pending.append((url, referrer, is_external))
+        else:
+            self._seeds.append((url, referrer, is_external))
         return self
 
+    def kill(self) -> None:
+        """crawler.js kill() (:626-632): stop dispatching queued work
+        and silence future delivery — drain never fires. Persists the
+        driver's KILL marker so the round loop stops at its next
+        barrier; committed rounds stay intact (and, unlike the
+        reference, CAN resume later once the marker is removed)."""
+        import os
+
+        self._killed = True
+        os.makedirs(self.store_root, exist_ok=True)
+        with open(os.path.join(self.store_root, "KILL"), "w"):
+            pass
+
     def start(self):
-        """Run the crawl to drain, then deliver events in seq order.
-        Returns the CrawlResult (sink tables, for the scale path)."""
+        """Run the crawl, delivering each round's events as it
+        commits. Returns the CrawlResult (sink tables, the scale
+        path)."""
         from node_crawler_spark.plans.driver import run_crawl
+
+        self._started = True
+
+        def _hook(r, store):
+            if not self._killed:
+                self._deliver_round(store, r)
+            out, self._pending = self._pending, []
+            return [] if self._killed else out
 
         self.result = run_crawl(
             self.spark, self.cfg, self.pages, self.http_meta,
-            self._seeds, self.store_root,
+            self._seeds, self.store_root, on_round=_hook,
         )
-        self._deliver()
+        if not self._killed:
+            for cb in self._handlers["drain"]:
+                cb()
         return self.result
 
     # -- event delivery --------------------------------------------------
-    def _iter_sorted(self, df: DataFrame | None, *order_cols: str):
-        if df is None:
-            return
-        yield from df.orderBy(*order_cols).toLocalIterator()
+    def _deliver_round(self, store, r: int) -> None:
+        """One interleaved stream per round: a lazy 3-way sorted merge
+        of the round's sink tables on (seq, kind, event_idx) — kind 0 =
+        redirect events (they fire during the fetch, crawler.js:491),
+        kind 1 = the page's terminal pageCrawl/error (:157/:174). Each
+        leg streams via toLocalIterator; only the heap heads are in
+        driver memory."""
+        import heapq
 
-    def _deliver(self) -> None:
         h = self._handlers
-        if h["pageCrawl"]:
-            for row in self._iter_sorted(self.result.crawled(self.spark), "seq"):
-                for cb in h["pageCrawl"]:
-                    cb(row)
-        if h["error"]:
-            for row in self._iter_sorted(self.result.errors(self.spark), "seq"):
-                for cb in h["error"]:
-                    cb(row)
+
+        def _leg(df, event, keyfn):
+            for row in df.toLocalIterator():
+                yield keyfn(row), event, row
+
+        legs = []
         if h["redirect"]:
-            for row in self._iter_sorted(
-                self.result.redirects(self.spark), "seq", "clean_final"
-            ):
-                for cb in h["redirect"]:
-                    cb(row)
-        for cb in h["drain"]:
-            cb()
+            df = store.read_table(self.spark, r, "redirects")
+            if df is not None:
+                legs.append(_leg(
+                    df.orderBy("seq", "event_idx"), "redirect",
+                    lambda row: (row.seq, 0, row.event_idx),
+                ))
+        for table, event in (("crawled", "pageCrawl"), ("errors", "error")):
+            if not h[event]:
+                continue
+            df = store.read_table(self.spark, r, table)
+            if df is not None:
+                legs.append(_leg(
+                    df.orderBy("seq"), event, lambda row: (row.seq, 1, 0)
+                ))
+        for _key, event, row in heapq.merge(*legs, key=lambda t: t[0]):
+            if self._killed:
+                break
+            for cb in h[event]:
+                cb(row)

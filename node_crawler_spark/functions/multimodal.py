@@ -53,7 +53,10 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _decode_image_real(payload: bytes):  # pragma: no cover - no codecs here
+def _decode_image_real(payload: bytes):
+    """Real codec path — same (w, h, luma, phash) contract as the
+    fake; auto-selected at import when PIL resolves (see
+    ``_pick_decoder``)."""
     try:
         import io
 
@@ -63,10 +66,14 @@ def _decode_image_real(payload: bytes):  # pragma: no cover - no codecs here
             "image codecs not available in this container; "
             "use fake_decode_header or install PIL"
         ) from exc
+    if payload is None:
+        return 0, 0, 0.0, 0
     img = Image.open(io.BytesIO(payload))
     w, h = img.size
     luma = sum(img.convert("L").getdata()) / float(w * h)
-    return w, h, luma
+    digest = hashlib.sha256(payload).digest()
+    phash = int.from_bytes(digest[4:12], "big", signed=True)
+    return int(w), int(h), float(luma), phash
 
 
 def fake_decode_header(payload: bytes):
@@ -86,7 +93,83 @@ def fake_decode_header(payload: bytes):
     return int(w), int(h), luma, phash
 
 
-DECODER = fake_decode_header  # swap for the real kernel when codecs exist
+def _pick_decoder():
+    """Auto-use the real codec when PIL imports; the deterministic
+    fake otherwise. Evaluated on import — workers re-import this
+    module, so the pick is consistent per environment."""
+    try:
+        import PIL  # noqa: F401
+
+        return _decode_image_real
+    except ImportError:
+        return fake_decode_header
+
+
+DECODER = _pick_decoder()
+
+_FEATURE_COLS = ["media_id", "kind", "n_bytes", "width", "height",
+                 "mean_luma", "phash64"]
+
+
+def _fake_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized fake decode: numpy over the whole Arrow batch —
+    value-identical to mapping ``fake_decode_header`` per row (pinned
+    by test). Only the sha256 digests remain per-item (the stand-in
+    for the inherently per-item codec); headers, luma, and phash are
+    batch ops."""
+    import numpy as np
+
+    payloads = pdf["payload"].tolist()
+    n = len(payloads)
+    valid = [p is not None and len(p) >= 8 for p in payloads]
+    n_bytes = np.fromiter(
+        (0 if p is None else len(p) for p in payloads), dtype=np.int64, count=n
+    )
+    hdr = b"".join(
+        p[:8] if ok else b"\0" * 8 for p, ok in zip(payloads, valid)
+    )
+    wh = (
+        np.frombuffer(hdr, dtype=">u4").reshape(-1, 2).astype(np.int64)
+        if n else np.zeros((0, 2), dtype=np.int64)
+    )
+    dig = b"".join(
+        hashlib.sha256(p).digest()[:12] if ok else b"\0" * 12
+        for p, ok in zip(payloads, valid)
+    )
+    luma = (
+        np.frombuffer(dig, dtype=">u4")[0::3].astype(np.float64)
+        / 2**32 * 255.0
+        if n else np.zeros(0)
+    )
+    d = (
+        np.frombuffer(dig, dtype=np.uint8).reshape(-1, 12)
+        if n else np.zeros((0, 12), dtype=np.uint8)
+    )
+    phash = np.frombuffer(
+        np.ascontiguousarray(d[:, 4:12]).tobytes(), dtype=">i8"
+    ).astype(np.int64)
+    return pd.DataFrame({
+        "media_id": pdf["media_id"].to_numpy(),
+        "kind": pdf["kind"].to_numpy(),
+        "n_bytes": n_bytes.astype(np.int32),
+        "width": wh[:, 0].astype(np.int32),
+        "height": wh[:, 1].astype(np.int32),
+        "mean_luma": luma,
+        "phash64": phash,
+    }, columns=_FEATURE_COLS)
+
+
+def _rowwise_batch(pdf: pd.DataFrame, decoder) -> pd.DataFrame:
+    """Per-item decode (real codecs are inherently per-item); still
+    inside the Arrow batch, never a driver loop."""
+    rows = [
+        (mid, kind, 0 if payload is None else len(payload),
+         *decoder(payload))
+        for mid, kind, payload in zip(
+            pdf["media_id"], pdf["kind"], pdf["payload"]
+        )
+    ]
+    return pd.DataFrame(rows, columns=_FEATURE_COLS)
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:
@@ -99,20 +182,10 @@ def extract_media_features(media: DataFrame) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for mid, kind, payload in zip(
-                pdf["media_id"], pdf["kind"], pdf["payload"]
-            ):
-                w, h, luma, phash = DECODER(payload)
-                rows.append(
-                    (mid, kind, 0 if payload is None else len(payload),
-                     w, h, luma, phash)
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=["media_id", "kind", "n_bytes", "width", "height",
-                         "mean_luma", "phash64"],
-            )
+            if DECODER is fake_decode_header:
+                yield _fake_batch(pdf)
+            else:
+                yield _rowwise_batch(pdf, DECODER)
 
     return media.select("media_id", "kind", "payload").mapInPandas(
         kernel, FEATURE_SCHEMA

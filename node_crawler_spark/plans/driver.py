@@ -150,6 +150,7 @@ def run_crawl(
     resume: bool = False,
     initial_frontier: DataFrame | None = None,
     pages_prepared: bool = False,
+    on_round=None,
 ) -> CrawlResult:
     """``initial_frontier`` (url, seq, referrer, is_external,
     crawl_links) bypasses seed queueing — the steady-state shape for a
@@ -157,7 +158,19 @@ def run_crawl(
     round). ``pages_prepared=True`` declares that ``pages`` already
     scans with HashPartitioning(url) — a bucketed table
     (sources/pagestore.bucketize_pages) or Iceberg bucket transform —
-    so the driver skips its own one-time repartition+persist."""
+    so the driver skips its own one-time repartition+persist.
+
+    ``on_round(r, store)`` — called after each round commits (the
+    Crawler facade's incremental event delivery). It may return an
+    iterable of ``(url, referrer, is_external)`` seeds queued by
+    user callbacks mid-crawl (crawler.js queue() is callable any
+    time, :576-618); they join the NEXT round's frontier through the
+    same gate chain (external/exclude/robots/seen) with seqs minted
+    above the current watermark — i.e. after every url queued by the
+    rounds that already ran, exactly where the reference would slot
+    them when the enqueueing callback belongs to the last-completed
+    page of its round (COVERAGE.md documents the general-case
+    ordering deviation)."""
     store = SnapshotStore(store_root)
     http_by_url = prepare_http_meta(http_meta).persist()
     # page-body side prepared ONCE per crawl (repartition+sort+persist
@@ -233,6 +246,7 @@ def run_crawl(
         bloom = BloomSeenSet.from_config(spark, cfg)
         bloom.insert(seen_state.select("url"), n_keys=max_seq)
     kill_marker = os.path.join(store_root, "KILL")
+    pending_seeds: list = []
     for r in range(start_round, cfg.max_rounds + 1):
         tm = _Timer(f"round {r}")
         if os.path.exists(kill_marker):
@@ -241,6 +255,32 @@ def run_crawl(
             # checkpointed crawl CAN resume later (north_rule) once the
             # marker is removed.
             break
+        extra_seeds = None  # mid-crawl queue()ed urls admitted this round
+        if pending_seeds:
+            from pyspark.sql import Window
+
+            extra = build_seed_frontier(spark, pending_seeds, cfg).join(
+                seen_state.select("url"), "url", "left_anti"
+            )
+            extra = (
+                extra.withColumn(
+                    "seq",
+                    (F.lit(max_seq)
+                     + F.row_number().over(Window.orderBy("seq"))).cast("long"),
+                )
+                # peers of this round's frontier: fetched-round r ⇒ depth r-1
+                .withColumn("depth", F.lit(r - 1))
+                .localCheckpoint()
+            )
+            n_extra = extra.count()
+            pending_seeds = []
+            if n_extra > 0:
+                extra_seeds = extra
+                max_seq += n_extra
+                frontier = frontier.unionByName(extra)
+                seen_state = seen_state.unionByName(extra.select("url", "seq"))
+                if bloom is not None:
+                    bloom.insert(extra.select("url"), n_keys=n_extra)
         if frontier.isEmpty():
             break
         # seen probes run against the in-memory checkpointed state (one
@@ -305,6 +345,11 @@ def run_crawl(
             pruned = store.read_seen_pruned(spark, sorted(bks))
             if pruned is not None:
                 seen = pruned.select("url", "seq")
+                if extra_seeds is not None:
+                    # this round's mid-crawl seeds aren't in the store
+                    # yet — without this union a link to one of them
+                    # would re-insert the url under a second seq
+                    seen = seen.unionByName(extra_seeds.select("url", "seq"))
         inserts, drops = resolve_round_inserts(
             landings, links, seen, max_seq,
             # O1 two-phase rank once rounds get big (hint: last round's
@@ -355,6 +400,7 @@ def run_crawl(
             )
             .select(
                 F.lit(r).alias("round"), "seq",
+                F.col("ev.event_idx").alias("event_idx"),
                 F.col("ev.pre_url").alias("pre_url"),
                 F.col("ev.final_raw").alias("final_url"),
                 F.col("ev.clean_final").alias("clean_final"),
@@ -386,6 +432,17 @@ def run_crawl(
             F.lit(r).alias("round"),
             F.when(F.col("kind") == 0, F.lit("landing")).otherwise(F.lit("link")).alias("kind"),
         )
+        n_delta = n_inserts
+        if extra_seeds is not None:
+            # mid-crawl queue()ed urls commit with the round they were
+            # first fetched in — resume replays them like any insert
+            seen_delta = seen_delta.unionByName(
+                extra_seeds.select(
+                    "url", "seq", F.lit(r).alias("round"),
+                    F.lit("seed").alias("kind"),
+                )
+            )
+            n_delta += extra_seeds.count()
         next_frontier = new_frontier.unionByName(deferred)
 
         # the manifest is the atomic commit point: max_seq is final at
@@ -406,11 +463,15 @@ def run_crawl(
             r,
             round_tables,
             extra={"max_seq": max_seq, "killed": False},
-            known_counts={"seen_delta": n_inserts},
+            known_counts={"seen_delta": n_delta},
         )
         tm.mark("commit")
         prev_inserts = n_inserts
-        delta_ckpt = seen_delta.select("url", "seq").localCheckpoint()
+        # extras entered seen_state (and the bloom) at injection time —
+        # only the round's own inserts feed the in-memory state here
+        delta_ckpt = inserts.select(
+            F.col("ins_url").alias("url"), F.col("_new_seq").alias("seq")
+        ).localCheckpoint()
         seen_state = seen_state.unionByName(delta_ckpt)
         if r % 10 == 0:  # bound the union width on long crawls
             seen_state = seen_state.coalesce(
@@ -437,6 +498,9 @@ def run_crawl(
             df.unpersist()
         frontier = store.read_table(spark, r, "next_frontier")
         rounds_run = r
+        if on_round is not None:
+            # incremental delivery; user callbacks may queue() new urls
+            pending_seeds.extend(on_round(r, store) or [])
         tm.report()
 
     http_by_url.unpersist()

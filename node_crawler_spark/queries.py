@@ -900,66 +900,117 @@ SELECT (SELECT COUNT(*) FROM truth) AS n_true,
 SIM_LSH_RECALL_SQL = _lsh_recall_sql()
 
 
-# ---- IVF ANN (engine-portable) --------------------------------------------
+# ---- IVF ANN (engine-portable, TRAINED quantizer) -------------------------
 
-def sim_ann_ivf_topk(spark, sf_dir):
-    """IVF-style ANN: the label column is the coarse quantizer's
-    training clustering (the inverted file); each cell's centroid is
-    its mean vector, the query probes the nprobe=2 nearest cells and
-    exact cosine reranks inside them. Centroids broadcast (K tiny);
-    the big table is touched once per probe — never n².
+IVF_KMEANS_ITERS = 2   # deterministic Lloyd iterations over the label init
+IVF_NPROBE = 2
 
-    Determinism: per-dimension sums go through decimal(24,10) (exact,
-    order-independent — double sums would differ across engines by
-    reduction order), then back to double; all dot products use the
-    same left-fold association as the SQL oracle."""
+
+def _arr_dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _arr_norm(c):
+    return F.sqrt(_arr_dot(c, c))
+
+
+def _ivf_v(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    v = e.select(
+    return e.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
     )
+
+
+def _dec_centroids(assigned, cell_col: str):
+    """Mean vector per cell with decimal(24,10) per-dimension sums —
+    exact and reduction-order-independent, so both engines produce
+    bit-identical centroid doubles regardless of partitioning."""
     dim = LSH_DIM
-    sums = v.groupBy("label").agg(
+    sums = assigned.groupBy(cell_col).agg(
         F.count(F.lit(1)).alias("n"),
         *[
             F.sum(F.col("emb").getItem(i).cast("decimal(24,10)")).alias(f"s{i}")
             for i in range(dim)
         ],
     )
-    cents = sums.select(
-        F.col("label").alias("cell"),
+    return sums.select(
+        F.col(cell_col).alias("cell"),
         F.array(
             *[(F.col(f"s{i}").cast("double") / F.col("n")) for i in range(dim)]
         ).alias("cent"),
     )
 
-    dot = lambda a, b: F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    norm = lambda c: F.sqrt(dot(c, c))
+
+def _ivf_trained_cents(v):
+    """Train the coarse quantizer: label-means init, then
+    IVF_KMEANS_ITERS Lloyd iterations (assign to argmax
+    dot(emb,cent)/|cent|, recompute decimal-exact means). Each
+    iteration is one broadcast join (K cells tiny) + one
+    vec_id-partitioned argmax + one cell groupBy — no n² anywhere, the
+    100 TB shape. Ties break on cell id; scores share the SQL oracle's
+    left-fold FP association, so assignments match across engines."""
+    from pyspark.sql import Window
+
+    cents = _dec_centroids(v.select(F.col("label").alias("c0"), "emb"), "c0")
+    for _ in range(IVF_KMEANS_ITERS):
+        scored = (
+            v.select("vec_id", "emb")
+            .crossJoin(F.broadcast(cents))
+            .withColumn(
+                "score",
+                _arr_dot(F.col("emb"), F.col("cent")) / _arr_norm(F.col("cent")),
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("score").desc(), F.col("cell")
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "emb", "cell")
+        )
+        cents = _dec_centroids(assigned, "cell")
+    return cents, assigned
+
+
+def sim_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN with a TRAINED coarse quantizer: label-means seed two
+    deterministic k-means iterations (VERDICT r2 item 5); the query
+    probes the nprobe=2 nearest trained cells and exact cosine reranks
+    inside their inverted lists. Centroids broadcast (K tiny); the big
+    table is touched once per probe — never n².
+
+    Determinism: per-dimension sums go through decimal(24,10) (exact,
+    order-independent — double sums would differ across engines by
+    reduction order), then back to double; all dot products use the
+    same left-fold association as the SQL oracle, so cell assignments
+    and probe picks are oracle-verified, not rows-only."""
+    v = _ivf_v(spark, sf_dir)
+    cents, assigned = _ivf_trained_cents(v)
 
     q = v.where(F.col("vec_id") == 0).select(F.col("emb").alias("q_emb"))
     probe_cells = (
         cents.crossJoin(F.broadcast(q))
         .withColumn(
             "sim",
-            dot(F.col("cent"), F.col("q_emb"))
-            / (norm(F.col("cent")) * norm(F.col("q_emb"))),
+            _arr_dot(F.col("cent"), F.col("q_emb"))
+            / (_arr_norm(F.col("cent")) * _arr_norm(F.col("q_emb"))),
         )
         .orderBy(F.col("sim").desc(), F.col("cell"))
-        .limit(2)
+        .limit(IVF_NPROBE)
         .select("cell")
     )
-    candidates = v.join(
-        F.broadcast(probe_cells), v.label == F.col("cell"), "left_semi"
-    )
+    candidates = assigned.join(F.broadcast(probe_cells), "cell", "left_semi")
     return (
         candidates.where(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
             F.round(
-                dot(F.col("emb"), F.col("q_emb"))
-                / (norm(F.col("emb")) * norm(F.col("q_emb"))),
+                _arr_dot(F.col("emb"), F.col("q_emb"))
+                / (_arr_norm(F.col("emb")) * _arr_norm(F.col("q_emb"))),
                 4,
             ).alias("cosine"),
         )
@@ -968,32 +1019,115 @@ def sim_ann_ivf_topk(spark, sf_dir):
     )
 
 
-def _ivf_sql() -> str:
-    dim = LSH_DIM
-    cent_list = ", ".join(
-        f"CAST(SUM(CAST(emb[{i + 1}] AS DECIMAL(24,10))) AS DOUBLE) / COUNT(*)"
-        for i in range(dim)
+def sim_ann_ivf_recall(spark, sf_dir):
+    """IVF quality, quantified (symmetric with sim_ann_lsh_recall):
+    recall@10 of the nprobe=2 trained-quantizer answer against the
+    brute-force cosine top-10 truth. One row: n_true, n_found, n_hit,
+    recall."""
+    truth = sim_cosine_topk(spark, sf_dir).limit(10).select("vec_id")
+    found = sim_ann_ivf_topk(spark, sf_dir).select("vec_id")
+    hit = truth.join(found, "vec_id", "left_semi")
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(found.agg(F.count(F.lit(1)).alias("n_found")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_true",
+            "n_found",
+            "n_hit",
+            F.round(F.col("n_hit").cast("double") / F.col("n_true"), 4).alias(
+                "recall"
+            ),
+        )
     )
+
+
+def _ivf_cent_list() -> str:
+    return ", ".join(
+        f"CAST(SUM(CAST(emb[{i + 1}] AS DECIMAL(24,10))) AS DOUBLE) / COUNT(*)"
+        for i in range(LSH_DIM)
+    )
+
+
+def _ivf_trained_ctes() -> tuple[str, str, str]:
+    """(CTE block, final-cents name, final-assignment name) for the
+    trained quantizer, mirroring _ivf_trained_cents step for step."""
+    cent_list = _ivf_cent_list()
+    score = f"({_dot_sql('emb', 'cent')}) / sqrt({_dot_sql('cent', 'cent')})"
+    ctes = [
+        "v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+        f"c0 AS (SELECT label AS cell, [{cent_list}] AS cent FROM v GROUP BY label)",
+    ]
+    prev = "c0"
+    for it in range(1, IVF_KMEANS_ITERS + 1):
+        ctes.append(
+            f"""a{it} AS (
+  SELECT vec_id, emb, cell FROM (
+    SELECT v.vec_id, v.emb, {prev}.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {score} DESC, {prev}.cell) AS rn
+    FROM v, {prev}) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"c{it} AS (SELECT cell, [{cent_list}] AS cent FROM a{it} GROUP BY cell)"
+        )
+        prev = f"c{it}"
+    return ",\n".join(ctes), prev, f"a{IVF_KMEANS_ITERS}"
+
+
+def _ivf_sql() -> str:
+    ctes, cfin, afin = _ivf_trained_ctes()
     return f"""
-WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-cents AS (SELECT label AS cell, [{cent_list}] AS cent FROM v GROUP BY label),
+WITH {ctes},
 q AS (SELECT emb AS q_emb FROM v WHERE vec_id = 0),
 probe AS (
-  SELECT cell FROM cents, q
+  SELECT cell FROM {cfin}, q
   ORDER BY ({_dot_sql('cent', 'q_emb')})
            / (sqrt({_dot_sql('cent', 'cent')}) * sqrt({_dot_sql('q_emb', 'q_emb')})) DESC, cell
-  LIMIT 2)
+  LIMIT {IVF_NPROBE})
 SELECT vec_id,
        ROUND(({_dot_sql('emb', 'q_emb')})
              / (sqrt({_dot_sql('emb', 'emb')}) * sqrt({_dot_sql('q_emb', 'q_emb')})), 4) AS cosine
-FROM v, q
-WHERE label IN (SELECT cell FROM probe) AND vec_id <> 0
+FROM {afin} a, q
+WHERE a.cell IN (SELECT cell FROM probe) AND vec_id <> 0
 ORDER BY cosine DESC, vec_id
 LIMIT 10
 """
 
 
+def _ivf_recall_sql() -> str:
+    ctes, cfin, afin = _ivf_trained_ctes()
+    return f"""
+WITH {ctes},
+q AS (SELECT emb AS q_emb FROM v WHERE vec_id = 0),
+probe AS (
+  SELECT cell FROM {cfin}, q
+  ORDER BY ({_dot_sql('cent', 'q_emb')})
+           / (sqrt({_dot_sql('cent', 'cent')}) * sqrt({_dot_sql('q_emb', 'q_emb')})) DESC, cell
+  LIMIT {IVF_NPROBE}),
+found AS (
+  SELECT vec_id FROM {afin} a, q
+  WHERE a.cell IN (SELECT cell FROM probe) AND vec_id <> 0
+  ORDER BY ROUND(({_dot_sql('emb', 'q_emb')})
+                 / (sqrt({_dot_sql('emb', 'emb')}) * sqrt({_dot_sql('q_emb', 'q_emb')})), 4) DESC, vec_id
+  LIMIT 10),
+truth AS (
+  SELECT vec_id FROM v, q
+  WHERE vec_id <> 0
+  ORDER BY ROUND(({_dot_sql('emb', 'q_emb')})
+                 / (sqrt({_dot_sql('emb', 'emb')}) * sqrt({_dot_sql('q_emb', 'q_emb')})), 4) DESC, vec_id
+  LIMIT 10),
+hit AS (SELECT vec_id FROM truth WHERE vec_id IN (SELECT vec_id FROM found))
+SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+       (SELECT COUNT(*) FROM found) AS n_found,
+       (SELECT COUNT(*) FROM hit) AS n_hit,
+       ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+             / (SELECT COUNT(*) FROM truth), 4) AS recall
+"""
+
+
 SIM_IVF_SQL = _ivf_sql()
+SIM_IVF_RECALL_SQL = _ivf_recall_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -1416,6 +1550,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_lsh_pairs": sim_ann_lsh_pairs,
     "sim_ann_lsh_recall": sim_ann_lsh_recall,
     "sim_ann_ivf_topk": sim_ann_ivf_topk,
+    "sim_ann_ivf_recall": sim_ann_ivf_recall,
     "minhash_near_dup": minhash_near_dup,
     "minhash_recall": minhash_recall,
     "simhash_fingerprint": simhash_fingerprint,
@@ -1450,6 +1585,7 @@ ORACLES: dict[str, str] = {
     "sim_ann_lsh_pairs": SIM_LSH_SQL,
     "sim_ann_lsh_recall": SIM_LSH_RECALL_SQL,
     "sim_ann_ivf_topk": SIM_IVF_SQL,
+    "sim_ann_ivf_recall": SIM_IVF_RECALL_SQL,
     "minhash_near_dup": MINHASH_SQL,
     "minhash_recall": MINHASH_RECALL_SQL,
     "simhash_fingerprint": SIMHASH_SQL,

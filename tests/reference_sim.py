@@ -65,10 +65,14 @@ class SimResult:
     crawled: list       # dicts per onPageCrawl
     errors: list        # dicts per onError
     redirect_events: list  # dicts per onRedirect
+    events: list = field(default_factory=list)
+    # ^ the global callback interleave: ("redirect"|"pageCrawl"|"error",
+    #   dict) in firing order — onRedirect during the fetch
+    #   (crawler.js:491), the terminal after links queue (:157/:174)
 
 
 def simulate(cfg, seeds, pages_rows, http_rows, workers: int = 1,
-             completion_order=None) -> SimResult:
+             completion_order=None, on_page_crawl=None) -> SimResult:
     """``workers`` models the reference's K-worker async queue
     (crawler.js:23-26): up to K pages are dispatched FIFO as a batch;
     ``completion_order`` (a callable batch→batch) permutes the order
@@ -105,7 +109,7 @@ def simulate(cfg, seeds, pages_rows, http_rows, workers: int = 1,
     seen: list[str] = []
     seen_set: set[str] = set()
     queue: deque[SimPage] = deque()
-    crawled, errors, redirect_events = [], [], []
+    crawled, errors, redirect_events, events = [], [], [], []
 
     def robots_blocked(href: str) -> bool:
         if not cfg.robots:
@@ -219,11 +223,11 @@ def simulate(cfg, seeds, pages_rows, http_rows, workers: int = 1,
                 if not page.is_external and is_external_pair(page.url, landing):
                     page.is_external = True
                 clean = node_href(landing)
-                redirect_events.append(
-                    dict(seq=page.seq, pre_url=page.url, final_url=landing,
-                         clean_final=clean, status_code=status,
-                         redirects_before=list(page.redirects))
-                )
+                ev = dict(seq=page.seq, pre_url=page.url, final_url=landing,
+                          clean_final=clean, status_code=status,
+                          redirects_before=list(page.redirects))
+                redirect_events.append(ev)
+                events.append(("redirect", ev))
                 was = clean in seen_set
                 if not was:
                     seen.append(clean)
@@ -270,18 +274,26 @@ def simulate(cfg, seeds, pages_rows, http_rows, workers: int = 1,
                         continue
                     ext = is_external_pair(page.ctor_href, link)
                     enqueue(strip_fragment(link), page.url, ext, page.depth + 1)
-            crawled.append(
-                dict(seq=page.seq, url=page.url, queued_url=page.ctor_href,
-                     referrer=page.referrer, is_external=page.is_external,
-                     type=page.type, text=body, links=links,
-                     redirects=list(page.redirects))
-            )
+            row = dict(seq=page.seq, url=page.url, queued_url=page.ctor_href,
+                       referrer=page.referrer, is_external=page.is_external,
+                       type=page.type, text=body, links=links,
+                       redirects=list(page.redirects))
+            crawled.append(row)
+            events.append(("pageCrawl", row))
+            if on_page_crawl is not None:
+                # user-land queue() from inside onPageCrawl — fires
+                # AFTER the page's links queued (crawler.js:157)
+                def _queue(url, referrer=None, is_external=False):
+                    return enqueue(url, referrer,
+                                   bool(is_external), page.depth + 1)
+
+                on_page_crawl(row, _queue)
         else:
-            errors.append(
-                dict(seq=page.seq, url=page.url, queued_url=page.ctor_href,
-                     referrer=page.referrer, is_external=page.is_external,
-                     type=page.type, error_code=err, status_code=status)
-            )
+            row = dict(seq=page.seq, url=page.url, queued_url=page.ctor_href,
+                       referrer=page.referrer, is_external=page.is_external,
+                       type=page.type, error_code=err, status_code=status)
+            errors.append(row)
+            events.append(("error", row))
 
     while queue:
         batch = [queue.popleft() for _ in range(min(workers, len(queue)))]
@@ -291,4 +303,4 @@ def simulate(cfg, seeds, pages_rows, http_rows, workers: int = 1,
             _process(page)
 
     return SimResult(seen=seen, crawled=crawled, errors=errors,
-                     redirect_events=redirect_events)
+                     redirect_events=redirect_events, events=events)

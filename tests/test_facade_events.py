@@ -1,0 +1,147 @@
+"""Facade event semantics vs the reference (crawler.js):
+
+- ONE interleaved event stream in callback order: onRedirect fires
+  during the fetch (crawler.js:491), onPageCrawl/onError at completion
+  after the page's links queue (:157/:174) — asserted against the
+  simulator's global event log.
+- kill() (:626-632): stops dispatch at the next round barrier, halts
+  delivery mid-stream, drain never fires.
+- Mid-crawl queue() (:576-618 is callable any time): urls queued from
+  inside a pageCrawl callback join the next round's frontier through
+  the full gate chain, with the reference's schedule when the
+  enqueueing page is the last of its round.
+"""
+
+from __future__ import annotations
+
+from node_crawler_spark.config import CrawlConfig
+from node_crawler_spark.crawler import Crawler
+from node_crawler_spark.sources.fixtures import BASE, Scenario, _links
+from tests.reference_sim import simulate
+
+
+def _mixed_scenario() -> Scenario:
+    """Redirects, an error, and plain pages in one crawl so the three
+    event kinds genuinely interleave."""
+    s = Scenario(name="facade_mixed", cfg=CrawlConfig(retries=0),
+                 seeds=[f"{BASE}/"])
+    s.page(f"{BASE}/", _links("/old", "/missing", "/ok"))
+    s.page(f"{BASE}/old", status=301, location="/final", content_type=None,
+           store_body=False)
+    s.page(f"{BASE}/final", _links())
+    s.page(f"{BASE}/missing", status=500, content_type=None, store_body=False)
+    s.page(f"{BASE}/ok", _links())
+    return s
+
+
+def _sim_event_key(kind, ev):
+    if kind == "redirect":
+        return (kind, ev["seq"], ev["clean_final"])
+    return (kind, ev["seq"], ev["url"])
+
+
+def test_interleaved_event_order(spark, tmp_path):
+    s = _mixed_scenario()
+    pages, http = s.dfs(spark)
+
+    log = []
+    c = Crawler(spark, pages, http, str(tmp_path / "c"), retries=0)
+    c.on("pageCrawl", lambda r: log.append(("pageCrawl", r.seq, r.url)))
+    c.on("error", lambda r: log.append(("error", r.seq, r.url)))
+    c.on("redirect", lambda r: log.append(("redirect", r.seq, r.clean_final)))
+    drained = []
+    c.on("drain", lambda: drained.append(True))
+    for seed in s.seeds:
+        c.queue(seed)
+    c.start()
+
+    sim = simulate(s.cfg, s.seeds, s.pages, s.http)
+    exp = [_sim_event_key(k, ev) for k, ev in sim.events]
+    got = [(k, seq, u) for (k, seq, u) in log]
+    # normalize to the same tuple layout
+    exp = [(k, seq, u) for (k, seq, u) in exp]
+    assert got == exp, f"interleave mismatch:\n got {got}\n exp {exp}"
+    assert drained == [True]
+    # the redirect event for /old must precede its own terminal AND
+    # come after the terminal of every earlier-seq page
+    kinds_by_seq = {}
+    for i, (k, seq, _u) in enumerate(got):
+        kinds_by_seq.setdefault(seq, []).append(k)
+    for seq, kinds in kinds_by_seq.items():
+        terminals = [k for k in kinds if k in ("pageCrawl", "error")]
+        assert len(terminals) == 1
+        assert kinds[-1] in ("pageCrawl", "error"), (
+            f"seq {seq}: redirects must precede the terminal event"
+        )
+
+
+def _chain_scenario(n: int = 4) -> Scenario:
+    """/p0 -> /p1 -> ... one page per BFS round."""
+    s = Scenario(name="facade_chain", cfg=CrawlConfig(), seeds=[f"{BASE}/p0"])
+    for i in range(n):
+        nxt = _links(f"/p{i + 1}") if i + 1 < n else _links()
+        s.page(f"{BASE}/p{i}", nxt)
+    return s
+
+
+def test_kill_mid_delivery(spark, tmp_path):
+    s = _chain_scenario(4)
+    pages, http = s.dfs(spark)
+
+    log, drained = [], []
+    c = Crawler(spark, pages, http, str(tmp_path / "k"))
+
+    def on_crawl(row):
+        log.append(row.url)
+        c.kill()
+
+    c.on("pageCrawl", on_crawl)
+    c.on("drain", lambda: drained.append(True))
+    for seed in s.seeds:
+        c.queue(seed)
+    res = c.start()
+
+    # delivery halted after the first event; drain never fired
+    assert log == [f"{BASE}/p0"]
+    assert drained == []
+    # the round loop stopped at its next barrier: p1 was queued by p0
+    # but rounds 2+ never ran, so p2 was never discovered
+    assert res.rounds == 1
+    seen = {r.url for r in res.seen(spark).collect()}
+    assert seen == {f"{BASE}/p0", f"{BASE}/p1"}
+
+
+def test_midcrawl_queue_matches_sim(spark, tmp_path):
+    """A pageCrawl callback queues a new url (and a duplicate, which
+    the seen gate drops); crawl order matches the simulator running
+    the same callback."""
+    s = _chain_scenario(2)  # /p0 -> /p1
+    s.page(f"{BASE}/extra", _links("/more"))
+    s.page(f"{BASE}/more", _links())
+    pages, http = s.dfs(spark)
+
+    def drive(queue_fn, row_url):
+        if row_url == f"{BASE}/p0":
+            queue_fn(f"{BASE}/extra")
+            queue_fn(f"{BASE}/p1")  # already seen -> gate drops it
+
+    log = []
+    c = Crawler(spark, pages, http, str(tmp_path / "q"))
+    c.on("pageCrawl",
+         lambda row: (log.append((row.seq, row.url)),
+                      drive(c.queue, row.url)))
+    for seed in s.seeds:
+        c.queue(seed)
+    res = c.start()
+
+    sim = simulate(
+        s.cfg, s.seeds, s.pages, s.http,
+        on_page_crawl=lambda row, q: drive(q, row["url"]),
+    )
+    seen_rows = sorted(res.seen(spark).collect(), key=lambda r: r.seq)
+    assert [r.url for r in seen_rows] == sim.seen
+    assert [r.seq for r in seen_rows] == list(range(1, len(sim.seen) + 1))
+    assert log == [(c_["seq"], c_["url"])
+                   for c_ in sorted(sim.crawled, key=lambda x: x["seq"])]
+    # /extra was crawled and ITS links were followed
+    assert f"{BASE}/more" in {u for _s, u in log}

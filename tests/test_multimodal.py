@@ -47,6 +47,76 @@ def test_extract_media_features(spark):
     media.unpersist()
 
 
+def test_vectorized_batch_matches_scalar_fake():
+    """The numpy batch kernel is value-identical to mapping
+    fake_decode_header row by row (including None / short payloads)."""
+    import pandas as pd
+
+    from node_crawler_spark.functions.multimodal import (
+        _fake_batch,
+        _rowwise_batch,
+    )
+
+    payloads = [
+        struct.pack(">II", 640, 480) + b"pixels" * 10,
+        struct.pack(">II", 17, 4242) + b"\x00\xff" * 33,
+        None,
+        b"short",
+        struct.pack(">II", 1, 1),
+    ]
+    pdf = pd.DataFrame({
+        "media_id": range(len(payloads)),
+        "kind": ["image"] * len(payloads),
+        "payload": payloads,
+    })
+    vec = _fake_batch(pdf)
+    ref = _rowwise_batch(pdf, fake_decode_header)
+    assert vec.columns.tolist() == ref.columns.tolist()
+    for col in vec.columns:
+        assert vec[col].tolist() == ref[col].tolist(), col
+    # empty batch keeps the schema
+    empty = _fake_batch(pdf.iloc[0:0])
+    assert empty.columns.tolist() == ref.columns.tolist()
+    assert len(empty) == 0
+
+
+def test_real_decoder_path_with_stub_pil(monkeypatch):
+    """_decode_image_real is auto-picked when PIL imports and honors
+    the (w, h, luma, phash) contract — exercised against a stub PIL
+    (codecs aren't in this container)."""
+    import sys
+    import types
+
+    from node_crawler_spark.functions import multimodal as mm
+
+    class _Img:
+        size = (3, 2)
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def getdata(self):
+            return [10, 20, 30, 40, 50, 60]
+
+    pil = types.ModuleType("PIL")
+    pil.Image = types.SimpleNamespace(open=lambda buf: _Img())
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", pil.Image)
+
+    assert mm._pick_decoder() is mm._decode_image_real
+    payload = b"fakejpegbytes"
+    w, h, luma, phash = mm._decode_image_real(payload)
+    assert (w, h) == (3, 2)
+    assert luma == sum([10, 20, 30, 40, 50, 60]) / 6.0
+    digest = hashlib.sha256(payload).digest()
+    assert phash == int.from_bytes(digest[4:12], "big", signed=True)
+    # without the stub, the pick falls back to the deterministic fake
+    monkeypatch.delitem(sys.modules, "PIL")
+    monkeypatch.delitem(sys.modules, "PIL.Image")
+    assert mm._pick_decoder() is mm.fake_decode_header
+
+
 def test_resize_and_frame_sample(spark):
     media = synthetic_media(spark, 30)
     rs = {r.media_id: r for r in resize_stub(media, 256).collect()}
