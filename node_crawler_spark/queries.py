@@ -943,33 +943,46 @@ def _dec_centroids(assigned, cell_col: str):
     )
 
 
+def _argmax_cell(cent_rows):
+    """Map-side nearest-cell expression: per row, score every centroid
+    (embedded as literals — the K×dim quantizer is tiny, the same class
+    as the LSH hyperplane literals) and argmax via array_max over
+    (score, -cell) structs — max score, MIN cell on ties, exactly the
+    SQL oracle's ROW_NUMBER ... ORDER BY score DESC, cell. The dot is
+    the shared left fold; |cent| is precomputed in Python with the
+    identical left association (IEEE doubles, same bits)."""
+    import functools
+    import math
+
+    structs = []
+    for r in cent_rows:
+        coefs = [float(c) for c in r.cent]
+        dot = _arr_dot(F.col("emb"), F.array(*[F.lit(c) for c in coefs]))
+        nrm = math.sqrt(functools.reduce(lambda a, c: a + c * c, coefs, 0.0))
+        structs.append(
+            F.struct(
+                (dot / F.lit(nrm)).alias("score"),
+                F.lit(-r.cell).alias("negcell"),
+            )
+        )
+    return (-F.array_max(F.array(*structs))["negcell"]).cast("int")
+
+
 def _ivf_trained_cents(v):
     """Train the coarse quantizer: label-means init, then
     IVF_KMEANS_ITERS Lloyd iterations (assign to argmax
     dot(emb,cent)/|cent|, recompute decimal-exact means). Each
-    iteration is one broadcast join (K cells tiny) + one
-    vec_id-partitioned argmax + one cell groupBy — no n² anywhere, the
-    100 TB shape. Ties break on cell id; scores share the SQL oracle's
-    left-fold FP association, so assignments match across engines."""
-    from pyspark.sql import Window
-
+    iteration collects the K tiny centroids (bounded driver data, like
+    the bucket-prune collect) and re-scans the big table ONCE with a
+    map-only argmax + one cell groupBy — no crossJoin row blowup, no
+    per-vector shuffle, the 100 TB shape. Ties break on cell id;
+    scores share the SQL oracle's left-fold FP association, so
+    assignments match across engines."""
     cents = _dec_centroids(v.select(F.col("label").alias("c0"), "emb"), "c0")
     for _ in range(IVF_KMEANS_ITERS):
-        scored = (
-            v.select("vec_id", "emb")
-            .crossJoin(F.broadcast(cents))
-            .withColumn(
-                "score",
-                _arr_dot(F.col("emb"), F.col("cent")) / _arr_norm(F.col("cent")),
-            )
-        )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("score").desc(), F.col("cell")
-        )
-        assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "emb", "cell")
+        cent_rows = sorted(cents.collect(), key=lambda r: r.cell)
+        assigned = v.select(
+            "vec_id", "emb", _argmax_cell(cent_rows).alias("cell")
         )
         cents = _dec_centroids(assigned, "cell")
     return cents, assigned
