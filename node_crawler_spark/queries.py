@@ -585,6 +585,101 @@ ORDER BY doc_id
 """
 
 
+REP_TOP_BIGRAM_MAX = 0.10   # Gopher-style repetition gates: most-frequent
+REP_DUP_TRIGRAM_MAX = 0.05  # bigram share / repeated-trigram share
+
+
+def t_repetition_filter(spark, sf_dir):
+    """Repetition-based quality filter (Gopher-style, adapted to
+    single-line text): per document, the frequency share of the most
+    common word bigram and the fraction of trigram occurrences that
+    are repeats; documents over either threshold are dropped. All
+    built-in expressions — two explode+groupBy passes keyed by doc_id,
+    no UDFs, scales as a pair of hash aggregations."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split(F.lower(F.trim("text")), "\\s+").alias("w"))
+    bi = w.where(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 2), "
+                "i -> concat(w[i], ' ', w[i+1]))"
+            )
+        ).alias("g"),
+    )
+    top_bi = (
+        bi.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.max("c").cast("double") / F.sum("c"), 6
+            ).alias("top_bigram_frac")
+        )
+    )
+    tri = w.where(F.size("w") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 3), "
+                "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"
+            )
+        ).alias("g"),
+    )
+    dup_tri = tri.groupBy("doc_id").agg(
+        F.round(
+            F.lit(1.0)
+            - F.count_distinct("g").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("dup_trigram_frac")
+    )
+    return (
+        d.select("doc_id")
+        .join(top_bi, "doc_id", "left")
+        .join(dup_tri, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+            F.coalesce("dup_trigram_frac", F.lit(0.0)).alias("dup_trigram_frac"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("top_bigram_frac") <= REP_TOP_BIGRAM_MAX)
+            & (F.col("dup_trigram_frac") <= REP_DUP_TRIGRAM_MAX),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T_REPETITION_SQL = f"""
+WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+           FROM documents),
+bi AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+              i -> w[i] || ' ' || w[i+1])) AS g
+       FROM w WHERE len(w) >= 2),
+bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY doc_id, g),
+top_bi AS (SELECT doc_id,
+                  ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_frac
+           FROM bc GROUP BY doc_id),
+tri AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        FROM w WHERE len(w) >= 3),
+dup_tri AS (SELECT doc_id,
+                   ROUND(1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*), 6)
+                     AS dup_trigram_frac
+            FROM tri GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(top_bigram_frac, 0.0) AS top_bigram_frac,
+       COALESCE(dup_trigram_frac, 0.0) AS dup_trigram_frac,
+       COALESCE(top_bigram_frac, 0.0) <= {REP_TOP_BIGRAM_MAX}
+         AND COALESCE(dup_trigram_frac, 0.0) <= {REP_DUP_TRIGRAM_MAX} AS keep
+FROM documents d
+LEFT JOIN top_bi ON top_bi.doc_id = d.doc_id
+LEFT JOIN dup_tri ON dup_tri.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def d_exact_dedup(spark, sf_dir):
     """Exact dedup via hash-groupBy: one keeper (min doc_id) per
     normalized-text group + group size."""
@@ -1064,17 +1159,23 @@ def _ivf_cent_list() -> str:
 
 def _ivf_trained_ctes() -> tuple[str, str, str]:
     """(CTE block, final-cents name, final-assignment name) for the
-    trained quantizer, mirroring _ivf_trained_cents step for step."""
+    trained quantizer, mirroring _ivf_trained_cents step for step.
+
+    Every CTE is ``AS MATERIALIZED``: without the hint DuckDB's
+    optimizer re-inlines each reference, and the k-means chain
+    (a2 → c1 → a1 → c0 → v, with 64-term dot products at every level)
+    blows up exponentially during planning — observed as a flaky
+    OutOfMemoryException on a 500-row input."""
     cent_list = _ivf_cent_list()
     score = f"({_dot_sql('emb', 'cent')}) / sqrt({_dot_sql('cent', 'cent')})"
     ctes = [
-        "v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
-        f"c0 AS (SELECT label AS cell, [{cent_list}] AS cent FROM v GROUP BY label)",
+        "v AS MATERIALIZED (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+        f"c0 AS MATERIALIZED (SELECT label AS cell, [{cent_list}] AS cent FROM v GROUP BY label)",
     ]
     prev = "c0"
     for it in range(1, IVF_KMEANS_ITERS + 1):
         ctes.append(
-            f"""a{it} AS (
+            f"""a{it} AS MATERIALIZED (
   SELECT vec_id, emb, cell FROM (
     SELECT v.vec_id, v.emb, {prev}.cell,
            ROW_NUMBER() OVER (PARTITION BY v.vec_id
@@ -1082,7 +1183,7 @@ def _ivf_trained_ctes() -> tuple[str, str, str]:
     FROM v, {prev}) WHERE rn = 1)"""
         )
         ctes.append(
-            f"c{it} AS (SELECT cell, [{cent_list}] AS cent FROM a{it} GROUP BY cell)"
+            f"c{it} AS MATERIALIZED (SELECT cell, [{cent_list}] AS cent FROM a{it} GROUP BY cell)"
         )
         prev = f"c{it}"
     return ",\n".join(ctes), prev, f"a{IVF_KMEANS_ITERS}"
@@ -1362,6 +1463,107 @@ ORDER BY doc_a, doc_b
 """
 
 
+CC_MAX_ITERS = 20  # ≥ pair-graph diameter at any plausible SF; asserted converged
+
+
+def dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER assignment: connected components over the
+    MinHash near-dup pair graph (minhash_near_dup's output edges), so
+    transitively-linked documents collapse to one keeper —
+    cluster_id = min doc_id reachable, the standard dedup contract
+    (A~B, B~C ⇒ A,B,C one cluster even if A~C missed the threshold).
+
+    Spark-first iteration: min-label propagation to a fixpoint — each
+    step is one edge-join + groupBy-min + least() (no windows, no n²,
+    shuffle keyed by doc_id), converging in ≤ graph-diameter steps
+    (bounded by CC_MAX_ITERS; the loop exits early on no-change, and
+    at 100 TB near-dup components are shallow — chains longer than a
+    few hops mean the threshold is mis-set). The DuckDB oracle computes
+    the same labels independently via WITH RECURSIVE transitive
+    closure, so convergence itself is gate-checked."""
+    pairs = minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint()  # frozen once; every iteration re-joins it
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"), F.col("cluster_id").alias("lbl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_min"))
+            .select(F.col("src").alias("doc_id"), "nbr_min")
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce("nbr_min", F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = not (
+            new_labels.select("doc_id", F.col("cluster_id").alias("new_cl"))
+            .join(
+                labels.select("doc_id", F.col("cluster_id").alias("old_cl")),
+                "doc_id",
+            )
+            .where(F.col("new_cl") != F.col("old_cl"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels.select(
+        "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper")
+    ).orderBy("doc_id")
+
+
+def _minhash_near_ctes() -> str:
+    """CTE block ending in ``near(doc_a, doc_b)`` — MINHASH_SQL's
+    pipeline as a reusable prefix."""
+    return f"""{_SHINGLES_CTE},
+{_minhash_bands_sql()},
+mpairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+msizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+minter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+           FROM mpairs p
+           JOIN shingles sa ON sa.doc_id = p.doc_a
+           JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+           GROUP BY p.doc_a, p.doc_b),
+near AS (SELECT doc_a, doc_b FROM minter
+         JOIN msizes sa ON sa.doc_id = doc_a JOIN msizes sb ON sb.doc_id = doc_b
+         WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= {MH_JACCARD})"""
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_minhash_near_ctes()},
+cedges AS (SELECT doc_a AS src, doc_b AS dst FROM near
+           UNION ALL SELECT doc_b, doc_a FROM near),
+reach(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN cedges e ON e.src = r.doc_id
+)
+SELECT doc_id, MIN(lbl) AS cluster_id, doc_id = MIN(lbl) AS is_keeper
+FROM reach GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def minhash_recall(spark, sf_dir):
     """LSH quality, quantified (the checked scalar the hash family
     owes): recall of the band-bucket candidate set against the exact
@@ -1556,6 +1758,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_quality_score": t_quality_score,
     "t_lang_id": t_lang_id,
     "t_fingerprint": t_fingerprint,
+    "t_repetition_filter": t_repetition_filter,
     "d_exact_dedup": d_exact_dedup,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_label_centroid_norm": sim_label_centroid_norm,
@@ -1565,6 +1768,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_ivf_topk": sim_ann_ivf_topk,
     "sim_ann_ivf_recall": sim_ann_ivf_recall,
     "minhash_near_dup": minhash_near_dup,
+    "dedup_clusters": dedup_clusters,
     "minhash_recall": minhash_recall,
     "simhash_fingerprint": simhash_fingerprint,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -1591,6 +1795,7 @@ ORACLES: dict[str, str] = {
     "t_quality_score": T_QUALITY_SQL,
     "t_lang_id": T_LANG_SQL,
     "t_fingerprint": T_FP_SQL,
+    "t_repetition_filter": T_REPETITION_SQL,
     "d_exact_dedup": D_EXACT_SQL,
     "sim_cosine_topk": SIM_TOPK_SQL,
     "sim_label_centroid_norm": SIM_CENTROID_SQL,
@@ -1600,6 +1805,7 @@ ORACLES: dict[str, str] = {
     "sim_ann_ivf_topk": SIM_IVF_SQL,
     "sim_ann_ivf_recall": SIM_IVF_RECALL_SQL,
     "minhash_near_dup": MINHASH_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "minhash_recall": MINHASH_RECALL_SQL,
     "simhash_fingerprint": SIMHASH_SQL,
     "ngram_jaccard_pairs": NGRAM_SQL,
