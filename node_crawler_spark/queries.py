@@ -1564,6 +1564,89 @@ FROM reach GROUP BY doc_id ORDER BY doc_id
 """
 
 
+CURATE_MIN_TOKENS = 5  # drop near-empty documents from the training set
+
+
+def pipeline_curate(spark, sf_dir):
+    """Flagship training-data curation pipeline — the composition a
+    100 TB pretraining run actually executes, end to end in one plan:
+    language-ID + token floor + repetition gate + exact-dup keeper +
+    MinHash near-dup cluster keeper, folded into a single per-document
+    ``keep`` decision with every gate's verdict kept as a column (so
+    rejected docs are auditable, not silently dropped).
+
+    Every stage is a reused oracle-green operator (t_lang_id,
+    t_quality_score, t_repetition_filter, d_exact_dedup's keeper rule,
+    dedup_clusters); the joins are all on doc_id, so once the first
+    stage shuffles onto doc_id the rest co-locate — at scale this is a
+    chain of hash aggregations + one label-propagation fixpoint, never
+    n². The DuckDB oracle recomputes all five gates independently."""
+    d = _t(spark, sf_dir, "documents")
+    lang = t_lang_id(spark, sf_dir)
+    qual = t_quality_score(spark, sf_dir).select(
+        "doc_id", "n_tokens", "stopword_ratio"
+    )
+    rep = t_repetition_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("rep_ok")
+    )
+    docfp = d.select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace("text", "\\s+", " "))).alias("fingerprint"),
+    )
+    exact = docfp.join(
+        docfp.groupBy("fingerprint").agg(F.min("doc_id").alias("keeper")),
+        "fingerprint",
+    ).select("doc_id", (F.col("doc_id") == F.col("keeper")).alias("exact_keeper"))
+    near = dedup_clusters(spark, sf_dir).select(
+        "doc_id", F.col("is_keeper").alias("near_keeper")
+    )
+    return (
+        d.select("doc_id")
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .join(rep, "doc_id")
+        .join(exact, "doc_id")
+        .join(near, "doc_id")
+        .select(
+            "doc_id",
+            "pred_lang",
+            "n_tokens",
+            "stopword_ratio",
+            "rep_ok",
+            "exact_keeper",
+            "near_keeper",
+            (
+                (F.col("pred_lang") == "en")
+                & (F.col("n_tokens") >= CURATE_MIN_TOKENS)
+                & F.col("rep_ok")
+                & F.col("exact_keeper")
+                & F.col("near_keeper")
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PIPELINE_CURATE_SQL = f"""
+SELECT d.doc_id, l.pred_lang, q.n_tokens, q.stopword_ratio,
+       r.keep AS rep_ok, e.exact_keeper, n.is_keeper AS near_keeper,
+       (l.pred_lang = 'en' AND q.n_tokens >= {CURATE_MIN_TOKENS}
+        AND r.keep AND e.exact_keeper AND n.is_keeper) AS keep
+FROM documents d
+JOIN ({T_LANG_SQL}) l ON l.doc_id = d.doc_id
+JOIN (SELECT doc_id, n_tokens, stopword_ratio FROM ({T_QUALITY_SQL})) q
+  ON q.doc_id = d.doc_id
+JOIN ({T_REPETITION_SQL}) r ON r.doc_id = d.doc_id
+JOIN (SELECT doc_id,
+             doc_id = MIN(doc_id) OVER (
+               PARTITION BY MD5(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))
+             ) AS exact_keeper
+      FROM documents) e ON e.doc_id = d.doc_id
+JOIN ({DEDUP_CLUSTERS_SQL}) n ON n.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def minhash_recall(spark, sf_dir):
     """LSH quality, quantified (the checked scalar the hash family
     owes): recall of the band-bucket candidate set against the exact
@@ -1769,6 +1852,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_ivf_recall": sim_ann_ivf_recall,
     "minhash_near_dup": minhash_near_dup,
     "dedup_clusters": dedup_clusters,
+    "pipeline_curate": pipeline_curate,
     "minhash_recall": minhash_recall,
     "simhash_fingerprint": simhash_fingerprint,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -1806,6 +1890,7 @@ ORACLES: dict[str, str] = {
     "sim_ann_ivf_recall": SIM_IVF_RECALL_SQL,
     "minhash_near_dup": MINHASH_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "pipeline_curate": PIPELINE_CURATE_SQL,
     "minhash_recall": MINHASH_RECALL_SQL,
     "simhash_fingerprint": SIMHASH_SQL,
     "ngram_jaccard_pairs": NGRAM_SQL,
