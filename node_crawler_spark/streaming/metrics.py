@@ -53,3 +53,33 @@ def start_metrics_query(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def windowed_domain_counts(
+    pages: DataFrame,
+    window: str = "1 hour",
+    allowed_lateness: str = "30 minutes",
+) -> DataFrame:
+    """EVENT-TIME per-domain page counts over ``warc_ts`` (the
+    input_hint timestamp) — tumbling windows with a real watermark, so
+    state is bounded and rows arriving more than ``allowed_lateness``
+    behind the max seen event time are dropped, never silently
+    double-counted. Run in ``append`` mode: a window is emitted
+    exactly once, when the watermark passes its end — the contract a
+    downstream consumer (alerting, rate caps) needs. At 100 TB-ingest
+    scale the state store holds only open windows × domains; closed
+    windows are evicted by the same watermark."""
+    return (
+        pages.withColumn(
+            "domain", F.lower(F.coalesce(F.parse_url("url", F.lit("HOST")), F.lit("")))
+        )
+        .withWatermark("warc_ts", allowed_lateness)
+        .groupBy(F.window("warc_ts", window).alias("w"), "domain")
+        .agg(F.count(F.lit(1)).alias("pages"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "domain",
+            "pages",
+        )
+    )

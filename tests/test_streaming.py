@@ -85,3 +85,82 @@ def test_token_bucket_stateful_politeness(spark, tmp_path):
     rows2 = spark.read.parquet(out_dir).collect()
     hot_admitted = [r.url for r in rows2 if r.domain == "hot.test" and r.admitted]
     assert len(hot_admitted) == 4, "refill admits the deferred pair"
+
+
+def test_windowed_domain_counts_watermark_drops_late_rows(spark, tmp_path):
+    """Event-time windowed aggregation semantics (metrics.py): append
+    mode emits a window exactly once when the watermark passes its
+    end; a row that lands in a still-open window is counted even if it
+    is behind the watermark (Spark drops only rows whose WINDOW END is
+    behind the watermark); and a row arriving after its window was
+    finalized is DROPPED — never re-emitted or double-counted. Three
+    availableNow runs share one checkpoint so the watermark genuinely
+    persists between them."""
+    import datetime as dt
+
+    from node_crawler_spark.streaming.metrics import windowed_domain_counts
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = "url string, warc_ts timestamp"
+
+    def ts(h, m):
+        return dt.datetime(2025, 1, 1, h, m)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            windowed_domain_counts(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r.win_start, r.domain): r.pages
+            for r in spark.read.parquet(out).collect()
+        }
+
+    spark.createDataFrame(
+        [
+            ("http://d1.test/a", ts(10, 5)),
+            ("http://d1.test/b", ts(10, 20)),
+            ("http://d2.test/a", ts(10, 10)),
+            ("http://d1.test/c", ts(11, 0)),   # max event time → watermark 10:30
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    assert run() == {}, "no window closed yet (watermark 10:30 < 11:00)"
+
+    spark.createDataFrame(
+        [
+            # behind the 10:30 watermark but window [10,11) end 11:00 is
+            # still ahead of it → the window is open, the row COUNTS
+            ("http://d1.test/late_but_open", ts(10, 6)),
+            ("http://d2.test/adv", ts(12, 0)),  # watermark → 11:30, closes [10,11)
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    got = run()
+    assert got[(ts(10, 0), "d1.test")] == 3, "open-window late row counts"
+    assert got[(ts(10, 0), "d2.test")] == 1
+    assert set(ws for ws, _ in got) == {ts(10, 0)}, "11:00/12:00 windows still open"
+
+    spark.createDataFrame(
+        [
+            # window [10,11) end 11:00 is behind the 11:30 watermark →
+            # finalized window, row is dropped at the state operator
+            ("http://d1.test/too_late", ts(10, 40)),
+            ("http://d2.test/adv2", ts(13, 0)),  # watermark → 12:30, closes [11,12)
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    got = run()
+    assert got[(ts(10, 0), "d1.test")] == 3, "finalized window never re-emitted"
+    assert got[(ts(11, 0), "d1.test")] == 1, "[11,12) closes with only d1/c"
+    assert (ts(11, 0), "d2.test") not in got
+    assert set(ws for ws, _ in got) == {ts(10, 0), ts(11, 0)}, "[12,13) still open"
