@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "sim_cosine_topk",
     "minhash_near_dup",
     "simhash_fingerprint",
+    "sim_ann_ivf_topk",
+    "pipeline_curate",
 ]
 
 CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "30000"))
@@ -184,11 +186,11 @@ def main() -> None:
         # invocation — full legs + per-phase decomposition + the
         # box's Spark-ceiling controls live in BENCH/BASELINE.md §2-3)
         "scaling_recorded": {
-            "date": "2026-08-17",
-            "steady_urls_per_sec": {"local[2]": 3901, "local[8]": 9141,
-                                    "local[32]": 6091},
-            "efficiency_2_to_8": 0.586,
-            "efficiency_8_to_32": 0.179,
+            "date": "2026-08-17 (round-3 retake, bucketed page join)",
+            "steady_urls_per_sec": {"local[2]": 4713, "local[8]": 9860,
+                                    "local[32]": 10866},
+            "efficiency_2_to_8": 0.523,
+            "efficiency_8_to_32": 0.275,
             "spark_ceiling_controls_2_to_8": {"codegen": 0.60,
                                               "shuffle": 0.60,
                                               "arrow_udf": 0.74},

@@ -1,11 +1,17 @@
 """Operational CLI — the debugger.js analog (S7, debugger.js:8-108).
 
-Run with spark-submit (north_rule):
+Run with spark-submit (north_rule; spark-submit takes a file, not -m,
+so scripts/submit_crawl.py is the thin primary resource):
 
-    spark-submit --py-files nc_spark.zip -m node_crawler_spark.cli \\
+    spark-submit --master <cluster> --py-files nc_spark.zip \\
+        scripts/submit_crawl.py \\
         --seeds http://www.site.test/ \\
         --pages /data/pages_parquet --http-meta /data/http_meta_parquet \\
         --store /data/crawl_store --exclude '\\.pdf$' --retries 1
+
+The spark-submit-provided master flows through (session.build_session
+honors a pre-set spark.master); tests/test_spark_submit.py runs this
+end-to-end with the package imported from the zip.
 
 or plain ``python -m node_crawler_spark.cli``. Prints per-round
 metrics (the reference's --status-codes / --page counters) and a final

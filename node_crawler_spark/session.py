@@ -29,6 +29,19 @@ def build_session(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        # under spark-submit the master arrives as the spark.master
+        # system property — honor it instead of clobbering it, so the
+        # same entry point runs unchanged on a real cluster
+        # (north_rule: spark-submit --py-files at N and 4N executors)
+        try:
+            from pyspark import SparkConf
+
+            submitted = SparkConf()
+            if submitted.contains("spark.master"):
+                master = submitted.get("spark.master")
+        except Exception:  # no JVM yet / standalone import — fall back
+            pass
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         # local mode: one shuffle partition per core (AQE coalesces down)
