@@ -1816,6 +1816,91 @@ ORDER BY doc_a, doc_b
 """.format(cap=SHINGLE_DF_CAP)
 
 
+def w_event_hourly(spark, sf_dir):
+    """Tumbling event-time windows (the batch face of Structured
+    Streaming's ``F.window`` — streaming/metrics.py runs the same
+    operator under a watermark): per-hour, per-type event counts and
+    value sums over the events table. Exact decimal(18,2) sums before
+    the round-to-double so the hash is order-independent; the groupBy
+    shuffles once on (window, event_type) — scales as a plain hash
+    aggregation at any data size."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+W_EVENT_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS win_start, event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY win_start, event_type
+"""
+
+
+def w_user_sessions(spark, sf_dir):
+    """Gap-based sessionization with ``F.session_window`` (5-minute
+    inactivity gap) — the operator Structured Streaming uses for
+    streaming sessions, oracle-checked here in batch against a DuckDB
+    gaps-and-islands rewrite. Semantics pinned exactly: a session is
+    [first_ts, last_ts + gap); an event extends it iff its ts is
+    STRICTLY inside (diff < gap starts the same session, diff == gap a
+    new one). Shuffles once on user_id; per-user state is one open
+    session — the same bound the streaming form holds under a
+    watermark."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "sess_start")
+    )
+
+
+W_USER_SESSIONS_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   < INTERVAL '5 minutes'
+              THEN 0 ELSE 1 END AS new_sess
+  FROM events
+),
+grp AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS sess_start,
+       MAX(ts) + INTERVAL '5 minutes' AS sess_end,
+       COUNT(*) AS n_events
+FROM grp
+GROUP BY user_id, sid
+ORDER BY user_id, sess_start
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1856,6 +1941,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_recall": minhash_recall,
     "simhash_fingerprint": simhash_fingerprint,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "w_event_hourly": w_event_hourly,
+    "w_user_sessions": w_user_sessions,
 }
 
 ORACLES: dict[str, str] = {
@@ -1894,4 +1981,6 @@ ORACLES: dict[str, str] = {
     "minhash_recall": MINHASH_RECALL_SQL,
     "simhash_fingerprint": SIMHASH_SQL,
     "ngram_jaccard_pairs": NGRAM_SQL,
+    "w_event_hourly": W_EVENT_HOURLY_SQL,
+    "w_user_sessions": W_USER_SESSIONS_SQL,
 }
