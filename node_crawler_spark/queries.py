@@ -1901,6 +1901,214 @@ ORDER BY user_id, sess_start
 """
 
 
+def t_decontaminate(spark, sf_dir):
+    """Benchmark decontamination — the training-data op that removes
+    documents overlapping an evaluation set (word-n-gram collision, the
+    standard GPT-3/PaLM-style 13-gram check; n=4 here because the
+    synthetic corpus' ~30-word vocabulary makes 13-grams vacuous).
+
+    Benchmark set = docs with doc_id % 25 == 0 (stand-in for a held-out
+    eval suite). A corpus doc is contaminated iff it shares ≥1 distinct
+    word-4-gram with any benchmark doc; output = contaminated docs with
+    their shared-gram counts.
+
+    100 TB posture: the benchmark side is tiny (eval suites are
+    thousands of docs vs billions in the corpus), so its distinct grams
+    BROADCAST — the corpus is scanned once, gram-exploded map-side, and
+    semi-joined with no corpus shuffle at all; the only shuffle is the
+    final per-doc count, keyed by doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.split(F.lower(F.trim("text")), "\\s+").alias("w")
+    ).where(F.size("w") >= 4)
+    grams = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 4), "
+                "i -> concat(w[i],' ',w[i+1],' ',w[i+2],' ',w[i+3]))"
+            )
+        ).alias("g"),
+    ).distinct()
+    bench = (
+        grams.where(F.col("doc_id") % 25 == 0).select("g").distinct()
+    )
+    return (
+        grams.where(F.col("doc_id") % 25 != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )
+
+
+T_DECONTAM_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS g
+  FROM words WHERE len(w) >= 4
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 25 = 0)
+SELECT doc_id, COUNT(*) AS n_shared_grams
+FROM grams
+WHERE doc_id % 25 <> 0 AND g IN (SELECT g FROM bench)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def p_props_json(spark, sf_dir):
+    """JSON scalar extraction (SURVEY §2.8 map/JSON row): pull the
+    integer field out of the events table's JSON ``props`` column and
+    aggregate it per event type. ``get_json_object`` runs JVM-side
+    (codegen), no UDF; all aggregates integer-exact so the hash is
+    engine-independent."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+P_PROPS_JSON_SQL = """
+SELECT event_type,
+       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def a_rollup_counts(spark, sf_dir):
+    """Grouping-sets metrics (SURVEY §2.7/§2.8 bonus row: crawl
+    dashboards want per-(domain,status) AND per-domain AND grand
+    totals in one pass): ROLLUP over (event_type, value-bucket) with
+    explicit GROUPING flags. One shuffle; Spark expands the rollup
+    map-side (partial aggregation per grouping set), so it scales as a
+    single hash aggregate. NULL ordering pinned NULLS LAST on both
+    engines (Spark's asc default is NULLS FIRST, DuckDB's NULLS LAST)."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "big", (F.col("value") > 50).cast("int")
+    )
+    return (
+        e.rollup("event_type", "big")
+        .agg(
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("big").cast("int").alias("g_big"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .select("event_type", "big", "g_type", "g_big", "n", "sum_value")
+        .orderBy(
+            "g_type",
+            "g_big",
+            F.col("event_type").asc_nulls_last(),
+            F.col("big").asc_nulls_last(),
+        )
+    )
+
+
+A_ROLLUP_SQL = """
+SELECT event_type,
+       CASE WHEN value > 50 THEN 1 ELSE 0 END AS big,
+       CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+       CAST(GROUPING(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS INTEGER) AS g_big,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM events
+GROUP BY ROLLUP(event_type, CASE WHEN value > 50 THEN 1 ELSE 0 END)
+ORDER BY g_type, g_big, event_type NULLS LAST, big NULLS LAST
+"""
+
+
+def w_value_delta(spark, sf_dir):
+    """Analytic window beyond row_number (LAG): per-user event-to-event
+    value deltas, aggregated to total absolute movement. The subtraction
+    happens in exact decimal(18,2) (cast BEFORE the lag diff) so the
+    per-user sum is order-independent and engine-exact; tiebreak on
+    event_id makes the lag order total. One shuffle on user_id shared
+    by the window and the groupBy — Catalyst reuses the partitioning."""
+    e = _t(spark, sf_dir, "events")
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.col("value").cast("decimal(18,2)")
+    d = v - F.lag(v).over(win)
+    return (
+        e.select("user_id", d.alias("d"))
+        .groupBy("user_id")
+        .agg(
+            F.count("d").alias("n_steps"),
+            F.round(F.sum(F.abs(F.col("d"))).cast("double"), 2).alias(
+                "sum_abs_delta"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+W_VALUE_DELTA_SQL = """
+WITH stepped AS (
+  SELECT user_id,
+         CAST(value AS DECIMAL(18,2))
+           - LAG(CAST(value AS DECIMAL(18,2)))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+  FROM events
+)
+SELECT user_id, COUNT(d) AS n_steps,
+       ROUND(CAST(SUM(ABS(d)) AS DOUBLE), 2) AS sum_abs_delta
+FROM stepped
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def t_length_quantiles(spark, sf_dir):
+    """Length-distribution stats per language — the profiling step a
+    curation pipeline runs before choosing token floors/ceilings.
+    Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``: both index at p·(n−1) and linearly interpolate),
+    rounded to 2dp doubles. Exact percentile sorts within each group;
+    at 100 TB the profiling run switches to approx_percentile — kept
+    exact here because the gate demands bit-equality."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.percentile("n_chars", F.lit(0.5)), 2).alias("med_chars"),
+            F.round(F.percentile("n_chars", F.lit(0.9)), 2).alias("p90_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+T_LEN_QUANTILES_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(quantile_cont(n_chars, 0.5), 2) AS med_chars,
+       ROUND(quantile_cont(n_chars, 0.9), 2) AS p90_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1943,6 +2151,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "w_event_hourly": w_event_hourly,
     "w_user_sessions": w_user_sessions,
+    "t_decontaminate": t_decontaminate,
+    "p_props_json": p_props_json,
+    "a_rollup_counts": a_rollup_counts,
+    "w_value_delta": w_value_delta,
+    "t_length_quantiles": t_length_quantiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -1983,4 +2196,9 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_pairs": NGRAM_SQL,
     "w_event_hourly": W_EVENT_HOURLY_SQL,
     "w_user_sessions": W_USER_SESSIONS_SQL,
+    "t_decontaminate": T_DECONTAM_SQL,
+    "p_props_json": P_PROPS_JSON_SQL,
+    "a_rollup_counts": A_ROLLUP_SQL,
+    "w_value_delta": W_VALUE_DELTA_SQL,
+    "t_length_quantiles": T_LEN_QUANTILES_SQL,
 }
