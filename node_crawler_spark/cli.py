@@ -47,6 +47,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--robots-from-store", action="store_true",
                     help="also derive rules from robots.txt snapshots "
                          "found in the page store")
+    ap.add_argument("--robots-delay-from-store", action="store_true",
+                    help="honor Crawl-delay from robots.txt snapshots in "
+                         "the page store (delay-only politeness rules; "
+                         "explicit --budget rules win)")
     ap.add_argument("--priority", choices=["fifo", "dfs"], default="fifo",
                     help="within-domain scheduling priority (O4)")
     ap.add_argument("--compact-every", type=int, default=0,
@@ -121,6 +125,15 @@ def main(argv=None) -> int:
 
         derived = rules_tuples(robots_rules_from_pages(pages))
         cfg = dataclasses.replace(cfg, robots=cfg.robots + derived)
+
+    if args.robots_delay_from_store:
+        from node_crawler_spark.operators.robots import (
+            delay_tuples,
+            merge_robots_delays,
+            robots_delays_from_pages,
+        )
+
+        cfg = merge_robots_delays(cfg, delay_tuples(robots_delays_from_pages(pages)))
 
     res = run_crawl(
         spark, cfg, pages, http_meta, args.seeds, args.store, resume=args.resume

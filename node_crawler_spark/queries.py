@@ -1567,20 +1567,86 @@ FROM reach GROUP BY doc_id ORDER BY doc_id
 CURATE_MIN_TOKENS = 5  # drop near-empty documents from the training set
 
 
+def t_decontaminate(spark, sf_dir):
+    """Benchmark decontamination — the training-data op that removes
+    documents overlapping an evaluation set (word-n-gram collision, the
+    standard GPT-3/PaLM-style 13-gram check; n=4 here because the
+    synthetic corpus' ~30-word vocabulary makes 13-grams vacuous).
+
+    Benchmark set = docs with doc_id % 25 == 0 (stand-in for a held-out
+    eval suite). A corpus doc is contaminated iff it shares ≥1 distinct
+    word-4-gram with any benchmark doc; output = contaminated docs with
+    their shared-gram counts.
+
+    100 TB posture: the benchmark side is tiny (eval suites are
+    thousands of docs vs billions in the corpus), so its distinct grams
+    BROADCAST — the corpus is scanned once, gram-exploded map-side, and
+    semi-joined with no corpus shuffle at all; the only shuffle is the
+    final per-doc count, keyed by doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.split(F.lower(F.trim("text")), "\\s+").alias("w")
+    ).where(F.size("w") >= 4)
+    grams = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 4), "
+                "i -> concat(w[i],' ',w[i+1],' ',w[i+2],' ',w[i+3]))"
+            )
+        ).alias("g"),
+    ).distinct()
+    bench = (
+        grams.where(F.col("doc_id") % 25 == 0).select("g").distinct()
+    )
+    return (
+        grams.where(F.col("doc_id") % 25 != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )
+
+
+T_DECONTAM_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS g
+  FROM words WHERE len(w) >= 4
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 25 = 0)
+SELECT doc_id, COUNT(*) AS n_shared_grams
+FROM grams
+WHERE doc_id % 25 <> 0 AND g IN (SELECT g FROM bench)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def pipeline_curate(spark, sf_dir):
     """Flagship training-data curation pipeline — the composition a
     100 TB pretraining run actually executes, end to end in one plan:
     language-ID + token floor + repetition gate + exact-dup keeper +
-    MinHash near-dup cluster keeper, folded into a single per-document
-    ``keep`` decision with every gate's verdict kept as a column (so
-    rejected docs are auditable, not silently dropped).
+    MinHash near-dup cluster keeper + benchmark decontamination, folded
+    into a single per-document ``keep`` decision with every gate's
+    verdict kept as a column (so rejected docs are auditable, not
+    silently dropped).
 
     Every stage is a reused oracle-green operator (t_lang_id,
     t_quality_score, t_repetition_filter, d_exact_dedup's keeper rule,
-    dedup_clusters); the joins are all on doc_id, so once the first
-    stage shuffles onto doc_id the rest co-locate — at scale this is a
-    chain of hash aggregations + one label-propagation fixpoint, never
-    n². The DuckDB oracle recomputes all five gates independently."""
+    dedup_clusters, t_decontaminate); the joins are all on doc_id, so
+    once the first stage shuffles onto doc_id the rest co-locate — at
+    scale this is a chain of hash aggregations + one label-propagation
+    fixpoint + one broadcast semi-join, never n². The DuckDB oracle
+    recomputes all six gates independently.
+
+    decontam_ok drops both the contaminated docs AND the benchmark
+    members themselves (eval documents must never train)."""
     d = _t(spark, sf_dir, "documents")
     lang = t_lang_id(spark, sf_dir)
     qual = t_quality_score(spark, sf_dir).select(
@@ -1600,6 +1666,9 @@ def pipeline_curate(spark, sf_dir):
     near = dedup_clusters(spark, sf_dir).select(
         "doc_id", F.col("is_keeper").alias("near_keeper")
     )
+    contam = t_decontaminate(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("_hit")
+    )
     return (
         d.select("doc_id")
         .join(lang, "doc_id")
@@ -1607,6 +1676,7 @@ def pipeline_curate(spark, sf_dir):
         .join(rep, "doc_id")
         .join(exact, "doc_id")
         .join(near, "doc_id")
+        .join(contam, "doc_id", "left")
         .select(
             "doc_id",
             "pred_lang",
@@ -1615,13 +1685,18 @@ def pipeline_curate(spark, sf_dir):
             "rep_ok",
             "exact_keeper",
             "near_keeper",
-            (
-                (F.col("pred_lang") == "en")
-                & (F.col("n_tokens") >= CURATE_MIN_TOKENS)
-                & F.col("rep_ok")
-                & F.col("exact_keeper")
-                & F.col("near_keeper")
-            ).alias("keep"),
+            ((F.col("doc_id") % 25 != 0) & F.col("_hit").isNull()).alias(
+                "decontam_ok"
+            ),
+        )
+        .withColumn(
+            "keep",
+            (F.col("pred_lang") == "en")
+            & (F.col("n_tokens") >= CURATE_MIN_TOKENS)
+            & F.col("rep_ok")
+            & F.col("exact_keeper")
+            & F.col("near_keeper")
+            & F.col("decontam_ok"),
         )
         .orderBy("doc_id")
     )
@@ -1630,8 +1705,10 @@ def pipeline_curate(spark, sf_dir):
 PIPELINE_CURATE_SQL = f"""
 SELECT d.doc_id, l.pred_lang, q.n_tokens, q.stopword_ratio,
        r.keep AS rep_ok, e.exact_keeper, n.is_keeper AS near_keeper,
+       (d.doc_id % 25 <> 0 AND c.doc_id IS NULL) AS decontam_ok,
        (l.pred_lang = 'en' AND q.n_tokens >= {CURATE_MIN_TOKENS}
-        AND r.keep AND e.exact_keeper AND n.is_keeper) AS keep
+        AND r.keep AND e.exact_keeper AND n.is_keeper
+        AND d.doc_id % 25 <> 0 AND c.doc_id IS NULL) AS keep
 FROM documents d
 JOIN ({T_LANG_SQL}) l ON l.doc_id = d.doc_id
 JOIN (SELECT doc_id, n_tokens, stopword_ratio FROM ({T_QUALITY_SQL})) q
@@ -1643,6 +1720,7 @@ JOIN (SELECT doc_id,
              ) AS exact_keeper
       FROM documents) e ON e.doc_id = d.doc_id
 JOIN ({DEDUP_CLUSTERS_SQL}) n ON n.doc_id = d.doc_id
+LEFT JOIN ({T_DECONTAM_SQL}) c ON c.doc_id = d.doc_id
 ORDER BY d.doc_id
 """
 
@@ -1898,67 +1976,6 @@ SELECT user_id,
 FROM grp
 GROUP BY user_id, sid
 ORDER BY user_id, sess_start
-"""
-
-
-def t_decontaminate(spark, sf_dir):
-    """Benchmark decontamination — the training-data op that removes
-    documents overlapping an evaluation set (word-n-gram collision, the
-    standard GPT-3/PaLM-style 13-gram check; n=4 here because the
-    synthetic corpus' ~30-word vocabulary makes 13-grams vacuous).
-
-    Benchmark set = docs with doc_id % 25 == 0 (stand-in for a held-out
-    eval suite). A corpus doc is contaminated iff it shares ≥1 distinct
-    word-4-gram with any benchmark doc; output = contaminated docs with
-    their shared-gram counts.
-
-    100 TB posture: the benchmark side is tiny (eval suites are
-    thousands of docs vs billions in the corpus), so its distinct grams
-    BROADCAST — the corpus is scanned once, gram-exploded map-side, and
-    semi-joined with no corpus shuffle at all; the only shuffle is the
-    final per-doc count, keyed by doc_id."""
-    d = _t(spark, sf_dir, "documents")
-    w = d.select(
-        "doc_id", F.split(F.lower(F.trim("text")), "\\s+").alias("w")
-    ).where(F.size("w") >= 4)
-    grams = w.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(w) - 4), "
-                "i -> concat(w[i],' ',w[i+1],' ',w[i+2],' ',w[i+3]))"
-            )
-        ).alias("g"),
-    ).distinct()
-    bench = (
-        grams.where(F.col("doc_id") % 25 == 0).select("g").distinct()
-    )
-    return (
-        grams.where(F.col("doc_id") % 25 != 0)
-        .join(F.broadcast(bench), "g")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
-        .orderBy("doc_id")
-    )
-
-
-T_DECONTAM_SQL = """
-WITH words AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
-  FROM documents
-),
-grams AS (
-  SELECT DISTINCT doc_id,
-         unnest(list_transform(range(1, len(w) - 2),
-                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS g
-  FROM words WHERE len(w) >= 4
-),
-bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 25 = 0)
-SELECT doc_id, COUNT(*) AS n_shared_grams
-FROM grams
-WHERE doc_id % 25 <> 0 AND g IN (SELECT g FROM bench)
-GROUP BY doc_id
-ORDER BY doc_id
 """
 
 

@@ -6,7 +6,11 @@ from __future__ import annotations
 from node_crawler_spark.config import CrawlConfig
 from node_crawler_spark.crawler import Crawler
 from node_crawler_spark.operators.robots import (
+    delay_tuples,
+    merge_robots_delays,
     parse_robots_body,
+    parse_robots_delay_ms,
+    robots_delays_from_pages,
     robots_rules_from_pages,
     rules_tuples,
 )
@@ -35,6 +39,42 @@ Allow: /only-for-named/ok
         "/private", "/tmp/", "/only-for-named"
     ]
     assert parse_robots_body("User-agent: *\nDisallow:", "*") == []
+
+
+def test_parse_robots_delay_precedence_and_units():
+    body = """
+User-agent: *
+Crawl-delay: 2
+Disallow: /x
+
+User-agent: nc-spark
+Crawl-delay: 0.5
+
+User-agent: brokenbot
+Crawl-delay: soon
+"""
+    assert parse_robots_delay_ms(body, "*") == 2000
+    # exact-agent group beats the * group; fractional seconds → ms
+    assert parse_robots_delay_ms(body, "NC-Spark") == 500
+    # malformed value skipped → falls back to the * group's delay
+    assert parse_robots_delay_ms(body, "brokenbot") == 2000
+    assert parse_robots_delay_ms("User-agent: *\nDisallow: /a\n", "*") is None
+    # first value wins within a precedence level; negatives skipped
+    multi = "User-agent: *\nCrawl-delay: -1\nCrawl-delay: 3\nCrawl-delay: 9\n"
+    assert parse_robots_delay_ms(multi, "*") == 3000
+
+
+def test_merge_robots_delays_explicit_rules_win():
+    from node_crawler_spark.config import PolitenessRule
+
+    cfg = CrawlConfig(
+        politeness=(PolitenessRule("a.test", budget=5, crawl_delay_ms=100),)
+    )
+    merged = merge_robots_delays(cfg, [("a.test", 9000), ("b.test", 2000)])
+    rules = {p.domain: p for p in merged.politeness}
+    assert rules["a.test"].crawl_delay_ms == 100  # explicit rule kept
+    assert rules["b.test"].crawl_delay_ms == 2000
+    assert rules["b.test"].budget == 0  # delay-only (unlimited budget)
 
 
 def _robots_scenario() -> Scenario:
@@ -70,6 +110,46 @@ def test_robots_rules_from_pages_and_gate(spark, tmp_path):
         pages, http, s.seeds, str(tmp_path / "m"),
     )
     assert seen == {r.url for r in manual.seen(spark).collect()}
+
+
+def test_robots_crawl_delay_from_store_e2e(spark, tmp_path):
+    """Crawl-delay declared in a stored robots.txt throttles the crawl
+    exactly like the equivalent hand-written politeness rule."""
+    import dataclasses
+
+    from node_crawler_spark.config import PolitenessRule
+
+    s = scenario("chain4")
+    s.pages.append(
+        (f"{BASE}/robots.txt", None,
+         b"User-agent: *\nCrawl-delay: 3\n", None, "en")
+    )
+    pages, http = s.dfs(spark)
+
+    derived = delay_tuples(robots_delays_from_pages(pages))
+    assert derived == (("www.site.test", 3000),)
+
+    cfg = merge_robots_delays(
+        dataclasses.replace(s.cfg, max_rounds=40), derived
+    )
+    res = run_crawl(spark, cfg, pages, http, s.seeds, str(tmp_path / "r"))
+
+    manual = run_crawl(
+        spark,
+        dataclasses.replace(
+            s.cfg,
+            max_rounds=40,
+            politeness=(
+                PolitenessRule("www.site.test", budget=0, crawl_delay_ms=3000),
+            ),
+        ),
+        pages, http, s.seeds, str(tmp_path / "m"),
+    )
+    r_sched = sorted((r.round, r.url) for r in res.crawled(spark).collect())
+    m_sched = sorted((r.round, r.url) for r in manual.crawled(spark).collect())
+    assert r_sched == m_sched
+    fetch_rounds = sorted(r for r, _ in r_sched)
+    assert all(r % 3 == 0 for r in fetch_rounds), fetch_rounds
 
 
 def test_crawler_facade_events_in_seq_order(spark, tmp_path):
