@@ -2126,6 +2126,86 @@ ORDER BY lang
 """
 
 
+SUBSTR_W = 50        # exact-substring window length (chars)
+SUBSTR_ANCHOR = 8    # anchor gram length == expected anchor spacing
+SUBSTR_DF_CAP = 50   # boilerplate-window document-frequency cap
+
+
+def d_substring_dup(spark, sf_dir):
+    """Exact-substring dedup (the Lee-et-al.-style third dedup family
+    next to exact-hash and MinHash): find document pairs sharing a
+    verbatim ≥50-char run, via winnowing-style CONTENT-DEFINED anchors
+    — a position p is an anchor iff the 60-bit md5 hash of the 8-char
+    gram at p ≡ 0 (mod 8), so the same substring produces the same
+    anchored windows at ANY offset in any document (a fixed-stride
+    grid would only match offset-aligned repeats). Each anchored
+    50-char window is hashed; pairs come from an inverted-index
+    self-join on window hash with the same document-frequency cap
+    discipline as the shingle joins (df > 50 windows are boilerplate
+    and dropped — no df² pair blowup from a hot window).
+
+    100 TB posture: anchor selection + window hashing are pure
+    map-side codegen (filter over sequence — only the ~1/8 anchor
+    positions explode); the join is bounded by window sharing, never
+    n². The per-position md5 is the portability price of the oracle —
+    a production run swaps it for a rolling Rabin fingerprint in one
+    Arrow kernel pass."""
+    d = _t(spark, sf_dir, "documents").where(F.length("text") >= SUBSTR_W)
+    anchors = (
+        f"filter(sequence(1, length(text) - {SUBSTR_W} + 1), "
+        f"i -> cast(conv(substring(md5(substring(text, i, {SUBSTR_ANCHOR})), "
+        f"1, 15), 16, 10) as bigint) % {SUBSTR_ANCHOR} = 0)"
+    )
+    wins = (
+        d.select("doc_id", "text", F.explode(F.expr(anchors)).alias("i"))
+        .select(
+            "doc_id",
+            F.md5(F.expr(f"substring(text, i, {SUBSTR_W})")).alias("h"),
+        )
+        .distinct()
+    )
+    hot = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > SUBSTR_DF_CAP)
+        .select("h")
+    )
+    capped = wins.join(F.broadcast(hot), "h", "left_anti")
+    a = capped.select(F.col("doc_id").alias("doc_a"), "h")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "h")
+    return (
+        a.join(b, "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+D_SUBSTR_SQL = f"""
+WITH pos AS (
+  SELECT doc_id, i
+  FROM documents, UNNEST(range(1, length(text) - {SUBSTR_W} + 2)) AS t(i)
+  WHERE length(text) >= {SUBSTR_W}
+    AND CAST('0x' || substr(md5(substr(text, i, {SUBSTR_ANCHOR})), 1, 15)
+             AS BIGINT) % {SUBSTR_ANCHOR} = 0
+),
+wins AS (
+  SELECT DISTINCT d.doc_id, md5(substr(d.text, p.i, {SUBSTR_W})) AS h
+  FROM documents d JOIN pos p ON p.doc_id = d.doc_id
+),
+capped AS (
+  SELECT * FROM wins WHERE h NOT IN (
+    SELECT h FROM wins GROUP BY h HAVING COUNT(*) > {SUBSTR_DF_CAP})
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_windows
+FROM capped a JOIN capped b USING (h)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY doc_a, doc_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2173,6 +2253,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a_rollup_counts": a_rollup_counts,
     "w_value_delta": w_value_delta,
     "t_length_quantiles": t_length_quantiles,
+    "d_substring_dup": d_substring_dup,
 }
 
 ORACLES: dict[str, str] = {
@@ -2218,4 +2299,5 @@ ORACLES: dict[str, str] = {
     "a_rollup_counts": A_ROLLUP_SQL,
     "w_value_delta": W_VALUE_DELTA_SQL,
     "t_length_quantiles": T_LEN_QUANTILES_SQL,
+    "d_substring_dup": D_SUBSTR_SQL,
 }
