@@ -214,8 +214,10 @@ def node_resolve(base: str, href: str) -> str:
         return node_href(b)
     m = _PROTO_RE.match(h)
     if m and m.group(1).lower() not in SLASHED_PROTOCOLS:
-        # mailto:/javascript:/tel:/data: — absolute, non-hierarchical
-        return h
+        # mailto:/javascript:/tel:/data: — absolute, non-hierarchical.
+        # Node still normalizes the scheme case (url.parse lowercases
+        # protocol); property test found 'A:80' escaping un-normalized.
+        return node_href(h)
     try:
         joined = urljoin(b, h)
     except ValueError:
