@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "simhash_fingerprint",
     "sim_ann_ivf_topk",
     "pipeline_curate",
+    "d_substring_dup",
+    "t_decontaminate",
 ]
 
 CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "30000"))

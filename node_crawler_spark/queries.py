@@ -2151,18 +2151,31 @@ def d_substring_dup(spark, sf_dir):
     a production run swaps it for a rolling Rabin fingerprint in one
     Arrow kernel pass."""
     d = _t(spark, sf_dir, "documents").where(F.length("text") >= SUBSTR_W)
-    anchors = (
-        f"filter(sequence(1, length(text) - {SUBSTR_W} + 1), "
-        f"i -> cast(conv(substring(md5(substring(text, i, {SUBSTR_ANCHOR})), "
-        f"1, 15), 16, 10) as bigint) % {SUBSTR_ANCHOR} = 0)"
-    )
+    # explode + WHERE instead of a higher-order filter() lambda: the
+    # anchor predicate stays in whole-stage codegen. wins is read three
+    # times (df-cap aggregate + both self-join sides) — persist so the
+    # per-position md5 pass runs once, not three times.
     wins = (
-        d.select("doc_id", "text", F.explode(F.expr(anchors)).alias("i"))
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.expr(f"sequence(1, length(text) - {SUBSTR_W} + 1)")
+            ).alias("i"),
+        )
+        .where(
+            F.expr(
+                f"cast(conv(substring(md5(substring(text, i, "
+                f"{SUBSTR_ANCHOR})), 1, 15), 16, 10) as bigint) "
+                f"% {SUBSTR_ANCHOR} = 0"
+            )
+        )
         .select(
             "doc_id",
             F.md5(F.expr(f"substring(text, i, {SUBSTR_W})")).alias("h"),
         )
         .distinct()
+        .persist()
     )
     hot = (
         wins.groupBy("h")
