@@ -204,6 +204,9 @@ def run_crawl(
         manifest = store.read_manifest(last)
         max_seq = int(manifest["max_seq"])
         frontier = store.read_table(spark, last, "next_frontier")
+        n_frontier = manifest.get("tables", {}).get("next_frontier", {}).get("rows")
+        if n_frontier is None:  # pre-lineage store layout
+            n_frontier = frontier.count()
         start_round = last + 1
         seen_state = store.read_seen(spark).select("url", "seq").localCheckpoint()
         cookie_state = store.read_table(spark, last, "cookies")
@@ -225,11 +228,13 @@ def run_crawl(
         # may carry non-contiguous seqs and count would collide new seqs
         wm = frontier.agg(F.max("seq").alias("m")).first().m
         max_seq = int(wm) if wm is not None else 0
-        store.write_round(
+        m0 = store.write_round(
             0,
             {"seen_delta": seen_delta, "next_frontier": frontier},
             extra={"max_seq": max_seq, "killed": False},
+            known_counts={"seen_delta": max_seq},
         )
+        n_frontier = m0["tables"]["next_frontier"]["rows"]
         frontier = store.read_table(spark, 0, "next_frontier")
         start_round = 1
         seen_state = frontier.select("url", "seq").localCheckpoint()
@@ -277,11 +282,14 @@ def run_crawl(
             if n_extra > 0:
                 extra_seeds = extra
                 max_seq += n_extra
+                n_frontier += n_extra
                 frontier = frontier.unionByName(extra)
                 seen_state = seen_state.unionByName(extra.select("url", "seq"))
                 if bloom is not None:
                     bloom.insert(extra.select("url"), n_keys=n_extra)
-        if frontier.isEmpty():
+        # drain check (S6/A1) from the committed manifest's lineage count
+        # — no per-round emptiness job against the frontier parquet
+        if n_frontier == 0:
             break
         # seen probes run against the in-memory checkpointed state (one
         # flat scan) — NOT a re-read of every round's delta files. The
@@ -293,7 +301,11 @@ def run_crawl(
         scheduled, deferred = apply_domain_budget(
             frontier, cfg, salt_shards=cfg.seen_salt_buckets, round_idx=r
         )
-        if scheduled.isEmpty():
+        # without politeness rules `scheduled` IS the (nonempty) frontier
+        # — only a budget/delay config can produce an empty schedule, so
+        # only then is the emptiness probe worth a job
+        has_politeness = bool(cfg.politeness) or cfg.default_domain_budget > 0
+        if has_politeness and scheduled.isEmpty():
             # crawl-delay can legitimately shut every domain for a
             # round (D > round_time phases) — skip ahead, the gate
             # reopens within ceil(D/T) rounds. Without delay rules an
@@ -450,21 +462,28 @@ def run_crawl(
         # any instant leaves either no round r or a consistent one — no
         # placeholder-then-patch window (ADVICE r1)
         max_seq += n_inserts
+        # small rounds (BFS warm-up, drain tail): writing each sink with
+        # the session's full parallelism costs ~P tasks + P-file commit
+        # protocol per table for a handful of rows — coalesce to a few
+        # partitions. Bound by round size, never applied to bulk rounds.
+        small = max(n_frontier, n_inserts) < 20_000
+        shrink = (lambda df: df.coalesce(4)) if small else (lambda df: df)
         round_tables = {
-            "crawled": crawled,
-            "errors": errors,
-            "redirects": redirect_sink,
+            "crawled": shrink(crawled),
+            "errors": shrink(errors),
+            "redirects": shrink(redirect_sink),
             "seen_delta": seen_delta,
-            "next_frontier": next_frontier,
+            "next_frontier": shrink(next_frontier),
         }
         if cookies_possible:  # resume reads it; absent table = empty jar
             round_tables["cookies"] = cookie_state
-        store.write_round(
+        manifest = store.write_round(
             r,
             round_tables,
             extra={"max_seq": max_seq, "killed": False},
             known_counts={"seen_delta": n_delta},
         )
+        n_frontier = manifest["tables"]["next_frontier"]["rows"]
         tm.mark("commit")
         prev_inserts = n_inserts
         # extras entered seen_state (and the bloom) at injection time —

@@ -2219,6 +2219,67 @@ ORDER BY doc_a, doc_b
 """
 
 
+# Per-language keep rates (per mille) for the stratified sampler —
+# the data-mixing step of a training run: downsample the dominant
+# language, keep most of the low-resource ones.
+SAMPLE_RATES = {"en": 350, "de": 800, "es": 800, "fr": 800, "zh": 600}
+
+
+def t_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling — the corpus-mixing operator
+    (per-language keep rates a la training-data recipes). Membership is
+    decided by the portable 60-bit md5 hash of the doc id mod 1000
+    against the language's per-mille rate, NOT rand(): the sample is
+    reproducible across runs, engines and cluster sizes, and any
+    subset relation between two rates holds exactly (rate 350 ⊂ rate
+    800 — useful for nested data-scale ablations).
+
+    100 TB posture: pure map-side codegen filter + one groupBy(lang)
+    partial-aggregated rollup; no shuffle of the kept rows themselves
+    — a production sampler writes the kept set straight out with this
+    same predicate pushed into the scan."""
+    d = _t(spark, sf_dir, "documents")
+    rate = F.lit(None).cast("int")
+    for lang, r in SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    keep = (
+        F.pmod(_phash(F.col("doc_id").cast("string"), "samp"), F.lit(1000))
+        < F.coalesce(rate, F.lit(0))
+    ).cast("int")
+    return (
+        d.select("lang", "n_chars", keep.alias("_k"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("_k").alias("n_kept"),
+            F.round(
+                F.sum("_k").cast("double") / F.count(F.lit(1)), 4
+            ).alias("kept_frac"),
+            F.sum(F.col("_k") * F.col("n_chars")).alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SAMPLE_RATE_CASE = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN {r}" for lang, r in SAMPLE_RATES.items()
+) + " ELSE 0 END"
+
+T_SAMPLE_SQL = f"""
+SELECT lang, COUNT(*) AS n_total,
+       SUM(CASE WHEN {_phash_sql("CAST(doc_id AS VARCHAR)", "samp")} % 1000
+                     < {_SAMPLE_RATE_CASE} THEN 1 ELSE 0 END) AS n_kept,
+       ROUND(CAST(SUM(CASE WHEN {_phash_sql("CAST(doc_id AS VARCHAR)", "samp")} % 1000
+                     < {_SAMPLE_RATE_CASE} THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS kept_frac,
+       SUM(CASE WHEN {_phash_sql("CAST(doc_id AS VARCHAR)", "samp")} % 1000
+                     < {_SAMPLE_RATE_CASE} THEN n_chars ELSE 0 END) AS kept_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2267,6 +2328,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_value_delta": w_value_delta,
     "t_length_quantiles": t_length_quantiles,
     "d_substring_dup": d_substring_dup,
+    "t_sample_stratified": t_sample_stratified,
 }
 
 ORACLES: dict[str, str] = {
@@ -2313,4 +2375,5 @@ ORACLES: dict[str, str] = {
     "w_value_delta": W_VALUE_DELTA_SQL,
     "t_length_quantiles": T_LEN_QUANTILES_SQL,
     "d_substring_dup": D_SUBSTR_SQL,
+    "t_sample_stratified": T_SAMPLE_SQL,
 }

@@ -101,41 +101,61 @@ class SnapshotStore:
                     "bucket", F.pmod(F.xxhash64("url"), F.lit(self.seen_buckets))
                 )
                 # co-locate each bucket in one task → one file per bucket
-                # (instead of tasks × buckets tiny files per round)
-                df.repartition(self.seen_buckets, "bucket").write.mode(
+                # (instead of tasks × buckets tiny files per round); when
+                # the caller told us the delta is small, don't launch 64
+                # tasks for a handful of rows — hash-on-bucket keeps each
+                # bucket whole in one task at any task count
+                n = known_counts.get(name)
+                parts = (
+                    self.seen_buckets
+                    if n is None
+                    else max(1, min(self.seen_buckets, n // 50_000 + 1))
+                )
+                df.repartition(parts, "bucket").write.mode(
                     "overwrite"
                 ).partitionBy("bucket").parquet(path)
             else:
                 df.write.mode("overwrite").parquet(path)
             entry: dict = {"schema": df.schema.json()}
             if lineage or name in lineage_tables:
-                if self._has_data(path):
-                    part_counts = (
-                        df.sparkSession.read.parquet(path)
-                        .groupBy(F.spark_partition_id().alias("pid"))
-                        .count()
-                        .collect()
-                    )
-                else:
-                    part_counts = []
-                entry["rows"] = sum(c["count"] for c in part_counts)
-                entry["partitions"] = {
-                    str(c["pid"]): c["count"] for c in part_counts
-                }
+                # per-partition lineage straight from the parquet footers
+                # the write just produced — driver-side metadata reads
+                # (64 files max), NOT a second Spark scan of the data
+                part_counts = self._footer_counts(path)
+                entry["rows"] = sum(part_counts.values())
+                entry["partitions"] = part_counts
             elif name in known_counts:
                 entry["rows"] = known_counts[name]
             elif name in count_tables:
-                entry["rows"] = (
-                    df.sparkSession.read.parquet(path).count()
-                    if self._has_data(path)
-                    else 0
-                )
+                entry["rows"] = sum(self._footer_counts(path).values())
             manifest["tables"][name] = entry
         fd, tmp = tempfile.mkstemp(dir=os.path.join(self.root, "commits"))
         with os.fdopen(fd, "w") as fh:
             json.dump(manifest, fh)
         os.replace(tmp, self._commit_path(r))
         return manifest
+
+    def _footer_counts(self, path: str) -> dict[str, int]:
+        """Row counts per lineage partition (a ``bucket=N`` dir for the
+        seen delta, else the individual part file) read from the parquet
+        footers — the metadata Iceberg would keep in its manifests."""
+        import pyarrow.parquet as pq
+
+        counts: dict[str, int] = {}
+        if not os.path.isdir(path):
+            return counts
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                fp = os.path.join(root, f)
+                rel = os.path.relpath(fp, path)
+                head = rel.split(os.sep)[0]
+                key = head if "=" in head else rel
+                counts[key] = counts.get(key, 0) + pq.ParquetFile(
+                    fp
+                ).metadata.num_rows
+        return counts
 
     # -- readers ---------------------------------------------------------
     def _has_data(self, path: str) -> bool:
