@@ -28,6 +28,9 @@ import sys
 import tempfile
 import time
 
+import pandas as pd  # module-level: pandas_udf resolves 'pd.Series'
+                     # type hints against the defining module's globals
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BENCH_QUERIES = [
@@ -58,6 +61,39 @@ def _session(master: str, shuffle_partitions: int):
         master=master,
         shuffle_partitions=shuffle_partitions,
     )
+
+
+def box_state_controls(spark) -> dict[str, float]:
+    """Tiny fixed-work calibration probes, embedded in every bench line
+    so cross-round numbers can be normalized for sandbox box-state
+    drift (observed 2.7× codegen / 7.9× Arrow day-to-day swings on the
+    SAME code — see BENCH/BASELINE.md §6). Job-scheduling floor probe:
+    32 near-empty jobs, the per-job fixed cost that dominates small
+    crawl rounds."""
+    from pyspark.sql import functions as F
+
+    out = {}
+    t0 = time.perf_counter()
+    spark.range(0, 1_000_000_000, 1, 64).selectExpr(
+        "sum(xxhash64(id) % 1000000) as s"
+    ).collect()
+    out["codegen_1e9_sec"] = round(time.perf_counter() - t0, 2)
+
+    @F.pandas_udf("long")
+    def bump(s: pd.Series) -> pd.Series:
+        return s * 3 + 1
+
+    t0 = time.perf_counter()
+    spark.range(0, 50_000_000, 1, 64).select(
+        F.count(bump("id")).alias("c")
+    ).collect()
+    out["arrow_5e7_sec"] = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    for _ in range(32):
+        spark.range(0, 64, 1, 8).selectExpr("count(1)").collect()
+    out["job_floor_32x_sec"] = round(time.perf_counter() - t0, 2)
+    return out
 
 
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
@@ -173,6 +209,7 @@ def main() -> None:
         return
 
     spark = _session(f"local[{cpus}]", cpus)
+    controls = box_state_controls(spark)
     queries = {} if args.skip_queries else run_queries(spark, sf_dir)
     crawl = None if args.skip_crawl else run_crawl_bench(spark, args.urls)
     spark.stop()
@@ -184,6 +221,10 @@ def main() -> None:
         "queries": queries,
         "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
         "crawl": crawl,
+        # same-box calibration probes run in THIS invocation — divide
+        # crawl/query walls by these to compare rounds across the
+        # sandbox's large box-state swings (BENCH/BASELINE.md §6)
+        "box_state_controls": controls,
         # last OFFICIAL `--scaling` run (not re-measured in this
         # invocation — full legs + per-phase decomposition + the
         # box's Spark-ceiling controls live in BENCH/BASELINE.md §2-3)

@@ -406,33 +406,37 @@ def resolve_round_inserts(
     # page drops), and every stream row sharing one of those urls. The
     # (usually ~98%) remainder of the stream gets its collision pass
     # exactly once; only the contested residue iterates.
-    # materialize the candidate stream ONCE — core-url split, fixpoint
-    # passes, the rest-probe and the final merge all re-read it, and the
-    # links lineage (explode + parse_url gates over the whole round)
-    # would otherwise re-run per consumer
-    links = links.localCheckpoint()
-    t0 = _pmark("links.ckpt", t0)
-    landings = landings.localCheckpoint()
-    t0 = _pmark("landings.ckpt", t0)
-    full_stream = landings.unionByName(links)
-    pages_with_landing = landings.select("parent_seq").distinct()
+    #
+    # TWO materializations carry the whole split (was five): the raw
+    # stream once (the links lineage — explode + parse_url gates over
+    # the whole round — must not re-run per consumer), then ONE probed
+    # + contested-flagged result that every later branch filters. On
+    # the job-scheduling floor the checkpoint count is the round's
+    # fixed cost, so the fusion is worth ~4 jobs per redirect round.
+    full_stream = landings.unionByName(links).localCheckpoint()
+    t0 = _pmark("stream.ckpt", t0)
+    landings_m = full_stream.where(F.col("kind") == 0)
+    pages_with_landing = landings_m.select("parent_seq").distinct()
     core_urls = (
-        landings.select("ins_url")
+        landings_m.select("ins_url")
         .unionByName(
-            links.join(F.broadcast(pages_with_landing), "parent_seq")
+            full_stream.where(F.col("kind") == 1)
+            .join(F.broadcast(pages_with_landing), "parent_seq")
             .select("ins_url")
         )
         .distinct()
+    )
+    marked_all = (
+        mark_seen(full_stream, seen_keys, bloom)
+        .join(core_urls.withColumn("_core", F.lit(True)), "ins_url", "left")
+        .withColumn("_core", F.coalesce(F.col("_core"), F.lit(False)))
         .localCheckpoint()
     )
-    t0 = _pmark("core.ckpt", t0)
-    stream = full_stream.join(core_urls, "ins_url", "left_semi").localCheckpoint()
-    t0 = _pmark("stream.ckpt", t0)
-    rest = full_stream.join(core_urls, "ins_url", "left_anti").localCheckpoint()
-    t0 = _pmark("rest.ckpt", t0)
+    t0 = _pmark("marked.ckpt", t0)
+    stream = marked_all.where(F.col("_core")).drop("_seen", "_core")
     w_rest = Window.partitionBy("ins_url").orderBy("parent_seq", "kind", "pos")
     rest_probed = (
-        mark_seen(rest, seen_keys, bloom)
+        marked_all.where(~F.col("_core"))
         .withColumn("_rank", F.row_number().over(w_rest))
         .withColumn("_collides", F.col("_seen") | (F.col("_rank") > 1))
     )
@@ -449,13 +453,12 @@ def resolve_round_inserts(
     # instead runs the SAME walk in a single executor task via
     # applyInPandas — sequential either way (it must be), but never an
     # unbounded driver-memory path.
-    # one materialization: the count, the walk (collect or executor
-    # task) and nothing else read this — without the checkpoint the
-    # probe lineage would run once per consumer
-    marked = mark_seen(stream, seen_keys, bloom).select(
+    # the walk input is a filter+projection of the checkpointed
+    # marked_all — no extra materialization needed
+    marked = marked_all.where(F.col("_core")).select(
         "parent_seq", "kind", "pos", "ins_url",
         F.col("_seen").alias("in_seen"),
-    ).localCheckpoint()
+    )
     n_contested = marked.count()
     t0 = _pmark("contested.count", t0)
     if n_contested <= residue_cap:
@@ -504,7 +507,7 @@ def resolve_round_inserts(
             keep_df, ["parent_seq", "kind", "pos"], "left_semi"
         )
     rest_keep = rest_probed.where(~F.col("_collides")).drop(
-        "_seen", "_rank", "_collides"
+        "_seen", "_core", "_rank", "_collides"
     )
     # one materialization of the merged stream — the seq assigner (and
     # every downstream consumer) re-reads it several times

@@ -252,8 +252,22 @@ def run_crawl(
         bloom.insert(seen_state.select("url"), n_keys=max_seq)
     kill_marker = os.path.join(store_root, "KILL")
     pending_seeds: list = []
+    # AQE pays at bulk-round scale (runtime coalescing, skew splits);
+    # on tiny rounds (BFS warm-up, drain tail) its per-exchange stage
+    # materialization multiplies the round's JOB count ~1.6× for data
+    # that fits one partition anyway — and on the job-scheduling floor
+    # the job count IS the round's cost. Toggle it by round size; never
+    # force it on if the session was built with it off.
+    aqe_session = (
+        spark.conf.get("spark.sql.adaptive.enabled", "true").lower() == "true"
+    )
     for r in range(start_round, cfg.max_rounds + 1):
         tm = _Timer(f"round {r}")
+        if aqe_session:
+            small_round = max(n_frontier, prev_inserts) < 20_000
+            spark.conf.set(
+                "spark.sql.adaptive.enabled", str(not small_round).lower()
+            )
         if os.path.exists(kill_marker):
             # F7 kill switch (crawler.js:626-632): drop queued work,
             # leave committed state intact. Unlike the reference, the
@@ -525,4 +539,6 @@ def run_crawl(
     http_by_url.unpersist()
     if not pages_prepared:
         body_side.unpersist()
+    if aqe_session:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
     return CrawlResult(store=store, rounds=rounds_run, max_seq=max_seq)
