@@ -2281,6 +2281,277 @@ ORDER BY lang
 
 
 # ---------------------------------------------------------------------------
+# Round-3 batch 2: blocklist washing, TF-IDF terms, funnel, SemDeDup
+# ---------------------------------------------------------------------------
+
+# C4-style word blocklist (Raffel et al. 2020 wash badlisted pages; here
+# the "bad" terms are corpus words so the gate exercises real splits).
+BLOCKLIST_WORDS = ("spark", "hash", "window")
+BLOCKLIST_MAX_FRAC = 0.06
+
+
+def t_blocklist_wash(spark, sf_dir):
+    """Blocklist washing (C4-style bad-word filter + redaction): per
+    document, count blocklisted tokens, drop documents whose
+    blocklisted fraction exceeds the threshold, and fingerprint the
+    WASHED text (blocklisted tokens removed) so the redaction itself
+    is gate-checked, not just the counts. Pure codegen — split /
+    filter / array_join / md5, no UDF, map-side only until the final
+    ORDER BY: at 100 TB this is a scan-shaped pass whose output
+    writes straight back out."""
+    d = _t(spark, sf_dir, "documents")
+    in_list = ", ".join(f"'{x}'" for x in BLOCKLIST_WORDS)
+    w = d.select(
+        "doc_id",
+        F.split(F.lower(F.trim("text")), "\\s+").alias("w"),
+    ).withColumn("washed", F.expr(f"filter(w, x -> NOT x IN ({in_list}))"))
+    n_tokens = F.size("w").cast("long")
+    n_blocked = (F.size("w") - F.size("washed")).cast("long")
+    frac = F.round(n_blocked.cast("double") / n_tokens, 6)
+    return w.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_blocked.alias("n_blocked"),
+        frac.alias("blocked_frac"),
+        (frac <= BLOCKLIST_MAX_FRAC).alias("keep"),
+        F.md5(F.array_join("washed", " ")).alias("washed_fp"),
+    ).orderBy("doc_id")
+
+
+_BLOCK_IN = ", ".join(f"'{x}'" for x in BLOCKLIST_WORDS)
+
+T_BLOCKLIST_SQL = f"""
+WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+           FROM documents),
+f AS (SELECT doc_id, w,
+             list_filter(w, x -> x NOT IN ({_BLOCK_IN})) AS washed
+      FROM w)
+SELECT doc_id,
+       len(w) AS n_tokens,
+       len(w) - len(washed) AS n_blocked,
+       ROUND(CAST(len(w) - len(washed) AS DOUBLE) / len(w), 6) AS blocked_frac,
+       ROUND(CAST(len(w) - len(washed) AS DOUBLE) / len(w), 6)
+         <= {BLOCKLIST_MAX_FRAC} AS keep,
+       md5(array_to_string(washed, ' ')) AS washed_fp
+FROM f
+ORDER BY doc_id
+"""
+
+
+TFIDF_TOP_K = 10
+
+
+def t_tfidf_topterms(spark, sf_dir):
+    """Corpus term statistics: per-language top-K terms by TF-IDF
+    (tf = term occurrences within the language, idf = ln(N/df) over
+    documents). Two hash aggregations (one keyed (lang,term), one
+    keyed term) + a broadcast one-row total + a per-lang top-K window
+    — the window partitions on lang so no single-partition sort.
+    Scores are ROUND(x,6) doubles with term as the deterministic
+    tiebreak, so ranking is engine-stable."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("term"),
+    )
+    tf = words.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfx = words.groupBy("term").agg(F.count_distinct("doc_id").alias("df_docs"))
+    tot = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfx, "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "term",
+            "tf",
+            "df_docs",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df_docs")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.col("tfidf").desc(), F.col("term")
+        )
+    )
+    return (
+        scored.withColumn("rank", rn.cast("long"))
+        .where(F.col("rank") <= TFIDF_TOP_K)
+        .orderBy("lang", "rank")
+    )
+
+
+T_TFIDF_SQL = f"""
+WITH words AS (SELECT doc_id, lang,
+                      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+               FROM documents),
+tf AS (SELECT lang, term, COUNT(*) AS tf FROM words GROUP BY lang, term),
+dfx AS (SELECT term, COUNT(DISTINCT doc_id) AS df_docs FROM words GROUP BY term),
+tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (SELECT lang, term, tf, df_docs,
+                  ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df_docs), 6) AS tfidf
+           FROM tf JOIN dfx USING (term), tot),
+ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY tfidf DESC, term) AS rank
+           FROM scored)
+SELECT lang, term, tf, df_docs, tfidf, rank
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+ORDER BY lang, rank
+"""
+
+
+def w_funnel(spark, sf_dir):
+    """Event-funnel conversion (view → click → purchase, strictly
+    ordered by event time per user, each step within a 1-day
+    conversion window — timestamp arithmetic is exact, so the window
+    edge is engine-identical): the classic product-analytics
+    operator. Each stage is a groupBy(user_id) min-timestamp refined
+    by a same-key join against the previous stage — after the first
+    shuffle on user_id every stage co-locates, so the whole funnel is
+    ONE exchange plus map-side joins; the four count aggregates are
+    single-row broadcasts."""
+    e = _t(spark, sf_dir, "events")
+    day = F.expr("INTERVAL 1 DAY")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(
+            (F.col("ts") > F.col("v_ts"))
+            & (F.col("ts") <= F.col("v_ts") + day)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(
+            (F.col("ts") > F.col("c_ts"))
+            & (F.col("ts") <= F.col("c_ts") + day)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    one = (
+        e.agg(F.count_distinct("user_id").alias("n_users"))
+        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_viewed")))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased")))
+    )
+    return one.select(
+        "n_users",
+        "n_viewed",
+        "n_clicked",
+        "n_purchased",
+        F.round(
+            F.col("n_clicked").cast("double") / F.col("n_viewed"), 6
+        ).alias("click_rate"),
+        F.round(
+            F.col("n_purchased").cast("double") / F.col("n_clicked"), 6
+        ).alias("purchase_rate"),
+        F.round(
+            F.col("n_purchased").cast("double") / F.col("n_viewed"), 6
+        ).alias("funnel_rate"),
+    )
+
+
+W_FUNNEL_SQL = """
+WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        AND e.ts <= v.v_ts + INTERVAL 1 DAY GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        AND e.ts <= c.c_ts + INTERVAL 1 DAY GROUP BY e.user_id)
+SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+       (SELECT COUNT(*) FROM v) AS n_viewed,
+       (SELECT COUNT(*) FROM c) AS n_clicked,
+       (SELECT COUNT(*) FROM p) AS n_purchased,
+       ROUND(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+             / (SELECT COUNT(*) FROM v), 6) AS click_rate,
+       ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+             / (SELECT COUNT(*) FROM c), 6) AS purchase_rate,
+       ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+             / (SELECT COUNT(*) FROM v), 6) AS funnel_rate
+"""
+
+
+SEMDEDUP_TAU = 0.45
+
+
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public):
+    cluster the embeddings with the TRAINED IVF coarse quantizer,
+    then inside each cell drop every vector that has a smaller-id
+    cell-mate with cosine ≥ τ (greedy keep-lowest-id — the
+    deterministic variant of the paper's keep-one-per-group). The
+    pair join is WITHIN-CELL only, so candidates are bounded by cell
+    sizes exactly like the LSH buckets — never n² — and the cells
+    come from the same k-means chain the ANN queries verify.
+    Output: one row per vector with its cell and keep flag."""
+    v = _ivf_v(spark, sf_dir)
+    _cents, assigned = _ivf_trained_cents(v)
+    assigned = assigned.localCheckpoint(eager=False)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = F.round(
+        _arr_dot(F.col("a.emb"), F.col("b.emb"))
+        / (_arr_norm(F.col("a.emb")) * _arr_norm(F.col("b.emb"))),
+        4,
+    )
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos >= SEMDEDUP_TAU)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("dup", F.lit(True))
+    )
+    return (
+        assigned.select("vec_id", "cell")
+        .join(dups, "vec_id", "left")
+        .select("vec_id", "cell", F.col("dup").isNull().alias("keep"))
+        .orderBy("vec_id")
+    )
+
+
+def _semdedup_sql() -> str:
+    ctes, _cfin, afin = _ivf_trained_ctes()
+    cos = (
+        f"ROUND(({_dot_sql('a.emb', 'b.emb')}) / "
+        f"(sqrt({_dot_sql('a.emb', 'a.emb')}) * sqrt({_dot_sql('b.emb', 'b.emb')})), 4)"
+    )
+    return f"""
+WITH {ctes},
+dups AS (SELECT DISTINCT b.vec_id
+         FROM {afin} a JOIN {afin} b
+           ON a.cell = b.cell AND a.vec_id < b.vec_id
+         WHERE {cos} >= {SEMDEDUP_TAU})
+SELECT x.vec_id, x.cell,
+       x.vec_id NOT IN (SELECT vec_id FROM dups) AS keep
+FROM {afin} x
+ORDER BY x.vec_id
+"""
+
+
+DEDUP_SEMANTIC_SQL = _semdedup_sql()
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2329,6 +2600,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_length_quantiles": t_length_quantiles,
     "d_substring_dup": d_substring_dup,
     "t_sample_stratified": t_sample_stratified,
+    "t_blocklist_wash": t_blocklist_wash,
+    "t_tfidf_topterms": t_tfidf_topterms,
+    "w_funnel": w_funnel,
+    "dedup_semantic": dedup_semantic,
 }
 
 ORACLES: dict[str, str] = {
@@ -2376,4 +2651,8 @@ ORACLES: dict[str, str] = {
     "t_length_quantiles": T_LEN_QUANTILES_SQL,
     "d_substring_dup": D_SUBSTR_SQL,
     "t_sample_stratified": T_SAMPLE_SQL,
+    "t_blocklist_wash": T_BLOCKLIST_SQL,
+    "t_tfidf_topterms": T_TFIDF_SQL,
+    "w_funnel": W_FUNNEL_SQL,
+    "dedup_semantic": DEDUP_SEMANTIC_SQL,
 }
