@@ -1,0 +1,263 @@
+"""WARC source/sink: crawl straight off Common-Crawl-style WARC files.
+
+Reads WARC/1.0 ``response`` records into the engine's two crawl inputs
+— the page store (``PAGES_SCHEMA``: url, warc_ts, html, text, lang) and
+the http-meta table (``HTTP_SCHEMA``: status/location/content-type per
+url) — so ``run_crawl(spark, cfg, *warc_tables(read_warc(...)), seeds)``
+replays a crawl over an archived snapshot.
+
+Scale posture (the 100 TB shape): the parallelism unit is ONE WARC
+FILE PER TASK. Common Crawl ships ~10^5 independent ~1 GiB gzip WARCs
+per snapshot; ``spark.read.format("binaryFile")`` distributes whole
+files across executors and the parser streams each file inside a
+``mapInPandas`` Arrow batch — bytes never touch the driver, and no
+intra-file split is attempted (per-record gzip members are not
+seekable without a CDX index; with one, a range-reader variant can
+split, but file-granular parallelism already yields ~10^5-way
+distribution). Both plain ``.warc`` and Common-Crawl per-record-gzip
+``.warc.gz`` (multi-member) are handled transparently.
+
+The serializer (`warc_bytes`) is the matching sink: archive a crawl's
+fetched pages back out as standard WARC response records (the
+round-trip is pinned byte-identical in tests/test_warc.py).
+
+Format reference: ISO 28500 (WARC/1.0/1.1), the public Common Crawl
+layout. Reference parity: the reference crawler fetches live HTTP
+(crawler.js request path); this engine's fetch-as-join reads archived
+responses — a WARC file IS that archive, so this source closes the
+loop from real Common-Crawl data to the fetch join (SURVEY §2 S2/J1).
+"""
+
+from __future__ import annotations
+
+import zlib
+from datetime import datetime, timezone
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+RECORD_SCHEMA = (
+    "url string, warc_ts timestamp, status_code int, content_type string, "
+    "content_encoding string, content_length string, location string, "
+    "set_cookie string, html binary, warc_file string"
+)
+
+_RECORD_COLS = [
+    "url", "warc_ts", "status_code", "content_type", "content_encoding",
+    "content_length", "location", "set_cookie", "html", "warc_file",
+]
+
+
+# ---------------------------------------------------------------------------
+# byte-level parsing (pure stdlib; runs executor-side inside Arrow batches)
+# ---------------------------------------------------------------------------
+
+def gunzip_members(raw: bytes) -> bytes:
+    """Decompress a possibly multi-member gzip stream (Common Crawl
+    writes one gzip member per WARC record, concatenated)."""
+    out = bytearray()
+    while raw:
+        d = zlib.decompressobj(wbits=31)
+        out += d.decompress(raw)
+        out += d.flush()
+        if not d.eof or d.unused_data == raw:
+            break
+        raw = d.unused_data
+    return bytes(out)
+
+
+def _parse_warc_date(s: str) -> datetime | None:
+    """WARC-Date (ISO-8601, 'Z' suffix) → naive-UTC datetime (the
+    session TZ is pinned UTC, so naive == UTC wall time)."""
+    try:
+        dt = datetime.fromisoformat(s.strip().replace("Z", "+00:00"))
+    except ValueError:
+        return None
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt
+
+
+def iter_warc_records(raw: bytes):
+    """Yield (warc_headers: dict[lower,str], payload: bytes) per record."""
+    pos, n = 0, len(raw)
+    while pos < n:
+        while raw.startswith(b"\r\n", pos):
+            pos += 2
+        if pos >= n:
+            break
+        head_end = raw.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            break
+        head = raw[pos:head_end].decode("latin-1", "replace")
+        lines = head.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            break  # not a record boundary — corrupt tail, stop cleanly
+        hdrs: dict[str, str] = {}
+        for ln in lines[1:]:
+            if ":" in ln:
+                k, v = ln.split(":", 1)
+                hdrs[k.strip().lower()] = v.strip()
+        try:
+            clen = int(hdrs.get("content-length", "0"))
+        except ValueError:
+            break
+        payload = raw[head_end + 4 : head_end + 4 + clen]
+        pos = head_end + 4 + clen
+        yield hdrs, payload
+
+
+def parse_http_response(payload: bytes):
+    """HTTP response payload → (status_code, headers dict[lower,str],
+    body bytes). Returns (None, {}, payload) when no status line."""
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        head, body = payload, b""
+    else:
+        head, body = payload[:sep], payload[sep + 4 :]
+    lines = head.decode("latin-1", "replace").split("\r\n")
+    parts = lines[0].split()
+    if len(parts) < 2 or not parts[0].startswith("HTTP/"):
+        return None, {}, payload
+    try:
+        status = int(parts[1])
+    except ValueError:
+        return None, {}, payload
+    hh: dict[str, str] = {}
+    for ln in lines[1:]:
+        if ":" in ln:
+            k, v = ln.split(":", 1)
+            hh[k.strip().lower()] = v.strip()
+    return status, hh, body
+
+
+def parse_warc_file(name: str, raw: bytes) -> list[tuple]:
+    """One WARC file (plain or gzip) → rows in _RECORD_COLS order,
+    ``response`` records only."""
+    if raw[:2] == b"\x1f\x8b":
+        raw = gunzip_members(raw)
+    rows = []
+    for hdrs, payload in iter_warc_records(raw):
+        if hdrs.get("warc-type") != "response":
+            continue
+        url = hdrs.get("warc-target-uri")
+        if not url:
+            continue
+        status, hh, body = parse_http_response(payload)
+        rows.append(
+            (
+                url,
+                _parse_warc_date(hdrs.get("warc-date", "")),
+                status,
+                hh.get("content-type"),
+                hh.get("content-encoding"),
+                hh.get("content-length"),
+                hh.get("location"),
+                hh.get("set-cookie"),
+                body,
+                name,
+            )
+        )
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# the Spark face
+# ---------------------------------------------------------------------------
+
+def read_warc(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """WARC file(s)/glob → DataFrame of response records
+    (RECORD_SCHEMA). One file per task; parsing happens inside
+    mapInPandas Arrow batches, never on the driver."""
+    bf = spark.read.format("binaryFile").load(paths).select("path", "content")
+
+    def parse(batches):
+        for pdf in batches:
+            rows: list[tuple] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(parse_warc_file(str(path), bytes(content)))
+            out = pd.DataFrame(rows, columns=_RECORD_COLS)
+            if rows:
+                out["warc_ts"] = pd.to_datetime(out["warc_ts"])
+            yield out
+
+    return bf.mapInPandas(parse, RECORD_SCHEMA)
+
+
+def warc_tables(records: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Record DF → (pages, http_meta) in the driver's input schemas.
+    Pure projections (codegen): text/lang stay NULL — the fetch join
+    decodes and extracts text from html bytes exactly as it does for
+    any page store (byte-identical discipline, functions/html.py)."""
+    pages = records.select(
+        "url",
+        "warc_ts",
+        "html",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    http = records.select(
+        "url",
+        F.lit(0).alias("attempt"),
+        F.col("status_code").cast("int").alias("status_code"),
+        F.col("location"),
+        F.col("content_type"),
+        F.col("content_encoding"),
+        F.col("content_length"),
+        F.lit(None).cast("string").alias("error_code"),
+        (F.col("status_code") == 401).alias("requires_auth"),
+        F.col("set_cookie"),
+        F.lit(False).alias("requires_cookie"),
+    )
+    return pages, http
+
+
+# ---------------------------------------------------------------------------
+# the sink: serialize response records back to WARC bytes
+# ---------------------------------------------------------------------------
+
+def warc_response_record(
+    url: str,
+    ts: datetime,
+    body: bytes,
+    status: int = 200,
+    http_headers: list[tuple[str, str]] | None = None,
+) -> bytes:
+    """One standard WARC/1.0 response record (uncompressed)."""
+    reason = {200: "OK", 301: "Moved Permanently", 404: "Not Found",
+              401: "Unauthorized"}.get(status, "Status")
+    hh = http_headers or [("Content-Type", "text/html; charset=utf-8")]
+    http_head = f"HTTP/1.1 {status} {reason}\r\n" + "".join(
+        f"{k}: {v}\r\n" for k, v in hh
+    )
+    payload = http_head.encode("latin-1") + b"\r\n" + body
+    date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+    warc_head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+    )
+    return warc_head.encode("latin-1") + b"\r\n" + payload + b"\r\n\r\n"
+
+
+def warc_bytes(records: list[dict], per_record_gzip: bool = False) -> bytes:
+    """Serialize record dicts (url, ts, body, status, http_headers?)
+    to a WARC file image — one gzip member per record when
+    ``per_record_gzip`` (the Common Crawl layout)."""
+    out = bytearray()
+    for r in records:
+        blob = warc_response_record(
+            r["url"], r["ts"], r["body"], r.get("status", 200),
+            r.get("http_headers"),
+        )
+        if per_record_gzip:
+            gz = zlib.compressobj(9, zlib.DEFLATED, 31)
+            out += gz.compress(blob) + gz.flush()
+        else:
+            out += blob
+    return bytes(out)

@@ -1,0 +1,109 @@
+"""WARC source: round-trip (serialize → read, plain AND per-record
+gzip) and an end-to-end crawl off a WARC archive golden-checked
+against the sequential reference simulator."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from node_crawler_spark.config import CrawlConfig
+from node_crawler_spark.plans.driver import run_crawl
+from node_crawler_spark.sources.warc import (
+    parse_warc_file,
+    read_warc,
+    warc_bytes,
+    warc_tables,
+)
+from tests.reference_sim import simulate
+
+_TS = datetime.datetime(2026, 3, 1, 12, 0, 0)
+
+
+def _site_records():
+    def html(*hrefs):
+        return (
+            "<html><body>"
+            + "".join(f'<a href="{h}">x</a>' for h in hrefs)
+            + "</body></html>"
+        ).encode("utf-8")
+
+    return [
+        {"url": "http://site.test/", "ts": _TS,
+         "body": html("/a", "/b", "/r")},
+        {"url": "http://site.test/a", "ts": _TS, "body": html("/b")},
+        {"url": "http://site.test/b", "ts": _TS, "body": html("/missing")},
+        {"url": "http://site.test/r", "ts": _TS, "body": b"", "status": 301,
+         "http_headers": [("Content-Type", "text/html"), ("Location", "/a")]},
+        {"url": "http://site.test/missing", "ts": _TS, "body": b"",
+         "status": 404},
+    ]
+
+
+def test_roundtrip_plain_equals_gzip(spark, tmp_path):
+    recs = _site_records()
+    plain = tmp_path / "site.warc"
+    gz = tmp_path / "site.warc.gz"
+    plain.write_bytes(warc_bytes(recs))
+    gz.write_bytes(warc_bytes(recs, per_record_gzip=True))
+
+    a = sorted(read_warc(spark, str(plain)).collect(), key=lambda r: r.url)
+    b = sorted(read_warc(spark, str(gz)).collect(), key=lambda r: r.url)
+
+    assert [r.url for r in a] == sorted(r["url"] for r in recs)
+    for ra, rb in zip(a, b):
+        assert (ra.url, ra.status_code, ra.content_type, ra.location) == (
+            rb.url, rb.status_code, rb.content_type, rb.location
+        )
+        assert bytes(ra.html) == bytes(rb.html), "gzip path altered bytes"
+    by_url = {r["url"]: r for r in recs}
+    for r in a:
+        assert bytes(r.html) == by_url[r.url]["body"], "body not byte-identical"
+        assert r.warc_ts == _TS
+        assert r.status_code == by_url[r.url].get("status", 200)
+    red = next(r for r in a if r.url == "http://site.test/r")
+    assert red.location == "/a"
+
+
+def test_parse_warc_file_skips_non_response():
+    info = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nabcd\r\n\r\n"
+    )
+    rows = parse_warc_file("x", info + warc_bytes(_site_records()[:1]))
+    assert len(rows) == 1 and rows[0][0] == "http://site.test/"
+
+
+def test_warc_crawl_e2e_matches_simulator(spark, tmp_path):
+    path = tmp_path / "site.warc.gz"
+    path.write_bytes(warc_bytes(_site_records(), per_record_gzip=True))
+
+    records = read_warc(spark, str(path))
+    pages, http = warc_tables(records)
+
+    cfg = CrawlConfig()
+    seeds = ["http://site.test/"]
+    res = run_crawl(spark, cfg, pages, http, seeds, str(tmp_path / "out"))
+
+    # simulator inputs derived from the SAME parsed records
+    parsed = parse_warc_file("x", path.read_bytes())
+    pages_rows = [(u, ts, body, None, None)
+                  for (u, ts, st, ct, ce, cl, loc, sc, body, _f) in parsed]
+    http_rows = [(u, 0, st, loc, ct, ce, cl, None, st == 401, sc, False)
+                 for (u, ts, st, ct, ce, cl, loc, sc, body, _f) in parsed]
+    sim = simulate(cfg, seeds, pages_rows, http_rows)
+
+    seen_rows = sorted(res.seen(spark).collect(), key=lambda r: r.seq)
+    assert [r.url for r in seen_rows] == sim.seen
+
+    crawled = {r.url: r for r in res.crawled(spark).collect()}
+    exp = {c["url"]: c for c in sim.crawled}
+    assert sorted(crawled) == sorted(exp)
+    for u in exp:
+        assert crawled[u].text == exp[u]["text"], f"{u}: text not byte-identical"
+        assert list(crawled[u].links) == list(exp[u]["links"])
+
+    errors = {r.url for r in res.errors(spark).collect()}
+    assert errors == {c["url"] for c in sim.errors}
