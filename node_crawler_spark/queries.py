@@ -2410,10 +2410,15 @@ def w_funnel(spark, sf_dir):
     conversion window — timestamp arithmetic is exact, so the window
     edge is engine-identical): the classic product-analytics
     operator. Each stage is a groupBy(user_id) min-timestamp refined
-    by a same-key join against the previous stage — after the first
-    shuffle on user_id every stage co-locates, so the whole funnel is
-    ONE exchange plus map-side joins; the four count aggregates are
-    single-row broadcasts."""
+    by a same-key join against the previous stage. Plan audit
+    (local[4], sf0.01): each stage shuffles only ITS event-type slice
+    on user_id — the three slices are disjoint, so total shuffled
+    volume ≈ one pass over events — and joins the prior stage's user
+    list by broadcast while conversions are small; at funnel widths
+    where that list outgrows broadcast, AQE falls back to a
+    sort-merge join already co-partitioned with the stage's own
+    groupBy exchange. The four count aggregates are one-row
+    broadcasts."""
     e = _t(spark, sf_dir, "events")
     day = F.expr("INTERVAL 1 DAY")
     v = (

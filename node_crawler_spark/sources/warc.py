@@ -249,7 +249,21 @@ def warc_bytes(records: list[dict], per_record_gzip: bool = False) -> bytes:
     """Serialize record dicts (url, ts, body, status, http_headers?)
     to a WARC file image — one gzip member per record when
     ``per_record_gzip`` (the Common Crawl layout)."""
+    return warc_bytes_indexed(records, per_record_gzip)[0]
+
+
+def warc_bytes_indexed(
+    records: list[dict],
+    per_record_gzip: bool = False,
+    warc_file: str = "",
+) -> tuple[bytes, list[dict]]:
+    """Serialize + build the CDX-style index (Common Crawl's cdxj
+    essentials: url, timestamp, filename, byte offset, record length).
+    With per-record gzip each (offset, length) slice is an
+    independently decompressible member — the unit of the
+    record-granular read path below."""
     out = bytearray()
+    cdx: list[dict] = []
     for r in records:
         blob = warc_response_record(
             r["url"], r["ts"], r["body"], r.get("status", 200),
@@ -257,7 +271,56 @@ def warc_bytes(records: list[dict], per_record_gzip: bool = False) -> bytes:
         )
         if per_record_gzip:
             gz = zlib.compressobj(9, zlib.DEFLATED, 31)
-            out += gz.compress(blob) + gz.flush()
+            member = gz.compress(blob) + gz.flush()
         else:
-            out += blob
-    return bytes(out)
+            member = blob
+        cdx.append(
+            {
+                "url": r["url"],
+                "warc_ts": r["ts"],
+                "warc_file": warc_file,
+                "offset": len(out),
+                "length": len(member),
+                "status_code": r.get("status", 200),
+            }
+        )
+        out += member
+    return bytes(out), cdx
+
+
+CDX_SCHEMA = (
+    "url string, warc_ts timestamp, warc_file string, "
+    "offset long, length long, status_code int"
+)
+
+
+def read_warc_by_cdx(spark_or_cdx, cdx: DataFrame | None = None) -> DataFrame:
+    """Record-granular WARC reads driven by a CDX index DataFrame
+    (CDX_SCHEMA): each task range-reads only its records' (offset,
+    length) slices, so one multi-GiB WARC shards across as many tasks
+    as the index is partitioned into — the split path the file-per-
+    task reader can't do — and any predicate on the index (url prefix,
+    status, time range) prunes bytes BEFORE they are read. Locally the
+    range read is a seek; on a cluster the same code path is the
+    filesystem's range request. Accepts (spark, cdx) or just (cdx)."""
+    cdx_df = cdx if cdx is not None else spark_or_cdx
+
+    def fetch(batches):
+        for pdf in batches:
+            rows: list[tuple] = []
+            for fname, grp in pdf.groupby("warc_file", sort=False):
+                path = str(fname)
+                if path.startswith("file:"):
+                    path = path[len("file:"):]
+                with open(path, "rb") as fh:
+                    for off, ln in zip(grp["offset"], grp["length"]):
+                        fh.seek(int(off))
+                        rows.extend(
+                            parse_warc_file(str(fname), fh.read(int(ln)))
+                        )
+            out = pd.DataFrame(rows, columns=_RECORD_COLS)
+            if rows:
+                out["warc_ts"] = pd.to_datetime(out["warc_ts"])
+            yield out
+
+    return cdx_df.mapInPandas(fetch, RECORD_SCHEMA)

@@ -107,3 +107,38 @@ def test_warc_crawl_e2e_matches_simulator(spark, tmp_path):
 
     errors = {r.url for r in res.errors(spark).collect()}
     assert errors == {c["url"] for c in sim.errors}
+
+
+def test_cdx_range_reads_match_full_read(spark, tmp_path):
+    from node_crawler_spark.sources.warc import (
+        CDX_SCHEMA,
+        read_warc_by_cdx,
+        warc_bytes_indexed,
+    )
+
+    path = tmp_path / "site.warc.gz"
+    blob, cdx = warc_bytes_indexed(
+        _site_records(), per_record_gzip=True, warc_file=str(path)
+    )
+    path.write_bytes(blob)
+
+    cdx_df = spark.createDataFrame(
+        [tuple(r[k] for k in ("url", "warc_ts", "warc_file", "offset",
+                              "length", "status_code"))
+         for r in cdx],
+        CDX_SCHEMA,
+    ).repartition(3)
+
+    via_cdx = sorted(read_warc_by_cdx(cdx_df).collect(), key=lambda r: r.url)
+    full = sorted(read_warc(spark, str(path)).collect(), key=lambda r: r.url)
+    assert [(r.url, r.status_code, bytes(r.html)) for r in via_cdx] == [
+        (r.url, r.status_code, bytes(r.html)) for r in full
+    ]
+
+    # index-pruned read: the predicate drops records BEFORE any byte IO
+    subset = read_warc_by_cdx(
+        cdx_df.where("url like '%/a' or url like '%/b'")
+    ).collect()
+    assert sorted(r.url for r in subset) == [
+        "http://site.test/a", "http://site.test/b"
+    ]
