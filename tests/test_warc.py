@@ -142,3 +142,33 @@ def test_cdx_range_reads_match_full_read(spark, tmp_path):
     assert sorted(r.url for r in subset) == [
         "http://site.test/a", "http://site.test/b"
     ]
+
+
+def test_parser_roundtrip_adversarial_bodies():
+    """Property: serialize→parse is identity for ANY body bytes —
+    including bodies that embed WARC record markers, CRLF-CRLF runs,
+    gzip magic, and NULs (Content-Length framing, not delimiters)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    marker = st.sampled_from(
+        [b"WARC/1.0\r\n", b"\r\n\r\n", b"\x1f\x8b", b"HTTP/1.1 200 OK\r\n",
+         b"Content-Length: 0\r\n", b"\x00\x00"]
+    )
+    chunk = st.one_of(st.binary(max_size=40), marker)
+    body = st.lists(chunk, max_size=8).map(b"".join)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(body, min_size=1, max_size=4), st.booleans())
+    def prop(bodies, gz):
+        recs = [
+            {"url": f"http://h.test/{i}", "ts": _TS, "body": b,
+             "status": 200}
+            for i, b in enumerate(bodies)
+        ]
+        rows = parse_warc_file("f", warc_bytes(recs, per_record_gzip=gz))
+        assert [(r[0], r[8]) for r in rows] == [
+            (r["url"], r["body"]) for r in recs
+        ]
+
+    prop()
