@@ -164,3 +164,63 @@ def test_windowed_domain_counts_watermark_drops_late_rows(spark, tmp_path):
     assert got[(ts(11, 0), "d1.test")] == 1, "[11,12) closes with only d1/c"
     assert (ts(11, 0), "d2.test") not in got
     assert set(ws for ws, _ in got) == {ts(10, 0), ts(11, 0)}, "[12,13) still open"
+
+
+def test_warc_ingest_stream_incremental(spark, tmp_path):
+    """CDX-driven streaming ingestion: two index drops, two
+    availableNow runs sharing one checkpoint — the second run ingests
+    ONLY the newly indexed records (file-source exactly-once), and
+    every page body round-trips byte-identical."""
+    import datetime
+
+    from node_crawler_spark.sources.warc import warc_bytes_indexed
+    from node_crawler_spark.streaming.warc_ingest import start_warc_ingest
+
+    ts = datetime.datetime(2026, 3, 1, 12, 0, 0)
+
+    def recs(seg, n):
+        return [
+            {"url": f"http://s{seg}.test/p{i}", "ts": ts,
+             "body": f"<html><body>seg{seg} page{i}</body></html>".encode()}
+            for i in range(n)
+        ]
+
+    cdx_dir = tmp_path / "cdx"
+    cdx_dir.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop_segment(seg, n):
+        warc_path = tmp_path / f"seg{seg}.warc.gz"
+        blob, cdx = warc_bytes_indexed(
+            recs(seg, n), per_record_gzip=True, warc_file=str(warc_path)
+        )
+        warc_path.write_bytes(blob)
+        lines = "\n".join(
+            f'{r["url"]},{r["warc_ts"]:%Y-%m-%dT%H:%M:%S.000Z},'
+            f'{r["warc_file"]},{r["offset"]},{r["length"]},{r["status_code"]}'
+            for r in cdx
+        )
+        (cdx_dir / f"seg{seg}.csv").write_text(lines + "\n")
+
+    drop_segment(1, 3)
+    q = start_warc_ingest(spark, str(cdx_dir), out, ckpt)
+    q.awaitTermination(120)
+    urls1 = sorted(r.url for r in spark.read.parquet(f"{out}/pages").collect())
+    assert urls1 == [f"http://s1.test/p{i}" for i in range(3)]
+
+    drop_segment(2, 2)
+    q = start_warc_ingest(spark, str(cdx_dir), out, ckpt)
+    q.awaitTermination(120)
+    pages = spark.read.parquet(f"{out}/pages").collect()
+    urls2 = sorted(r.url for r in pages)
+    assert urls2 == (
+        [f"http://s1.test/p{i}" for i in range(3)]
+        + [f"http://s2.test/p{i}" for i in range(2)]
+    ), "second run must add exactly the new segment, no re-ingest"
+
+    bodies = {r.url: bytes(r.html) for r in pages}
+    assert bodies["http://s2.test/p1"] == b"<html><body>seg2 page1</body></html>"
+    http = spark.read.parquet(f"{out}/http_meta").collect()
+    assert sorted(r.url for r in http) == urls2
+    assert all(r.status_code == 200 for r in http)
