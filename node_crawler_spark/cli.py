@@ -30,8 +30,14 @@ from node_crawler_spark.config import CrawlConfig, PolitenessRule
 def build_arg_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="node-crawler-spark")
     ap.add_argument("--seeds", nargs="+", required=True, help="seed urls (queue order)")
-    ap.add_argument("--pages", required=True, help="pages table path (parquet)")
-    ap.add_argument("--http-meta", required=True, help="http_meta table path (parquet)")
+    ap.add_argument("--pages", help="pages table path (parquet)")
+    ap.add_argument("--http-meta", help="http_meta table path (parquet)")
+    ap.add_argument(
+        "--warc",
+        help="crawl straight off a WARC archive (.warc/.warc.gz file, "
+        "directory or glob) — derives pages + http_meta from the "
+        "response records instead of --pages/--http-meta",
+    )
     ap.add_argument("--store", required=True, help="snapshot-store root (checkpoints)")
     ap.add_argument("--resume", action="store_true", help="resume from last committed round")
     ap.add_argument("--crawl-external", action="store_true")
@@ -96,7 +102,10 @@ def config_from_args(args) -> CrawlConfig:
 
 
 def main(argv=None) -> int:
-    args = build_arg_parser().parse_args(argv)
+    parser = build_arg_parser()
+    args = parser.parse_args(argv)
+    if not args.warc and not (args.pages and args.http_meta):
+        parser.error("either --warc or both --pages and --http-meta required")
     cfg = config_from_args(args)
 
     from pyspark.sql import SparkSession
@@ -112,8 +121,13 @@ def main(argv=None) -> int:
         master=args.master,
         shuffle_partitions=args.shuffle_partitions,
     )
-    pages = spark.read.parquet(args.pages)
-    http_meta = spark.read.parquet(args.http_meta)
+    if args.warc:
+        from node_crawler_spark.sources.warc import read_warc, warc_tables
+
+        pages, http_meta = warc_tables(read_warc(spark, args.warc))
+    else:
+        pages = spark.read.parquet(args.pages)
+        http_meta = spark.read.parquet(args.http_meta)
 
     if args.robots_from_store:
         import dataclasses

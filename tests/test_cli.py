@@ -56,3 +56,31 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     assert summary["rounds"] >= 4
     assert any("seen_delta" in row for row in summary["per_round"])
     assert "round 1:" in out.err
+
+
+def test_cli_warc_input(spark, tmp_path, capsys):
+    """--warc replaces --pages/--http-meta: crawl off an archive."""
+    from tests.test_warc import _site_records
+    from node_crawler_spark.sources.warc import warc_bytes
+
+    path = tmp_path / "site.warc.gz"
+    path.write_bytes(warc_bytes(_site_records(), per_record_gzip=True))
+
+    rc = main(
+        [
+            "--seeds", "http://site.test/",
+            "--warc", str(path),
+            "--store", str(tmp_path / "store"),
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    summary = json.loads(out.strip().splitlines()[-1])
+    assert summary["urls_seen"] == 5
+    # crawled pages: /, /a, /b (the 301 and 404 are not 200s)
+    crawled = spark.read.parquet(
+        str(tmp_path / "store" / "rounds" / "r=*" / "crawled")
+    )
+    assert sorted(r.url for r in crawled.collect()) == [
+        "http://site.test/", "http://site.test/a", "http://site.test/b"
+    ]
