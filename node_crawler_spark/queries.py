@@ -2556,6 +2556,78 @@ ORDER BY x.vec_id
 DEDUP_SEMANTIC_SQL = _semdedup_sql()
 
 
+def w_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts — the classic cohort-analysis
+    operator: users cohorted by the week of their first ``signup``,
+    week-N retention = distinct cohort members active in cohort_week
+    + N (events at/after signup only). All timestamp math is exact
+    (date_trunc to Monday on both engines, integer day diffs), so the
+    gate checks values, not approximations. Two hash aggregations
+    (first-signup per user, then (cohort, offset) distinct-count) and
+    a broadcast of the tiny per-user cohort map — the events table is
+    shuffled once on user_id at scale."""
+    e = _t(spark, sf_dir, "events")
+    f = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week"))
+    )
+    act = (
+        e.join(f, "user_id")
+        .where(F.date_trunc("week", F.col("ts")) >= F.col("cohort_week"))
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(
+                    F.to_date(F.date_trunc("week", F.col("ts"))),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+    )
+    ret = act.groupBy("cohort_week", "week_offset").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+    size = f.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        ret.join(size, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_users",
+            "cohort_size",
+            F.round(
+                F.col("n_users").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+W_RETENTION_SQL = """
+WITH f AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+act AS (SELECT e.user_id, f.cohort_week,
+               CAST(date_diff('day', f.cohort_week,
+                              date_trunc('week', e.ts)) / 7 AS BIGINT)
+                 AS week_offset
+        FROM events e JOIN f ON e.user_id = f.user_id
+        WHERE date_trunc('week', e.ts) >= f.cohort_week),
+ret AS (SELECT cohort_week, week_offset, COUNT(DISTINCT user_id) AS n_users
+        FROM act GROUP BY cohort_week, week_offset),
+size AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM f
+         GROUP BY cohort_week)
+SELECT r.cohort_week, r.week_offset, r.n_users, s.cohort_size,
+       ROUND(CAST(r.n_users AS DOUBLE) / s.cohort_size, 6) AS retention
+FROM ret r JOIN size s ON r.cohort_week = s.cohort_week
+ORDER BY r.cohort_week, r.week_offset
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2609,6 +2681,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_tfidf_topterms": t_tfidf_topterms,
     "w_funnel": w_funnel,
     "dedup_semantic": dedup_semantic,
+    "w_retention_cohorts": w_retention_cohorts,
 }
 
 ORACLES: dict[str, str] = {
@@ -2660,4 +2733,5 @@ ORACLES: dict[str, str] = {
     "t_tfidf_topterms": T_TFIDF_SQL,
     "w_funnel": W_FUNNEL_SQL,
     "dedup_semantic": DEDUP_SEMANTIC_SQL,
+    "w_retention_cohorts": W_RETENTION_SQL,
 }
