@@ -2556,6 +2556,130 @@ ORDER BY x.vec_id
 DEDUP_SEMANTIC_SQL = _semdedup_sql()
 
 
+SIMHASH_ND_BITS = 60          # fingerprint width for RETRIEVAL (the
+SIMHASH_ND_BANDS = 4          # 16-bit demo hash collides too much to
+SIMHASH_ND_HAMMING_MAX = 4    # band over: 642 hamming-0 false pairs
+                              # at 500 docs; 60 bits / 4×15-bit bands
+                              # cut candidates 33× at sf0.01)
+
+
+def simhash_near_dup(spark, sf_dir):
+    """SimHash near-dup retrieval (completes the SimHash family:
+    simhash_fingerprint computes signatures, this finds the pairs):
+    60-bit sign-aggregated token-hash fingerprint, Hamming-LSH
+    banding (4 × 15-bit bands — a pair within Hamming distance d
+    collides on ≥1 band with high probability; equal-band join keys
+    bound candidates exactly like MinHash banding, never n²), exact
+    bit_count(xor) rerank at distance ≤ 4. Entirely codegen — one
+    60-column sign aggregate, a posexplode, a self-join on
+    (band, value), no UDFs; the hash family is the same portable
+    md5-derived one the oracle replicates bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("w")
+    ).withColumn("h", _phash(F.col("w"), "sh"))
+    n = SIMHASH_ND_BITS
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(n)
+        ]
+    )
+    sim = bit_sums.select(
+        "doc_id",
+        sum(
+            (
+                F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(
+                    F.lit(0)
+                ).cast("long")
+            )
+            for i in range(n)
+        ).alias("fp"),
+    )
+    width = n // SIMHASH_ND_BANDS
+    mask = (1 << width) - 1
+    bands = sim.select(
+        "doc_id",
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("fp", width * b).bitwiseAND(F.lit(mask))
+                    for b in range(SIMHASH_ND_BANDS)
+                ]
+            )
+        ).alias("b", "bv"),
+    )
+    a, bb = bands.alias("a"), bands.alias("b2")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.b") == F.col("b2.b"))
+            & (F.col("a.bv") == F.col("b2.bv"))
+            & (F.col("a.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b2.doc_id").alias("doc_b"),
+            F.col("a.fp").alias("fa"),
+            F.col("b2.fp").alias("fb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= SIMHASH_ND_HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SIMHASH_ND_SQL = """
+WITH toks AS (SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+              FROM documents),
+hh AS (SELECT doc_id, {h} AS h FROM toks),
+bs AS (SELECT doc_id,
+       {bits}
+FROM hh GROUP BY doc_id),
+sim AS (SELECT doc_id, {sig} AS fp FROM bs),
+bands AS (SELECT doc_id, fp, b, (fp >> ({w} * b)) & {mask} AS bv
+          FROM sim, (SELECT unnest([{bandlist}]) AS b)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, a2.doc_id AS doc_b,
+                a.fp AS fa, a2.fp AS fb
+         FROM bands a JOIN bands a2
+           ON a.b = a2.b AND a.bv = a2.bv AND a.doc_id < a2.doc_id)
+SELECT doc_a, doc_b,
+       CAST(bit_count(CAST(xor(fa, fb) AS BIGINT)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(CAST(xor(fa, fb) AS BIGINT)) <= {hmax}
+ORDER BY doc_a, doc_b
+""".format(
+    h=_phash_sql("w", "sh"),
+    bits=",\n       ".join(
+        f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(SIMHASH_ND_BITS)
+    ),
+    sig=" + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(SIMHASH_ND_BITS)
+    ),
+    w=SIMHASH_ND_BITS // SIMHASH_ND_BANDS,
+    mask=(1 << (SIMHASH_ND_BITS // SIMHASH_ND_BANDS)) - 1,
+    bandlist=",".join(str(b) for b in range(SIMHASH_ND_BANDS)),
+    hmax=SIMHASH_ND_HAMMING_MAX,
+)
+
+
 def w_retention_cohorts(spark, sf_dir):
     """Weekly retention cohorts — the classic cohort-analysis
     operator: users cohorted by the week of their first ``signup``,
@@ -2682,6 +2806,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_funnel": w_funnel,
     "dedup_semantic": dedup_semantic,
     "w_retention_cohorts": w_retention_cohorts,
+    "simhash_near_dup": simhash_near_dup,
 }
 
 ORACLES: dict[str, str] = {
@@ -2734,4 +2859,5 @@ ORACLES: dict[str, str] = {
     "w_funnel": W_FUNNEL_SQL,
     "dedup_semantic": DEDUP_SEMANTIC_SQL,
     "w_retention_cohorts": W_RETENTION_SQL,
+    "simhash_near_dup": SIMHASH_ND_SQL,
 }
