@@ -2752,6 +2752,155 @@ ORDER BY r.cohort_week, r.week_offset
 """
 
 
+BM25_TERMS = ("spark", "window", "merge")
+BM25_K1, BM25_B, BM25_TOP = 1.2, 0.75, 20
+
+
+def t_bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval for a fixed query (Robertson/Sparck
+    Jones; the Lucene idf variant ln((N-df+.5)/(df+.5)+1)) — the IR
+    scoring operator beyond raw TF-IDF. Determinism: per-term scores
+    are PIVOTED into columns and added in one fixed left-assoc order
+    (a SUM over doubles would expose engine reduction order); avgdl
+    is an exact integer-sum / count; every float expression is
+    written with the same association on both engines. Shape: one
+    explode + two hash aggs + broadcast one-row stats — the corpus
+    is scanned once, only query-term postings are shuffled."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.split(F.lower(F.trim("text")), "\\s+").alias("w")
+    )
+    dl = w.select("doc_id", F.size("w").alias("dl"))
+    stats = dl.agg(
+        (F.sum(F.col("dl").cast("double")) / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    toks = w.select("doc_id", F.explode("w").alias("term")).where(
+        F.col("term").isin(*BM25_TERMS)
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfx = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    norm = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    score = idf * F.col("tf") * (BM25_K1 + 1.0) / norm
+    per_term = (
+        tf.join(dfx, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", score.alias("s"))
+    )
+    pivoted = per_term.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("s"))).alias(f"s_{t}")
+            for t in BM25_TERMS
+        ]
+    )
+    total = F.lit(0.0)
+    for t in BM25_TERMS:
+        total = total + F.coalesce(F.col(f"s_{t}"), F.lit(0.0))
+    return (
+        pivoted.select("doc_id", F.round(total, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOP)
+    )
+
+
+_BM25_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+T_BM25_SQL = """
+WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+           FROM documents),
+dl AS (SELECT doc_id, len(w) AS dl FROM w),
+stats AS (SELECT SUM(CAST(dl AS DOUBLE)) / COUNT(*) AS avgdl, COUNT(*) AS n
+          FROM dl),
+toks AS (SELECT doc_id, unnest(w) AS term FROM w),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+       WHERE term IN ({terms}) GROUP BY doc_id, term),
+dfx AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
+        WHERE term IN ({terms}) GROUP BY term),
+per_term AS (
+  SELECT tf.doc_id, tf.term,
+         ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * ({k1} + 1.0)
+           / (tf + {k1} * (1.0 - {b} + {b} * CAST(dl AS DOUBLE) / avgdl)) AS s
+  FROM tf JOIN dfx USING (term) JOIN dl ON tf.doc_id = dl.doc_id, stats),
+pivoted AS (
+  SELECT doc_id,
+         {pivots}
+  FROM per_term GROUP BY doc_id)
+SELECT doc_id, ROUND({total}, 6) AS bm25
+FROM pivoted
+ORDER BY bm25 DESC, doc_id
+LIMIT {top}
+""".format(
+    terms=_BM25_IN,
+    k1=BM25_K1,
+    b=BM25_B,
+    pivots=",\n         ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN s END) AS s_{t}" for t in BM25_TERMS
+    ),
+    total=" + ".join(f"COALESCE(s_{t}, 0.0)" for t in BM25_TERMS),
+    top=BM25_TOP,
+)
+
+
+def t_corpus_mix(spark, sf_dir):
+    """Corpus-composition report (training-data governance): per
+    source, document/token share plus the Shannon entropy of its
+    language mix — one groupBy(source, lang) then a per-source fold
+    over the (tiny) per-lang counts via collect_list, entropy summed
+    over langs in lang order (fixed fold order on both engines)."""
+    d = _t(spark, sf_dir, "documents")
+    sl = (
+        d.select(
+            "source",
+            "lang",
+            F.size(F.split(F.lower(F.trim("text")), "\\s+")).alias("toks"),
+        )
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("docs"), F.sum("toks").alias("toks"))
+    )
+    folded = sl.groupBy("source").agg(
+        F.sum("docs").alias("n_docs"),
+        F.sum("toks").alias("n_tokens"),
+        F.array_sort(F.collect_list(F.struct("lang", "docs"))).alias("ld"),
+    )
+    p = lambda s: s["docs"].cast("double") / F.col("n_docs")
+    entropy = -F.aggregate(
+        F.transform(F.col("ld"), lambda s: p(s) * F.log(p(s))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return folded.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(entropy, 6).alias("lang_entropy"),
+    ).orderBy("source")
+
+
+T_CORPUS_MIX_SQL = """
+WITH sl AS (SELECT source, lang, COUNT(*) AS docs,
+                   SUM(len(string_split_regex(lower(trim(text)), '\\s+')))
+                     AS toks
+            FROM documents GROUP BY source, lang),
+fold AS (SELECT source, SUM(docs) AS n_docs, SUM(toks) AS n_tokens,
+                list_sort(list({'lang': lang, 'docs': docs})) AS ld
+         FROM sl GROUP BY source)
+SELECT source, n_docs, n_tokens,
+       ROUND(-list_aggregate(
+               list_transform(ld, s ->
+                 (CAST(s['docs'] AS DOUBLE) / n_docs)
+                   * ln(CAST(s['docs'] AS DOUBLE) / n_docs)),
+               'sum'), 6) AS lang_entropy
+FROM fold
+ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2807,6 +2956,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_semantic": dedup_semantic,
     "w_retention_cohorts": w_retention_cohorts,
     "simhash_near_dup": simhash_near_dup,
+    "t_bm25_search": t_bm25_search,
+    "t_corpus_mix": t_corpus_mix,
 }
 
 ORACLES: dict[str, str] = {
@@ -2860,4 +3011,6 @@ ORACLES: dict[str, str] = {
     "dedup_semantic": DEDUP_SEMANTIC_SQL,
     "w_retention_cohorts": W_RETENTION_SQL,
     "simhash_near_dup": SIMHASH_ND_SQL,
+    "t_bm25_search": T_BM25_SQL,
+    "t_corpus_mix": T_CORPUS_MIX_SQL,
 }
