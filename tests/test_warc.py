@@ -172,3 +172,43 @@ def test_parser_roundtrip_adversarial_bodies():
         ]
 
     prop()
+
+
+def test_warc_robots_record_gates_crawl(spark, tmp_path):
+    """Integration: a robots.txt RESPONSE RECORD inside the archive
+    (exactly how Common Crawl ships robots) is parsed from the
+    WARC-derived page store and gates the crawl — /b disallowed ⇒
+    never fetched; simulator agrees under the same derived rule."""
+    import dataclasses
+
+    from node_crawler_spark.operators.robots import (
+        robots_rules_from_pages,
+        rules_tuples,
+    )
+
+    recs = _site_records() + [
+        {"url": "http://site.test/robots.txt", "ts": _TS,
+         "body": b"User-agent: *\nDisallow: /b\n",
+         "http_headers": [("Content-Type", "text/plain")]},
+    ]
+    path = tmp_path / "site.warc.gz"
+    path.write_bytes(warc_bytes(recs, per_record_gzip=True))
+
+    pages, http = warc_tables(read_warc(spark, str(path)))
+    derived = rules_tuples(robots_rules_from_pages(pages))
+    assert ("site.test", "/b") in derived
+
+    cfg = dataclasses.replace(CrawlConfig(), robots=derived)
+    seeds = ["http://site.test/"]
+    res = run_crawl(spark, cfg, pages, http, seeds, str(tmp_path / "out"))
+
+    parsed = parse_warc_file("x", path.read_bytes())
+    pages_rows = [(u, ts, body, None, None)
+                  for (u, ts, st, ct, ce, cl, loc, sc, body, _f) in parsed]
+    http_rows = [(u, 0, st, loc, ct, ce, cl, None, st == 401, sc, False)
+                 for (u, ts, st, ct, ce, cl, loc, sc, body, _f) in parsed]
+    sim = simulate(cfg, seeds, pages_rows, http_rows)
+
+    seen = [r.url for r in sorted(res.seen(spark).collect(), key=lambda r: r.seq)]
+    assert seen == sim.seen
+    assert "http://site.test/b" not in seen
