@@ -15,7 +15,10 @@ intra-file split is attempted (per-record gzip members are not
 seekable without a CDX index; with one, a range-reader variant can
 split, but file-granular parallelism already yields ~10^5-way
 distribution). Both plain ``.warc`` and Common-Crawl per-record-gzip
-``.warc.gz`` (multi-member) are handled transparently.
+``.warc.gz`` (multi-member) are handled transparently. ``binaryFile``
+carries Spark's 2 GiB single-file ceiling — Common Crawl's ~1 GiB
+segments fit; for larger archives use the CDX range-read path below,
+which never materializes a whole file.
 
 The serializer (`warc_bytes`) is the matching sink: archive a crawl's
 fetched pages back out as standard WARC response records (the
