@@ -228,6 +228,93 @@ def warc_tables(records: DataFrame) -> tuple[DataFrame, DataFrame]:
     return pages, http
 
 
+def export_warc(
+    pages: DataFrame,
+    http_meta: DataFrame,
+    out_dir: str,
+    per_record_gzip: bool = True,
+) -> DataFrame:
+    """Distributed WARC export sink: archive a page store (+ its http
+    metadata) as standard WARC files, one ``part-NNNNN.warc[.gz]`` +
+    one ``part-NNNNN.cdx.csv`` PER PARTITION, written executor-side
+    (no driver bytes — repartition the input to choose file count /
+    size). The CDX sidecars are exactly what ``read_warc_by_cdx`` and
+    the streaming ingest face consume, so crawl → export → re-ingest
+    round-trips byte-identically (pinned in tests/test_warc.py).
+    Returns the collected manifest as a DataFrame
+    (warc_file, n_records, n_bytes)."""
+    import os
+
+    h = http_meta.where(F.col("attempt") == 0).select(
+        "url", "status_code", "content_type", "location", "set_cookie"
+    )
+    combined = h.join(
+        pages.select("url", "warc_ts", "html"), "url", "left"
+    ).select("url", "warc_ts", "html", "status_code", "content_type",
+             "location", "set_cookie")
+
+    os.makedirs(out_dir, exist_ok=True)
+    suffix = ".warc.gz" if per_record_gzip else ".warc"
+
+    def write_part(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        recs: list[dict] = []
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                hh = [("Content-Type", r.content_type or "text/html")]
+                if r.location is not None:
+                    hh.append(("Location", r.location))
+                if r.set_cookie is not None:
+                    hh.append(("Set-Cookie", r.set_cookie))
+                recs.append(
+                    {
+                        "url": r.url,
+                        "ts": r.warc_ts.to_pydatetime()
+                        if hasattr(r.warc_ts, "to_pydatetime")
+                        else r.warc_ts,
+                        "body": bytes(r.html) if r.html is not None else b"",
+                        "status": int(r.status_code)
+                        if r.status_code is not None
+                        else 200,
+                        "http_headers": hh,
+                    }
+                )
+        if not recs:
+            yield pd.DataFrame(
+                columns=["warc_file", "n_records", "n_bytes"]
+            )
+            return
+        fname = os.path.join(out_dir, f"part-{pid:05d}{suffix}")
+        blob, cdx = warc_bytes_indexed(recs, per_record_gzip, fname)
+        with open(fname, "wb") as fh:
+            fh.write(blob)
+        with open(
+            os.path.join(out_dir, f"part-{pid:05d}.cdx.csv"), "w"
+        ) as fh:
+            for c in cdx:
+                fh.write(
+                    f'{c["url"]},{c["warc_ts"]:%Y-%m-%dT%H:%M:%S.000Z},'
+                    f'{c["warc_file"]},{c["offset"]},{c["length"]},'
+                    f'{c["status_code"]}\n'
+                )
+        yield pd.DataFrame(
+            [(fname, len(recs), len(blob))],
+            columns=["warc_file", "n_records", "n_bytes"],
+        )
+
+    manifest = combined.mapInPandas(
+        write_part, "warc_file string, n_records long, n_bytes long"
+    )
+    # materialize (the writes are the side effect) and hand back a
+    # stable local DataFrame of the manifest rows
+    rows = manifest.collect()
+    return pages.sparkSession.createDataFrame(
+        rows or [], "warc_file string, n_records long, n_bytes long"
+    )
+
+
 # ---------------------------------------------------------------------------
 # the sink: serialize response records back to WARC bytes
 # ---------------------------------------------------------------------------

@@ -212,3 +212,37 @@ def test_warc_robots_record_gates_crawl(spark, tmp_path):
     seen = [r.url for r in sorted(res.seen(spark).collect(), key=lambda r: r.seq)]
     assert seen == sim.seen
     assert "http://site.test/b" not in seen
+
+
+def test_export_roundtrip(spark, tmp_path):
+    """Distributed export sink: page store → part-WARCs + CDX
+    sidecars (executor-side) → read back byte-identical, both via the
+    files and via the CDX sidecars."""
+    from node_crawler_spark.sources.warc import export_warc, read_warc
+
+    path = tmp_path / "in.warc.gz"
+    path.write_bytes(warc_bytes(_site_records(), per_record_gzip=True))
+    pages, http = warc_tables(read_warc(spark, str(path)))
+
+    out = str(tmp_path / "export")
+    manifest = export_warc(
+        pages.repartition(2), http.repartition(2), out
+    ).collect()
+    assert sum(m.n_records for m in manifest) == 5
+    assert all(m.warc_file.endswith(".warc.gz") for m in manifest)
+
+    back = read_warc(spark, f"{out}/*.warc.gz").collect()
+    orig = {r["url"]: r for r in _site_records()}
+    assert sorted(r.url for r in back) == sorted(orig)
+    for r in back:
+        assert bytes(r.html) == orig[r.url]["body"]
+        assert r.status_code == orig[r.url].get("status", 200)
+    red = next(r for r in back if r.url == "http://site.test/r")
+    assert red.location == "/a"
+
+    # the CDX sidecars drive the range reader directly
+    from node_crawler_spark.sources.warc import CDX_SCHEMA, read_warc_by_cdx
+
+    cdx = spark.read.schema(CDX_SCHEMA).csv(f"{out}/*.cdx.csv")
+    via = read_warc_by_cdx(cdx).collect()
+    assert sorted(r.url for r in via) == sorted(orig)
