@@ -2901,6 +2901,43 @@ ORDER BY source
 """
 
 
+PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def a_pivot_source_lang(spark, sf_dir):
+    """Relational PIVOT (the wide-table OLAP operator): per-source
+    document counts pivoted to one column per language. The pivot
+    values are EXPLICIT literals — Spark then skips the extra
+    distinct-values job and compiles the pivot to one hash aggregate
+    with CASE columns (the same single-shuffle plan as the SQL
+    mirror); missing cells are 0, not NULL, so the contract is
+    total."""
+    d = _t(spark, sf_dir, "documents")
+    out = (
+        d.groupBy("source")
+        .pivot("lang", list(PIVOT_LANGS))
+        .count()
+        .na.fill(0, list(PIVOT_LANGS))
+    )
+    return out.select(
+        "source", *[F.col(lang).cast("long").alias(lang) for lang in PIVOT_LANGS]
+    ).orderBy("source")
+
+
+A_PIVOT_SQL = """
+SELECT source,
+       {cols}
+FROM documents
+GROUP BY source
+ORDER BY source
+""".format(
+    cols=",\n       ".join(
+        f"SUM(CASE WHEN lang = '{lang}' THEN 1 ELSE 0 END) AS {lang}"
+        for lang in PIVOT_LANGS
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2958,6 +2995,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dup": simhash_near_dup,
     "t_bm25_search": t_bm25_search,
     "t_corpus_mix": t_corpus_mix,
+    "a_pivot_source_lang": a_pivot_source_lang,
 }
 
 ORACLES: dict[str, str] = {
@@ -3013,4 +3051,5 @@ ORACLES: dict[str, str] = {
     "simhash_near_dup": SIMHASH_ND_SQL,
     "t_bm25_search": T_BM25_SQL,
     "t_corpus_mix": T_CORPUS_MIX_SQL,
+    "a_pivot_source_lang": A_PIVOT_SQL,
 }
