@@ -38,6 +38,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "directory or glob) — derives pages + http_meta from the "
         "response records instead of --pages/--http-meta",
     )
+    ap.add_argument(
+        "--export-warc",
+        help="after the crawl, archive the VISITED slice of the page "
+        "store (seen-set semi-join) as part-WARCs + CDX sidecars "
+        "into this directory",
+    )
     ap.add_argument("--store", required=True, help="snapshot-store root (checkpoints)")
     ap.add_argument("--resume", action="store_true", help="resume from last committed round")
     ap.add_argument("--crawl-external", action="store_true")
@@ -173,6 +179,21 @@ def main(argv=None) -> int:
         "store": args.store,
         "per_round": per_round,
     }
+
+    if args.export_warc:
+        from node_crawler_spark.sources.warc import export_warc
+
+        seen_urls = res.seen(spark).select("url")
+        manifest = export_warc(
+            pages.join(seen_urls, "url", "left_semi"),
+            http_meta.join(seen_urls, "url", "left_semi"),
+            args.export_warc,
+        ).collect()
+        summary["exported_warc"] = {
+            "dir": args.export_warc,
+            "files": len(manifest),
+            "records": sum(m.n_records for m in manifest),
+        }
     print(json.dumps(summary))
     if owns_session:
         spark.stop()

@@ -242,7 +242,13 @@ def export_warc(
     the streaming ingest face consume, so crawl → export → re-ingest
     round-trips byte-identically (pinned in tests/test_warc.py).
     Returns the collected manifest as a DataFrame
-    (warc_file, n_records, n_bytes)."""
+    (warc_file, n_records, n_bytes).
+
+    Paths are opened with plain ``open()`` executor-side, so
+    ``out_dir`` must be a filesystem every executor mounts (local in
+    this sandbox, NFS/Lustre on a cluster); for object stores, swap
+    the two ``open()`` calls for the store's put API — the
+    partition-serializer structure is unchanged."""
     import os
 
     h = http_meta.where(F.col("attempt") == 0).select(

@@ -71,6 +71,7 @@ def test_cli_warc_input(spark, tmp_path, capsys):
             "--seeds", "http://site.test/",
             "--warc", str(path),
             "--store", str(tmp_path / "store"),
+            "--export-warc", str(tmp_path / "archive"),
         ]
     )
     assert rc == 0
@@ -84,3 +85,8 @@ def test_cli_warc_input(spark, tmp_path, capsys):
     assert sorted(r.url for r in crawled.collect()) == [
         "http://site.test/", "http://site.test/a", "http://site.test/b"
     ]
+    exported = summary["exported_warc"]
+    assert exported["records"] == 5
+    from node_crawler_spark.sources.warc import read_warc
+    back = read_warc(spark, str(tmp_path / "archive") + "/*.warc.gz")
+    assert back.count() == 5
