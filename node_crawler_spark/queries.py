@@ -2938,6 +2938,42 @@ ORDER BY source
 )
 
 
+def w_running_totals(spark, sf_dir):
+    """Window FRAME semantics (beyond w_value_delta's LAG): per-user
+    running SUM(value) (ROWS UNBOUNDED PRECEDING → CURRENT ROW) and a
+    3-row moving average (ROWS 2 PRECEDING → CURRENT ROW), frame
+    order pinned by (ts, event_id) so both engines fold the doubles
+    in the identical sequence — running aggregates are sequential
+    left-folds by construction, so even pre-rounding bits agree. One
+    hash(user_id) Exchange serves both window specs."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = w.rowsBetween(-2, Window.currentRow)
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(F.sum("value").over(run), 6).alias("running_sum"),
+            F.round(F.avg("value").over(mov), 6).alias("moving_avg3"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+W_RUNNING_SQL = """
+SELECT event_id, user_id, ts,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS running_sum,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg3
+FROM events
+ORDER BY user_id, ts, event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2996,6 +3032,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_bm25_search": t_bm25_search,
     "t_corpus_mix": t_corpus_mix,
     "a_pivot_source_lang": a_pivot_source_lang,
+    "w_running_totals": w_running_totals,
 }
 
 ORACLES: dict[str, str] = {
@@ -3052,4 +3089,5 @@ ORACLES: dict[str, str] = {
     "t_bm25_search": T_BM25_SQL,
     "t_corpus_mix": T_CORPUS_MIX_SQL,
     "a_pivot_source_lang": A_PIVOT_SQL,
+    "w_running_totals": W_RUNNING_SQL,
 }
