@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     "pipeline_curate",
     "d_substring_dup",
     "t_decontaminate",
+    # round-3b additions: the new dedup/retrieval families
+    "simhash_near_dup",
+    "dedup_semantic",
+    "t_bm25_search",
 ]
 
 CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "30000"))
