@@ -69,6 +69,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     help="fold seen deltas into the bucketed base every N rounds")
     ap.add_argument("--probe-from-store", action="store_true",
                     help="bucket-pruned cold seen probe from the store")
+    ap.add_argument("--seen-filter", choices=["bloom", "cuckoo"],
+                    default="bloom",
+                    help="approximate-membership structure for the seen "
+                    "prefilter (cuckoo = deletion-capable fingerprints)")
     ap.add_argument("--no-bloom", action="store_true",
                     help="disable the bloom seen prefilter")
     ap.add_argument("--master", default=None)
@@ -104,6 +108,7 @@ def config_from_args(args) -> CrawlConfig:
         compact_every=args.compact_every,
         probe_from_store=args.probe_from_store,
         use_bloom_prefilter=not args.no_bloom,
+        seen_filter=args.seen_filter,
     )
 
 

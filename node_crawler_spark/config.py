@@ -49,6 +49,11 @@ class CrawlConfig:
     robots: tuple[tuple[str, str], ...] = ()  # (domain, disallow_prefix)
     # --- scale knobs (operators/seenset.py — the D1 bloom sidecar) ---
     use_bloom_prefilter: bool = True
+    # which approximate-membership structure backs the prefilter:
+    # "bloom" (OR-mergeable bitmaps) or "cuckoo" (fingerprint table —
+    # deletion-capable, ~½ the bits/key at equal FP; the north_star's
+    # "bloom/cuckoo" alternative)
+    seen_filter: str = "bloom"
     bloom_shards: int = 64
     bloom_bits_per_key: int = 10
     bloom_hashes: int = 6

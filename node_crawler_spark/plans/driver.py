@@ -248,7 +248,12 @@ def run_crawl(
     # skipping the exact-join shuffle pays for the filter pass
     bloom = None
     if cfg.use_bloom_prefilter:
-        bloom = BloomSeenSet.from_config(spark, cfg)
+        from node_crawler_spark.operators.seenset import CuckooSeenSet
+
+        filter_cls = (
+            CuckooSeenSet if cfg.seen_filter == "cuckoo" else BloomSeenSet
+        )
+        bloom = filter_cls.from_config(spark, cfg)
         bloom.insert(seen_state.select("url"), n_keys=max_seq)
     kill_marker = os.path.join(store_root, "KILL")
     pending_seeds: list = []
