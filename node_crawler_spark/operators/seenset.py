@@ -467,7 +467,7 @@ class CuckooSeenSet:
 def mark_seen(
     candidates: DataFrame,
     seen_keys: DataFrame,
-    bloom: BloomSeenSet | None,
+    bloom: "BloomSeenSet | CuckooSeenSet | None",
     url_col: str = "ins_url",
 ) -> DataFrame:
     """The D1/J4 seen probe: adds boolean ``_seen``. With a bloom,
