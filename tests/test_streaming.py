@@ -224,3 +224,54 @@ def test_warc_ingest_stream_incremental(spark, tmp_path):
     http = spark.read.parquet(f"{out}/http_meta").collect()
     assert sorted(r.url for r in http) == urls2
     assert all(r.status_code == 200 for r in http)
+
+
+def test_dedup_frontier_stream(spark, tmp_path):
+    """Streaming seen-set: first occurrence passes, later duplicates
+    drop — across micro-batches sharing one checkpoint (state
+    persistence), exact within the watermark horizon."""
+    import datetime
+
+    from node_crawler_spark.streaming.dedup import dedup_frontier_stream
+
+    src = tmp_path / "links"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime.datetime(2026, 3, 1, 12, 0, 0)
+
+    def drop(name, rows):
+        lines = "\n".join(
+            f"{u},{(t0 + datetime.timedelta(seconds=s)):%Y-%m-%dT%H:%M:%S}.000Z"
+            for u, s in rows
+        )
+        (src / f"{name}.csv").write_text(lines + "\n")
+
+    def run():
+        stream = (
+            spark.readStream.schema("url string, discovered_ts timestamp")
+            .csv(str(src))
+        )
+        q = (
+            dedup_frontier_stream(stream, watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: a duplicated within the batch
+    drop("b1", [("http://a.test/", 0), ("http://b.test/", 1),
+                ("http://a.test/", 2)])
+    run()
+    got1 = sorted(r.url for r in spark.read.parquet(out).collect())
+    assert got1 == ["http://a.test/", "http://b.test/"]
+
+    # batch 2: re-offers a and b (must drop — state persisted), adds c
+    drop("b2", [("http://a.test/", 30), ("http://c.test/", 31),
+                ("http://b.test/", 32)])
+    run()
+    got2 = sorted(r.url for r in spark.read.parquet(out).collect())
+    assert got2 == ["http://a.test/", "http://b.test/", "http://c.test/"]
