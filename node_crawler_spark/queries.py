@@ -2974,6 +2974,89 @@ ORDER BY user_id, ts, event_id
 """
 
 
+KMV_K = 64
+_KMV_SPACE = 1 << 60  # _phash values are uniform in [0, 2^60)
+
+
+def sk_kmv_distinct(spark, sf_dir):
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002
+    — the mergeable theta-sketch family): per language, estimate the
+    distinct word-bigram count from only the K smallest hash values,
+    next to the exact count and the realized relative error. UNLIKE
+    HLL/approx_count_distinct, the KMV estimate is a pure function of
+    the portable md5 hash, so the sketch itself is FULLY
+    oracle-checked — no rows-only approximation gate. Scale shape:
+    the K-smallest selection is a per-lang top-K window (partitioned,
+    no global sort) and the sketch is mergeable by keeping the K
+    smallest of a union — the 10^10-key path keeps K values per
+    partition before one tiny final merge."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "lang", F.split(F.lower(F.trim("text")), "\\s+").alias("w")
+    ).where(F.size("w") >= 2)
+    bi = w.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 2), "
+                "i -> concat(w[i], ' ', w[i+1]))"
+            )
+        ).alias("g"),
+    ).distinct()
+    h = bi.select("lang", "g", _phash(F.col("g"), "kmv").alias("hv"))
+    rn = F.row_number().over(Window.partitionBy("lang").orderBy("hv"))
+    kth = (
+        h.withColumn("rn", rn)
+        .where(F.col("rn") <= KMV_K)
+        .groupBy("lang")
+        .agg(F.max("hv").alias("kth_hash"), F.count(F.lit(1)).alias("k_used"))
+    )
+    exact = bi.groupBy("lang").agg(F.count_distinct("g").alias("n_exact"))
+    est = (
+        (F.col("k_used") - 1).cast("double")
+        * F.lit(float(_KMV_SPACE))
+        / F.col("kth_hash")
+    )
+    return (
+        exact.join(kth, "lang")
+        .select(
+            "lang",
+            "n_exact",
+            "k_used",
+            F.round(est, 2).alias("kmv_estimate"),
+            F.round(
+                F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4
+            ).alias("rel_err"),
+        )
+        .orderBy("lang")
+    )
+
+
+SK_KMV_SQL = f"""
+WITH w AS (SELECT doc_id, lang,
+                  string_split_regex(lower(trim(text)), '\\s+') AS w
+           FROM documents),
+bi AS (SELECT DISTINCT lang,
+              unnest(list_transform(range(1, len(w)),
+                     i -> w[i] || ' ' || w[i+1])) AS g
+       FROM w WHERE len(w) >= 2),
+h AS (SELECT lang, g, {_phash_sql('g', 'kmv')} AS hv FROM bi),
+rk AS (SELECT lang, hv,
+              ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv) AS rn
+       FROM h),
+kth AS (SELECT lang, MAX(hv) AS kth_hash, COUNT(*) AS k_used
+        FROM rk WHERE rn <= {KMV_K} GROUP BY lang),
+exact AS (SELECT lang, COUNT(DISTINCT g) AS n_exact FROM bi GROUP BY lang)
+SELECT e.lang, n_exact, k_used,
+       ROUND(CAST(k_used - 1 AS DOUBLE) * {float(_KMV_SPACE)} / kth_hash, 2)
+         AS kmv_estimate,
+       ROUND(ABS(CAST(k_used - 1 AS DOUBLE) * {float(_KMV_SPACE)} / kth_hash
+                 - n_exact) / n_exact, 4) AS rel_err
+FROM exact e JOIN kth ON e.lang = kth.lang
+ORDER BY e.lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3033,6 +3116,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_corpus_mix": t_corpus_mix,
     "a_pivot_source_lang": a_pivot_source_lang,
     "w_running_totals": w_running_totals,
+    "sk_kmv_distinct": sk_kmv_distinct,
 }
 
 ORACLES: dict[str, str] = {
@@ -3090,4 +3174,5 @@ ORACLES: dict[str, str] = {
     "t_corpus_mix": T_CORPUS_MIX_SQL,
     "a_pivot_source_lang": A_PIVOT_SQL,
     "w_running_totals": W_RUNNING_SQL,
+    "sk_kmv_distinct": SK_KMV_SQL,
 }
