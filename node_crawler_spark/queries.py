@@ -3057,6 +3057,47 @@ ORDER BY e.lang
 """
 
 
+WEIGHTED_SAMPLE_K = 50
+
+
+def t_sample_weighted(spark, sf_dir):
+    """Weighted priority sampling (Efraimidis-Spirakis A-ES, public):
+    each doc gets key u^(1/w) with weight w = n_chars and u a
+    hash-derived uniform — the top-K keys are a size-biased sample
+    (selection probability ∝ weight), the standard corpus-mixing
+    primitive for quality- or length-weighted subsets. Deterministic
+    end to end: u comes from the portable md5 hash (not rand()), the
+    rank key is ROUND(ln(u)/w, 10) (monotone transform of u^(1/w))
+    with doc_id tiebreak, so the sample is reproducible across
+    engines, runs and cluster sizes — and the oracle checks the
+    MEMBERSHIP, not just counts. Scale shape: orderBy+limit compiles
+    to TakeOrderedAndProject (per-partition top-K then one K-row
+    merge), never a global sort or single-partition window."""
+    d = _t(spark, sf_dir, "documents")
+    u = (
+        (_phash(F.col("doc_id").cast("string"), "ws") + 1).cast("double")
+        / F.lit(float(_KMV_SPACE))
+    )
+    pkey = F.round(F.log(u) / F.col("n_chars"), 10)
+    return (
+        d.select("doc_id", "lang", "n_chars", pkey.alias("pkey"))
+        .orderBy(F.col("pkey").desc(), "doc_id")
+        .limit(WEIGHTED_SAMPLE_K)
+    )
+
+
+T_SAMPLE_WEIGHTED_SQL = f"""
+WITH h AS (SELECT doc_id, lang, n_chars,
+                  CAST({_phash_sql("CAST(doc_id AS VARCHAR)", "ws")} + 1
+                       AS DOUBLE) / {float(_KMV_SPACE)} AS u
+           FROM documents)
+SELECT doc_id, lang, n_chars, ROUND(ln(u) / n_chars, 10) AS pkey
+FROM h
+ORDER BY pkey DESC, doc_id
+LIMIT {WEIGHTED_SAMPLE_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3117,6 +3158,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a_pivot_source_lang": a_pivot_source_lang,
     "w_running_totals": w_running_totals,
     "sk_kmv_distinct": sk_kmv_distinct,
+    "t_sample_weighted": t_sample_weighted,
 }
 
 ORACLES: dict[str, str] = {
@@ -3175,4 +3217,5 @@ ORACLES: dict[str, str] = {
     "a_pivot_source_lang": A_PIVOT_SQL,
     "w_running_totals": W_RUNNING_SQL,
     "sk_kmv_distinct": SK_KMV_SQL,
+    "t_sample_weighted": T_SAMPLE_WEIGHTED_SQL,
 }
