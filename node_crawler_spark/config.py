@@ -37,7 +37,9 @@ class CrawlConfig:
     max_rounds: int = 1000
     # O4 — scheduling priority within a domain budget: "fifo" replays
     # the reference's queue order; "dfs" prefers deeper urls first
-    # (north_star's depth-first-within-domain option)
+    # (north_star's depth-first-within-domain option); "rank" orders
+    # by a supplied (url, rank) table — feed a previous crawl's
+    # PageRank (operators/linkgraph.py) via run_crawl(priority_ranks=…)
     priority: str = "fifo"
     max_redirects: int = 9                # crawler.js:283
     politeness: tuple[PolitenessRule, ...] = ()

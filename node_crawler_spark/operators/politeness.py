@@ -53,10 +53,18 @@ def apply_domain_budget(
     cfg: CrawlConfig,
     salt_shards: int = 32,
     round_idx: int = 0,
+    ranks: DataFrame | None = None,
 ):
     """Split the frontier into (scheduled, deferred) under per-domain
     budgets + crawl-delay caps. No politeness config ⇒ everything
-    schedules (no window at all — the common path stays shuffle-free)."""
+    schedules (no window at all — the common path stays shuffle-free).
+
+    ``ranks`` (url, rank) backs ``cfg.priority == "rank"``: within a
+    domain's budget, higher-ranked urls schedule first (rank-weighted
+    re-crawl — feed a previous crawl's PageRank from
+    operators/linkgraph.py). Unranked urls order after ranked ones by
+    seq. Like "dfs", priority only matters under a budget — without
+    one the whole frontier fetches this round anyway."""
     if not cfg.politeness and cfg.default_domain_budget <= 0:
         return frontier, frontier.limit(0)
 
@@ -109,8 +117,18 @@ def apply_domain_budget(
     )
 
     # O4 pluggable priority: "fifo" = reference queue order (seq);
-    # "dfs" = depth-first-within-domain (deeper first, seq tiebreak)
-    if cfg.priority == "dfs":
+    # "dfs" = depth-first-within-domain (deeper first, seq tiebreak);
+    # "rank" = rank-weighted (previous crawl's PageRank, seq tiebreak)
+    if cfg.priority == "rank" and ranks is not None:
+        budgeted = budgeted.join(
+            ranks.select(
+                F.col("url"), F.col("rank").alias("_prank")
+            ),
+            "url",
+            "left",
+        )
+        order = [F.col("_prank").desc_nulls_last(), F.col("seq")]
+    elif cfg.priority == "dfs":
         order = [F.col("depth").desc_nulls_last(), F.col("seq")]
     else:
         order = [F.col("seq")]
@@ -129,6 +147,8 @@ def apply_domain_budget(
     overflow2 = s.where(F.col("_r2") > F.col("_eb"))
 
     aux = ["_domain", "_budget", "_delay", "_cap", "_eb", "_salt", "_r1", "_r2"]
+    if cfg.priority == "rank" and ranks is not None:
+        aux.append("_prank")
     out_sched = scheduled.drop(*aux).unionByName(unbudgeted.drop(*aux))
     deferred = (
         overflow1.drop(*aux)

@@ -151,6 +151,7 @@ def run_crawl(
     initial_frontier: DataFrame | None = None,
     pages_prepared: bool = False,
     on_round=None,
+    priority_ranks: DataFrame | None = None,
 ) -> CrawlResult:
     """``initial_frontier`` (url, seq, referrer, is_external,
     crawl_links) bypasses seed queueing — the steady-state shape for a
@@ -318,7 +319,8 @@ def run_crawl(
         seen = seen_state
 
         scheduled, deferred = apply_domain_budget(
-            frontier, cfg, salt_shards=cfg.seen_salt_buckets, round_idx=r
+            frontier, cfg, salt_shards=cfg.seen_salt_buckets, round_idx=r,
+            ranks=priority_ranks,
         )
         # without politeness rules `scheduled` IS the (nonempty) frontier
         # — only a budget/delay config can produce an empty schedule, so

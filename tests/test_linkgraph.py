@@ -64,3 +64,49 @@ def test_pagerank_off_a_real_crawl(spark, tmp_path):
     assert len(rows) > 0
     assert abs(sum(r.rank for r in rows) - 1.0) < 1e-9
     assert all(r.rank > 0 for r in rows)
+
+
+def test_rank_priority_schedules_high_rank_first(spark, tmp_path):
+    """priority='rank' + a budget: the highest-ranked url wins the
+    round's single slot even though FIFO (seq) would pick another."""
+    from node_crawler_spark.config import CrawlConfig, PolitenessRule
+    from node_crawler_spark.plans.driver import run_crawl
+    from node_crawler_spark.sources.fixtures import Scenario
+
+    def html(*hrefs):
+        return "".join(f'<a href="{h}">x</a>' for h in hrefs)
+
+    base = "http://www.ranked.test"
+    s = Scenario(
+        name="rankprio",
+        cfg=CrawlConfig(
+            priority="rank",
+            politeness=(PolitenessRule("www.ranked.test", 1),),
+            max_rounds=2,  # round 1: root; round 2: ONE budgeted slot
+        ),
+        seeds=[f"{base}/"],
+    )
+    s.page(f"{base}/", html("/a", "/b", "/c"))
+    for p in ("a", "b", "c"):
+        s.page(f"{base}/{p}", "")
+    pages, http = s.dfs(spark)
+
+    ranks = spark.createDataFrame(
+        [(f"{base}/c", 0.9), (f"{base}/a", 0.1), (f"{base}/b", 0.2)],
+        "url string, rank double",
+    )
+    res = run_crawl(
+        spark, s.cfg, pages, http, s.seeds, str(tmp_path / "st"),
+        priority_ranks=ranks,
+    )
+    crawled = sorted(r.url for r in res.crawled(spark).collect())
+    assert crawled == [f"{base}/", f"{base}/c"], crawled
+
+    # control: fifo picks /a (lowest seq)
+    import dataclasses
+
+    cfg_fifo = dataclasses.replace(s.cfg, priority="fifo")
+    res2 = run_crawl(spark, cfg_fifo, pages, http, s.seeds,
+                     str(tmp_path / "st2"))
+    crawled2 = sorted(r.url for r in res2.crawled(spark).collect())
+    assert crawled2 == [f"{base}/", f"{base}/a"], crawled2
