@@ -3098,6 +3098,121 @@ LIMIT {WEIGHTED_SAMPLE_K}
 """
 
 
+PR_SCALE = 1_000_000_000_000  # fixed-point rank units
+PR_ITERS = 2
+PR_D_NUM, PR_D_DEN = 85, 100  # damping 0.85 as integer ratio
+
+
+def g_pagerank_fixedpoint(spark, sf_dir):
+    """Graph analytics with a FULL oracle: fixed-point integer
+    PageRank over the supplier→customer graph (who supplied whose
+    orders — lineitem ⋈ orders edges). Floating-point PageRank can't
+    hash-match across engines (contribution sums expose reduction
+    order), so ranks are BIGINT micro-units and every step is integer
+    arithmetic — sums are order-independent, division is floor, both
+    engines agree bit-exactly. The engine's float PageRank for crawl
+    graphs lives in operators/linkgraph.py (numpy-oracle tested);
+    this is its falsifiable relational twin. Per iteration: one
+    equi-join on src + one hash aggregate on dst — the linkgraph
+    shuffle shape."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    base = PR_SCALE // n
+    teleport = PR_D_DEN - PR_D_NUM
+
+    r = nodes.withColumn("rank", F.lit(base).cast("long"))
+    for _ in range(PR_ITERS):
+        rd = r.join(deg, r["node"] == deg["src"], "left").select(
+            "node", "rank", "deg"
+        )
+        dangling = int(
+            rd.where(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)))
+            .collect()[0][0]
+        )
+        contrib = (
+            e.join(rd.where(F.col("deg").isNotNull()), e["src"] == rd["node"])
+            .select("dst", F.expr("rank DIV deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        new_rank = (
+            F.lit((teleport * base) // PR_D_DEN)
+            + F.expr(
+                f"((coalesce(c, 0L) + {dangling // n}L) * {PR_D_NUM}L) "
+                f"DIV {PR_D_DEN}L"
+            )
+        ).cast("long")
+        r = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select("node", new_rank.alias("rank"))
+            .localCheckpoint()
+        )
+    return r.orderBy(F.col("rank").desc(), "node").limit(20)
+
+
+def _pr_sql() -> str:
+    base_expr = f"({PR_SCALE} // n)"
+    tele = PR_D_DEN - PR_D_NUM
+    ctes = [
+        """e AS MATERIALIZED (
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                  'c' || CAST(o_custkey AS VARCHAR) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e "
+        "UNION SELECT DISTINCT dst FROM e)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)",
+        f"r0 AS MATERIALIZED (SELECT node, {base_expr} AS rank FROM nodes, nn)",
+    ]
+    prev = "r0"
+    for it in range(1, PR_ITERS + 1):
+        ctes.append(
+            f"""dang{it} AS (SELECT COALESCE(SUM(rank), 0) AS dangling
+  FROM {prev} r LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL)"""
+        )
+        ctes.append(
+            f"""c{it} AS MATERIALIZED (
+  SELECT e.dst, SUM(r.rank // deg.deg) AS c
+  FROM e JOIN {prev} r ON e.src = r.node JOIN deg ON e.src = deg.src
+  GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""r{it} AS MATERIALIZED (
+  SELECT nodes.node,
+         ({tele} * {base_expr}) // {PR_D_DEN}
+         + ((COALESCE(c{it}.c, 0) + dangling // n) * {PR_D_NUM}) // {PR_D_DEN}
+           AS rank
+  FROM nodes CROSS JOIN nn CROSS JOIN dang{it}
+  LEFT JOIN c{it} ON nodes.node = c{it}.dst)"""
+        )
+        prev = f"r{it}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, rank FROM {prev} ORDER BY rank DESC, node LIMIT 20"
+    )
+
+
+G_PAGERANK_SQL = _pr_sql()
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3159,6 +3274,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_running_totals": w_running_totals,
     "sk_kmv_distinct": sk_kmv_distinct,
     "t_sample_weighted": t_sample_weighted,
+    "g_pagerank_fixedpoint": g_pagerank_fixedpoint,
 }
 
 ORACLES: dict[str, str] = {
@@ -3218,4 +3334,5 @@ ORACLES: dict[str, str] = {
     "w_running_totals": W_RUNNING_SQL,
     "sk_kmv_distinct": SK_KMV_SQL,
     "t_sample_weighted": T_SAMPLE_WEIGHTED_SQL,
+    "g_pagerank_fixedpoint": G_PAGERANK_SQL,
 }
