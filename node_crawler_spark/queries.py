@@ -3165,6 +3165,9 @@ def g_pagerank_fixedpoint(spark, sf_dir):
             .select("node", new_rank.alias("rank"))
             .localCheckpoint()
         )
+    # r is checkpoint-materialized — the cached graph sides can go
+    e.unpersist()
+    nodes.unpersist()
     return r.orderBy(F.col("rank").desc(), "node").limit(20)
 
 
