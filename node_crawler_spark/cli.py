@@ -69,6 +69,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     help="fold seen deltas into the bucketed base every N rounds")
     ap.add_argument("--probe-from-store", action="store_true",
                     help="bucket-pruned cold seen probe from the store")
+    ap.add_argument(
+        "--ranks-from-store",
+        help="previous crawl's store root: PageRank its crawled link "
+        "graph and schedule THIS crawl's budgeted slots by rank "
+        "(sets priority=rank; the re-crawl loop)",
+    )
     ap.add_argument("--seen-filter", choices=["bloom", "cuckoo"],
                     default="bloom",
                     help="approximate-membership structure for the seen "
@@ -160,8 +166,21 @@ def main(argv=None) -> int:
 
         cfg = merge_robots_delays(cfg, delay_tuples(robots_delays_from_pages(pages)))
 
+    priority_ranks = None
+    if args.ranks_from_store:
+        import dataclasses
+
+        from node_crawler_spark.operators.linkgraph import link_edges, pagerank
+
+        prev_crawled = spark.read.parquet(
+            f"{args.ranks_from_store}/rounds/r=*/crawled"
+        )
+        priority_ranks = pagerank(link_edges(prev_crawled), iters=10)
+        cfg = dataclasses.replace(cfg, priority="rank")
+
     res = run_crawl(
-        spark, cfg, pages, http_meta, args.seeds, args.store, resume=args.resume
+        spark, cfg, pages, http_meta, args.seeds, args.store,
+        resume=args.resume, priority_ranks=priority_ranks,
     )
 
     per_round = []

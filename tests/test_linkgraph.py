@@ -110,3 +110,39 @@ def test_rank_priority_schedules_high_rank_first(spark, tmp_path):
                      str(tmp_path / "st2"))
     crawled2 = sorted(r.url for r in res2.crawled(spark).collect())
     assert crawled2 == [f"{base}/", f"{base}/a"], crawled2
+
+
+def test_cli_ranks_from_store(spark, tmp_path, capsys):
+    """The operational re-crawl loop: crawl once, then re-crawl with
+    --ranks-from-store — the second crawl's budgeted schedule follows
+    the first crawl's PageRank."""
+    import json
+
+    from node_crawler_spark.cli import main
+    from node_crawler_spark.sources.fixtures import scenario
+
+    s = scenario("basic_link_crawl")
+    pages, http = s.dfs(spark)
+    pages.write.parquet(str(tmp_path / "pages"))
+    http.write.parquet(str(tmp_path / "http"))
+
+    rc = main([
+        "--seeds", *s.seeds,
+        "--pages", str(tmp_path / "pages"),
+        "--http-meta", str(tmp_path / "http"),
+        "--store", str(tmp_path / "store1"),
+    ])
+    assert rc == 0
+    rc = main([
+        "--seeds", *s.seeds,
+        "--pages", str(tmp_path / "pages"),
+        "--http-meta", str(tmp_path / "http"),
+        "--store", str(tmp_path / "store2"),
+        "--ranks-from-store", str(tmp_path / "store1"),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    summaries = [json.loads(x) for x in out.strip().splitlines()
+                 if x.startswith("{")]
+    # without budgets rank priority must not change WHAT is crawled
+    assert summaries[-1]["urls_seen"] == summaries[0]["urls_seen"]
