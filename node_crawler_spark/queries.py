@@ -3216,6 +3216,239 @@ def _pr_sql() -> str:
 G_PAGERANK_SQL = _pr_sql()
 
 
+def j_asof_join(spark, sf_dir):
+    """AS-OF join — the time-series operator Spark lacks natively:
+    each purchase event matched to the user's most recent view at or
+    before it (ties on ts broken by larger event_id; purchases with
+    no prior view keep NULLs — a LEFT as-of). Implemented the
+    scale-safe way: union-tag the two event slices, ONE shuffle on
+    user_id, and a running last(ignoreNulls) window carries the
+    latest view forward — never an inequality join, never a per-key
+    candidate explosion, cost O(n log n) in the partition sort. The
+    ordering key (ts, tag, event_id) with view-tag 0 < purchase-tag 1
+    pins `<=` semantics and the tiebreak exactly, so both engines
+    agree row-for-row. Gap is integer microseconds via TZ-free
+    timestampdiff / date_diff on the NTZ wall-clock values — no float
+    time arithmetic, no session-timezone exposure."""
+    e = _t(spark, sf_dir, "events")
+    tagged = e.where(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("tag"),
+        F.when(F.col("event_type") == "view", F.col("event_id")).alias("v_id"),
+        F.when(F.col("event_type") == "view", F.col("ts")).alias("v_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "tag",
+        F.last("v_id", ignorenulls=True).over(w).alias("view_id"),
+        F.last("v_ts", ignorenulls=True).over(w).alias("view_ts"),
+    )
+    return (
+        carried.where(F.col("tag") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "view_id",
+            "view_ts",
+            F.expr("timestampdiff(MICROSECOND, view_ts, ts)").alias("gap_us"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+J_ASOF_SQL = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS tag,
+         CASE WHEN event_type = 'view' THEN event_id END AS v_id,
+         CASE WHEN event_type = 'view' THEN ts END AS v_ts
+  FROM events WHERE event_type IN ('view', 'purchase')),
+carried AS (
+  SELECT user_id, ts, event_id, tag,
+         last_value(v_id IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY ts, tag, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_id,
+         last_value(v_ts IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY ts, tag, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_ts
+  FROM tagged)
+SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+       view_id, view_ts,
+       date_diff('microseconds', view_ts, ts) AS gap_us
+FROM carried WHERE tag = 1 ORDER BY purchase_id
+"""
+
+
+RANGE_WIN_US = 3_600_000_000  # 1 hour in integer microseconds
+
+
+def j_range_bucketed(spark, sf_dir):
+    """Bucketed RANGE join — the scale technique for inequality-only
+    joins: per purchase, count the clicks (any user) in the preceding
+    hour. Naively `c.ts > p.ts - 1h AND c.ts <= p.ts` has no equality
+    key, so Spark compiles it to BroadcastNestedLoopJoin — O(n·m) and
+    a driver OOM at size. Instead both sides are binned into 1-hour
+    buckets of integer microseconds: a purchase in bucket B can only
+    see clicks from buckets B-1 and B, so each click is exploded into
+    (own bucket, next bucket) and the join becomes an EQUI-join on
+    the bucket key — shuffled hash join, candidates bounded by
+    per-2-bucket click density, the exact range predicate applied
+    after. Each (purchase, click) pair meets at exactly one key, so
+    no dedup pass is needed. Left join keeps zero-click purchases."""
+    epoch = "TIMESTAMP_NTZ'1970-01-01 00:00:00'"
+    us = F.expr(f"timestampdiff(MICROSECOND, {epoch}, ts)")
+    hour_bin = F.expr(f"timestampdiff(HOUR, {epoch}, ts)")  # integer floor
+    e = _t(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        us.alias("p_us"),
+        hour_bin.alias("bin"),
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.explode(F.array(hour_bin, hour_bin + 1)).alias("bin"),
+        us.alias("c_us"),
+    )
+    hit = F.when(
+        (F.col("c_us") > F.col("p_us") - RANGE_WIN_US)
+        & (F.col("c_us") <= F.col("p_us")),
+        1,
+    )
+    return (
+        p.join(c, "bin", "left")
+        .groupBy("purchase_id")
+        .agg(F.count(hit).alias("n_clicks_1h"))
+        .orderBy("purchase_id")
+    )
+
+
+J_RANGE_SQL = f"""
+SELECT p.event_id AS purchase_id, COUNT(c.ts) AS n_clicks_1h
+FROM events p LEFT JOIN events c
+  ON c.event_type = 'click'
+ AND epoch_us(c.ts) > epoch_us(p.ts) - {RANGE_WIN_US}
+ AND epoch_us(c.ts) <= epoch_us(p.ts)
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+ORDER BY p.event_id
+"""
+
+
+CMS_D, CMS_W = 4, 256  # count-min depth × width
+CMS_TOP_K = 10
+
+
+def _cms_col(word_col, row_col):
+    """Portable per-row CMS column index: md5-derived 60-bit hash of
+    'cms{row}:{word}' mod width — same family as _phash but with the
+    row id folded into the salt so the D rows are independent."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("cms"),
+                    row_col.cast("string"),
+                    F.lit(":"),
+                    word_col,
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(CMS_W))
+
+
+def _cms_col_sql(word_expr: str, row_expr: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('cms' || CAST({row_expr} AS VARCHAR) "
+        f"|| ':' || ({word_expr})), 1, 15) AS BIGINT) % {CMS_W}"
+    )
+
+
+def sk_cms_heavy(spark, sf_dir):
+    """Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    a {CMS_D}×{CMS_W} counter matrix over the corpus word stream,
+    probed with the exact top-{CMS_TOP_K} words — exact count, CMS
+    estimate (min over rows), and the guaranteed-nonnegative
+    overestimate. Like sk_kmv_distinct, the sketch is a pure function
+    of the portable md5 hash family and integer sums, so it is FULLY
+    oracle-checked — the counter matrix itself must agree bit-exactly
+    across engines. Scale shape: building the sketch is ONE
+    map-side-combinable hash aggregate into d·w = {CMS_D}·{CMS_W}
+    cells (constant state per partition — mergeable across
+    partitions, rounds, or streaming micro-batches by cell-wise sum);
+    the probe side is K rows broadcast against the tiny counter
+    table. No per-word state ever shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("w")
+    )
+    rows = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("r")
+    counters = (
+        words.select("w", rows)
+        .select("r", _cms_col(F.col("w"), F.col("r")).alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), "w")
+        .limit(CMS_TOP_K)
+    )
+    probe_cells = probes.select(
+        "w", "n_exact", rows
+    ).select("w", "n_exact", "r", _cms_col(F.col("w"), F.col("r")).alias("c"))
+    return (
+        probe_cells.join(counters, ["r", "c"])
+        .groupBy("w", "n_exact")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select(
+            F.col("w").alias("word"),
+            "n_exact",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("n_exact")).alias("overestimate"),
+        )
+        .orderBy(F.col("n_exact").desc(), "word")
+    )
+
+
+SK_CMS_SQL = f"""
+WITH words AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents),
+cells AS (
+  SELECT w, r, {_cms_col_sql('w', 'r')} AS c
+  FROM words, range(0, {CMS_D}) t(r)),
+counters AS (SELECT r, c, COUNT(*) AS cnt FROM cells GROUP BY r, c),
+probes AS (
+  SELECT w, COUNT(*) AS n_exact FROM words GROUP BY w
+  ORDER BY n_exact DESC, w LIMIT {CMS_TOP_K}),
+probe_cells AS (
+  SELECT w, n_exact, r, {_cms_col_sql('w', 'r')} AS c
+  FROM probes, range(0, {CMS_D}) t(r)),
+est AS (
+  SELECT p.w, p.n_exact, MIN(cnt) AS cms_estimate
+  FROM probe_cells p JOIN counters USING (r, c)
+  GROUP BY p.w, p.n_exact)
+SELECT w AS word, n_exact, cms_estimate,
+       cms_estimate - n_exact AS overestimate
+FROM est ORDER BY n_exact DESC, word
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3278,6 +3511,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sk_kmv_distinct": sk_kmv_distinct,
     "t_sample_weighted": t_sample_weighted,
     "g_pagerank_fixedpoint": g_pagerank_fixedpoint,
+    "j_asof_join": j_asof_join,
+    "j_range_bucketed": j_range_bucketed,
+    "sk_cms_heavy": sk_cms_heavy,
 }
 
 ORACLES: dict[str, str] = {
@@ -3338,4 +3574,7 @@ ORACLES: dict[str, str] = {
     "sk_kmv_distinct": SK_KMV_SQL,
     "t_sample_weighted": T_SAMPLE_WEIGHTED_SQL,
     "g_pagerank_fixedpoint": G_PAGERANK_SQL,
+    "j_asof_join": J_ASOF_SQL,
+    "j_range_bucketed": J_RANGE_SQL,
+    "sk_cms_heavy": SK_CMS_SQL,
 }
