@@ -3216,6 +3216,126 @@ def _pr_sql() -> str:
 G_PAGERANK_SQL = _pr_sql()
 
 
+HITS_SCALE = 1_000_000  # fixed-point score units (bounded so a*SCALE fits BIGINT)
+HITS_ITERS = 2
+HITS_TOP_K = 10
+
+
+def g_hits_fixedpoint(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg 1999) over the same
+    supplier→customer bipartite graph as g_pagerank_fixedpoint — the
+    graph family's second algorithm, again in ORDER-INDEPENDENT
+    fixed-point integer arithmetic so both engines agree bit-exactly:
+    auth = Σ incoming hub scores, hub = Σ outgoing auth scores, each
+    step renormalized to L1 mass HITS_SCALE by floor division against
+    a committed scalar total (the standard L2 norm needs sqrt — the
+    L1 variant preserves the ranking and stays in BIGINT). Per half-
+    iteration: one equi-join + one hash aggregate — the linkgraph
+    shuffle shape; the normalizer is a one-scalar collect like
+    PageRank's dangling mass. Output: top-{K} hubs and top-{K}
+    authorities, kind-tagged."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    hub = (
+        e.select("src").distinct()
+        .withColumn("h", F.lit(HITS_SCALE).cast("long"))
+    )
+    auth = None
+    for _ in range(HITS_ITERS):
+        a_raw = (
+            e.join(hub, "src")
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a"))
+        ).localCheckpoint()
+        a_tot = int(a_raw.agg(F.sum("a")).collect()[0][0])
+        auth = a_raw.select(
+            "dst", F.expr(f"(a * {HITS_SCALE}L) DIV {a_tot}L").alias("a")
+        ).localCheckpoint()
+        h_raw = (
+            e.join(auth, "dst")
+            .groupBy("src")
+            .agg(F.sum("a").alias("h"))
+        ).localCheckpoint()
+        h_tot = int(h_raw.agg(F.sum("h")).collect()[0][0])
+        hub = h_raw.select(
+            "src", F.expr(f"(h * {HITS_SCALE}L) DIV {h_tot}L").alias("h")
+        ).localCheckpoint()
+    e.unpersist()
+    top_h = (
+        hub.select(
+            F.col("src").alias("node"), F.lit("hub").alias("kind"),
+            F.col("h").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "node")
+        .limit(HITS_TOP_K)
+    )
+    top_a = (
+        auth.select(
+            F.col("dst").alias("node"), F.lit("auth").alias("kind"),
+            F.col("a").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "node")
+        .limit(HITS_TOP_K)
+    )
+    return top_a.unionByName(top_h).orderBy(
+        "kind", F.col("score").desc(), "node"
+    )
+
+
+def _hits_sql() -> str:
+    ctes = [
+        """e AS MATERIALIZED (
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                  'c' || CAST(o_custkey AS VARCHAR) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""",
+        f"h0 AS (SELECT DISTINCT src, CAST({HITS_SCALE} AS BIGINT) AS h "
+        "FROM e)",
+    ]
+    prev_h = "h0"
+    for it in range(1, HITS_ITERS + 1):
+        ctes.append(
+            f"""ar{it} AS MATERIALIZED (
+  SELECT dst, SUM(h) AS a FROM e JOIN {prev_h} USING (src) GROUP BY dst)"""
+        )
+        ctes.append(f"at{it} AS (SELECT SUM(a) AS t FROM ar{it})")
+        ctes.append(
+            f"""a{it} AS MATERIALIZED (
+  SELECT dst, (a * {HITS_SCALE}) // t AS a FROM ar{it} CROSS JOIN at{it})"""
+        )
+        ctes.append(
+            f"""hr{it} AS MATERIALIZED (
+  SELECT src, SUM(a) AS h FROM e JOIN a{it} USING (dst) GROUP BY src)"""
+        )
+        ctes.append(f"ht{it} AS (SELECT SUM(h) AS t FROM hr{it})")
+        ctes.append(
+            f"""h{it} AS MATERIALIZED (
+  SELECT src, (h * {HITS_SCALE}) // t AS h FROM hr{it} CROSS JOIN ht{it})"""
+        )
+        prev_h = f"h{it}"
+    n = HITS_ITERS
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+top_a AS (SELECT dst AS node, 'auth' AS kind, a AS score FROM a{n}
+          ORDER BY score DESC, node LIMIT {HITS_TOP_K}),
+top_h AS (SELECT src AS node, 'hub' AS kind, h AS score FROM h{n}
+          ORDER BY score DESC, node LIMIT {HITS_TOP_K})
+SELECT * FROM (SELECT * FROM top_a UNION ALL SELECT * FROM top_h)
+ORDER BY kind, score DESC, node"""
+    )
+
+
+G_HITS_SQL = _hits_sql()
+
+
 def j_asof_join(spark, sf_dir):
     """AS-OF join — the time-series operator Spark lacks natively:
     each purchase event matched to the user's most recent view at or
@@ -3511,6 +3631,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sk_kmv_distinct": sk_kmv_distinct,
     "t_sample_weighted": t_sample_weighted,
     "g_pagerank_fixedpoint": g_pagerank_fixedpoint,
+    "g_hits_fixedpoint": g_hits_fixedpoint,
     "j_asof_join": j_asof_join,
     "j_range_bucketed": j_range_bucketed,
     "sk_cms_heavy": sk_cms_heavy,
@@ -3574,6 +3695,7 @@ ORACLES: dict[str, str] = {
     "sk_kmv_distinct": SK_KMV_SQL,
     "t_sample_weighted": T_SAMPLE_WEIGHTED_SQL,
     "g_pagerank_fixedpoint": G_PAGERANK_SQL,
+    "g_hits_fixedpoint": G_HITS_SQL,
     "j_asof_join": J_ASOF_SQL,
     "j_range_bucketed": J_RANGE_SQL,
     "sk_cms_heavy": SK_CMS_SQL,
