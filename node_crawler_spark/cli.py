@@ -29,7 +29,13 @@ from node_crawler_spark.config import CrawlConfig, PolitenessRule
 
 def build_arg_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="node-crawler-spark")
-    ap.add_argument("--seeds", nargs="+", required=True, help="seed urls (queue order)")
+    ap.add_argument("--seeds", nargs="+", default=[],
+                    help="seed urls (queue order)")
+    ap.add_argument("--seeds-from-sitemaps", action="store_true",
+                    help="also seed from sitemaps discovered in the page "
+                    "store (robots.txt Sitemap: declarations + "
+                    "/sitemap.xml, <sitemapindex> followed); sitemap "
+                    "entries pass the normal queue gates like any seed")
     ap.add_argument("--pages", help="pages table path (parquet)")
     ap.add_argument("--http-meta", help="http_meta table path (parquet)")
     ap.add_argument(
@@ -123,6 +129,8 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     if not args.warc and not (args.pages and args.http_meta):
         parser.error("either --warc or both --pages and --http-meta required")
+    if not args.seeds and not args.seeds_from_sitemaps:
+        parser.error("--seeds and/or --seeds-from-sitemaps required")
     cfg = config_from_args(args)
 
     from pyspark.sql import SparkSession
@@ -166,6 +174,20 @@ def main(argv=None) -> int:
 
         cfg = merge_robots_delays(cfg, delay_tuples(robots_delays_from_pages(pages)))
 
+    seeds = list(args.seeds)
+    if args.seeds_from_sitemaps:
+        from node_crawler_spark.operators.sitemaps import (
+            seed_tuples,
+            seeds_from_sitemaps,
+        )
+
+        have = set(seeds)
+        seeds += [
+            u
+            for u in seed_tuples(seeds_from_sitemaps(pages))
+            if u not in have
+        ]
+
     priority_ranks = None
     if args.ranks_from_store:
         import dataclasses
@@ -179,7 +201,7 @@ def main(argv=None) -> int:
         cfg = dataclasses.replace(cfg, priority="rank")
 
     res = run_crawl(
-        spark, cfg, pages, http_meta, args.seeds, args.store,
+        spark, cfg, pages, http_meta, seeds, args.store,
         resume=args.resume, priority_ranks=priority_ranks,
     )
 
