@@ -52,6 +52,72 @@ class _AnchorCollector(HTMLParser):
         pass
 
 
+class _AnchorTextCollector(HTMLParser):
+    """Collect (href, text) of every <a> in document order — the
+    anchor-text extension beyond the reference (crawler.js only keeps
+    hrefs; anchor text is the link-graph/training-data feature).
+    Capture semantics, pinned deterministic: an <a href=…> opens a
+    capture; it ends at the matching </a> OR at the next <a …> (the
+    browser's implicit close for nested anchors); text is the
+    whitespace-normalized concatenation of every text node in between
+    (nested inline tags contribute their text). Falsy hrefs skipped,
+    same as _AnchorCollector."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.pairs: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._buf: list[str] = []
+
+    def _close_open(self) -> None:
+        if self._href is not None:
+            text = " ".join("".join(self._buf).split())
+            self.pairs.append((self._href, text))
+            self._href = None
+            self._buf = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag != "a":
+            return
+        self._close_open()
+        for name, value in attrs:
+            if name == "href":
+                if value:
+                    self._href = value
+                break
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self.handle_starttag(tag, attrs)
+        if tag == "a":
+            self._close_open()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "a":
+            self._close_open()
+
+    def handle_data(self, data: str) -> None:
+        if self._href is not None:
+            self._buf.append(data)
+
+    def error(self, message: str) -> None:  # pragma: no cover
+        pass
+
+
+def extract_anchor_pairs_py(html: str) -> list[tuple[str, str]]:
+    """(raw href, anchor text) of all anchors, document order; [] on
+    any parse issue (same never-throw contract as extract_links_py)."""
+    if not html:
+        return []
+    collector = _AnchorTextCollector()
+    try:
+        collector.feed(html)
+        collector.close()
+    except Exception:
+        pass
+    collector._close_open()  # unterminated trailing <a>
+    return collector.pairs
+
+
 def extract_links_py(html: str) -> list[str]:
     """Raw hrefs of all anchors, document order; [] on any parse issue."""
     if not html:
