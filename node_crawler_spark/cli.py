@@ -50,6 +50,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "store (seen-set semi-join) as part-WARCs + CDX sidecars "
         "into this directory",
     )
+    ap.add_argument(
+        "--export-anchors",
+        help="after the crawl, write the per-target anchor-text rollup "
+        "(n_refs, n_sources, capped distinct texts) over the VISITED "
+        "slice of the page store as parquet into this directory",
+    )
     ap.add_argument("--store", required=True, help="snapshot-store root (checkpoints)")
     ap.add_argument("--resume", action="store_true", help="resume from last committed round")
     ap.add_argument("--crawl-external", action="store_true")
@@ -239,6 +245,18 @@ def main(argv=None) -> int:
             "dir": args.export_warc,
             "files": len(manifest),
             "records": sum(m.n_records for m in manifest),
+        }
+    if args.export_anchors:
+        from node_crawler_spark.operators.anchortext import anchor_texts
+
+        seen_urls = res.seen(spark).select("url")
+        rollup = anchor_texts(
+            pages.join(seen_urls, "url", "left_semi")
+        ).join(seen_urls, "url", "left_semi")
+        rollup.write.mode("overwrite").parquet(args.export_anchors)
+        summary["exported_anchors"] = {
+            "dir": args.export_anchors,
+            "targets": spark.read.parquet(args.export_anchors).count(),
         }
     print(json.dumps(summary))
     if owns_session:

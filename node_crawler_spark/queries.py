@@ -3569,6 +3569,67 @@ FROM est ORDER BY n_exact DESC, word
 """
 
 
+ANCHOR_SAMPLE_K = 5
+
+
+def a_anchor_rollup(spark, sf_dir):
+    """Relational twin of ``operators/anchortext.py::anchor_texts``
+    (the web-corpus rollup the reference lacks — crawler.js:93-107
+    keeps only hrefs): per target, total reference count, distinct
+    source count, and a bounded deterministic sample of distinct
+    labels. Here the events table plays the edge list (user_id =
+    target, event_type:day = anchor label). The load-bearing shape is
+    the CAP BEFORE THE COLLECT: distinct labels are ranked by a
+    per-target window and cut at K *before* the collect_list, so the
+    aggregation buffer for a 10^8-in-degree hub holds ≤ K rows —
+    Spark plans it as WindowGroupLimit (partial+final), pushing the
+    cut below the shuffle. Sample serialized as a '|'-joined sorted
+    string (order-pinned on both engines)."""
+    e = _t(spark, sf_dir, "events")
+    tag = F.concat_ws(":", "event_type", F.date_format("ts", "yyyy-MM-dd"))
+    stats = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("event_type").alias("n_types"),
+    )
+    tags = e.select("user_id", tag.alias("tag")).distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("tag"))
+    capped = tags.withColumn("_rn", rn).where(F.col("_rn") <= ANCHOR_SAMPLE_K)
+    samp = capped.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_list("tag")), "|").alias(
+            "tag_sample"
+        )
+    )
+    return (
+        stats.join(samp, "user_id", "left")
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            F.coalesce("tag_sample", F.lit("")).alias("tag_sample"),
+        )
+        .orderBy("user_id")
+    )
+
+
+A_ANCHOR_SQL = f"""
+WITH tags AS (SELECT DISTINCT user_id,
+                     event_type || ':' || strftime(ts, '%Y-%m-%d') AS tag
+              FROM events),
+capped AS (SELECT user_id, tag,
+                  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tag) AS rn
+           FROM tags),
+samp AS (SELECT user_id, string_agg(tag, '|' ORDER BY tag) AS tag_sample
+         FROM capped WHERE rn <= {ANCHOR_SAMPLE_K} GROUP BY user_id),
+stats AS (SELECT user_id, COUNT(*) AS n_events,
+                 COUNT(DISTINCT event_type) AS n_types
+          FROM events GROUP BY user_id)
+SELECT stats.user_id, n_events, n_types,
+       COALESCE(tag_sample, '') AS tag_sample
+FROM stats LEFT JOIN samp USING (user_id)
+ORDER BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3635,6 +3696,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j_asof_join": j_asof_join,
     "j_range_bucketed": j_range_bucketed,
     "sk_cms_heavy": sk_cms_heavy,
+    "a_anchor_rollup": a_anchor_rollup,
 }
 
 ORACLES: dict[str, str] = {
@@ -3699,4 +3761,5 @@ ORACLES: dict[str, str] = {
     "j_asof_join": J_ASOF_SQL,
     "j_range_bucketed": J_RANGE_SQL,
     "sk_cms_heavy": SK_CMS_SQL,
+    "a_anchor_rollup": A_ANCHOR_SQL,
 }

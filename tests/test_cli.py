@@ -90,3 +90,39 @@ def test_cli_warc_input(spark, tmp_path, capsys):
     from node_crawler_spark.sources.warc import read_warc
     back = read_warc(spark, str(tmp_path / "archive") + "/*.warc.gz")
     assert back.count() == 5
+
+
+def test_cli_export_anchors(spark, tmp_path, capsys):
+    """--export-anchors: parquet rollup of anchor texts over the
+    visited slice, targets restricted to crawled urls."""
+    s = scenario("chain4")
+    pages, http = s.dfs(spark)
+    pages.write.parquet(str(tmp_path / "pages"))
+    http.write.parquet(str(tmp_path / "http"))
+
+    rc = main(
+        [
+            "--seeds", *s.seeds,
+            "--pages", str(tmp_path / "pages"),
+            "--http-meta", str(tmp_path / "http"),
+            "--store", str(tmp_path / "store"),
+            "--export-anchors", str(tmp_path / "anchors"),
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["exported_anchors"]["dir"] == str(tmp_path / "anchors")
+
+    rollup = {
+        r.url: r
+        for r in spark.read.parquet(str(tmp_path / "anchors")).collect()
+    }
+    assert summary["exported_anchors"]["targets"] == len(rollup)
+    # chain4: /c is linked from both /b and /a2; every fixture anchor
+    # carries text "x"; all targets are crawled urls.
+    base = "http://www.site.test"
+    c = rollup[f"{base}/c"]
+    assert (c.n_refs, c.n_sources, c.texts) == (2, 2, ["x"])
+    assert set(rollup) <= {
+        f"{base}{p}" for p in ["/", "/a", "/b", "/a2", "/c", "/d"]
+    }
