@@ -3569,6 +3569,83 @@ FROM est ORDER BY n_exact DESC, word
 """
 
 
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+
+def t_pii_scrub(spark, sf_dir):
+    """PII redaction (the C4/RefinedWeb curation staple missing from
+    the t_ family): emails, IPv4s, and phone-shaped tokens replaced by
+    typed placeholders, with per-document detection counts and an md5
+    fingerprint of the scrubbed text so the REDACTION itself is
+    hash-checked cross-engine, not just the counts. The synthetic
+    corpus carries no PII, so each document deterministically injects
+    a doc_id-derived email (+ a second one on even ids), phone, and IP
+    on BOTH engines — the patterns must then find exactly what was
+    planted. Regex subset chosen to mean the same thing in Java
+    (Spark) and RE2 (DuckDB): classes, bounded repetition, \\b.
+    Scrub order pinned email → IP → phone on both sides.
+
+    100 TB posture: pure map-side codegen (regexp over one column, no
+    shuffle, no Python) — the scan IS the operator; output writes
+    straight back out."""
+    d = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(" cc admin@example.org"))
+        .otherwise(F.lit("")),
+        F.lit(" or call 555-0"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1"),
+    )
+    r = d.select("doc_id", raw.alias("raw"))
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("raw", PII_EMAIL, "<EMAIL>"), PII_IP, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+
+    def n(pat):
+        return F.size(F.regexp_extract_all("raw", F.lit(pat), 0)).cast("long")
+
+    return r.select(
+        "doc_id",
+        n(PII_EMAIL).alias("n_emails"),
+        n(PII_IP).alias("n_ips"),
+        n(PII_PHONE).alias("n_phones"),
+        F.md5(scrub).alias("scrubbed_fp"),
+    ).orderBy("doc_id")
+
+
+T_PII_SQL = f"""
+WITH raw AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+           || CASE WHEN doc_id % 2 = 0 THEN ' cc admin@example.org'
+                   ELSE '' END
+           || ' or call 555-0' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+           || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS raw
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(raw, '{PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(raw, '{PII_IP}')) AS n_ips,
+       len(regexp_extract_all(raw, '{PII_PHONE}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(raw,
+           '{PII_EMAIL}', '<EMAIL>', 'g'),
+           '{PII_IP}', '<IP>', 'g'),
+           '{PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_fp
+FROM raw ORDER BY doc_id
+"""
+
+
 ANCHOR_SAMPLE_K = 5
 
 
@@ -3697,6 +3774,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j_range_bucketed": j_range_bucketed,
     "sk_cms_heavy": sk_cms_heavy,
     "a_anchor_rollup": a_anchor_rollup,
+    "t_pii_scrub": t_pii_scrub,
 }
 
 ORACLES: dict[str, str] = {
@@ -3762,4 +3840,5 @@ ORACLES: dict[str, str] = {
     "j_range_bucketed": J_RANGE_SQL,
     "sk_cms_heavy": SK_CMS_SQL,
     "a_anchor_rollup": A_ANCHOR_SQL,
+    "t_pii_scrub": T_PII_SQL,
 }
