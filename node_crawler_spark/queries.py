@@ -3569,6 +3569,63 @@ FROM est ORDER BY n_exact DESC, word
 """
 
 
+PACK_BUDGET = 256  # tokens per training sequence
+
+
+def t_pack_sequences(spark, sf_dir):
+    """Sequence packing — the concat-then-chunk step every LLM
+    pretraining pipeline runs between curation and tokenized shards
+    (GPT-2 style: concatenate the document stream, cut every
+    PACK_BUDGET tokens). Each language is an independent stream
+    (real pipelines pack per shard), so the prefix-sum window is
+    PARTITIONED — no single-partition sort at any corpus size; within
+    a stream docs are ordered by doc_id (deterministic). Per doc:
+    whitespace token count, start offset in its stream, the pack
+    (chunk) its first token lands in, and the offset inside that pack.
+    One shuffle on lang; the arithmetic is pure codegen.
+
+    100 TB posture: the window state is one running long per
+    partition; packs never materialize — downstream writers consume
+    (pack_id, offset) to lay out shards without a second pass."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = d.select("doc_id", "lang", n_tok.alias("n_tokens"))
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_off")
+    return (
+        t.select("doc_id", "lang", "n_tokens", start)
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "start_off",
+            F.floor(F.col("start_off") / PACK_BUDGET).alias("pack_id"),
+            (F.col("start_off") % PACK_BUDGET).alias("pack_off"),
+        )
+        .orderBy("lang", "doc_id")
+    )
+
+
+T_PACK_SQL = f"""
+WITH t AS (SELECT doc_id, lang,
+                  len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+           FROM documents),
+s AS (SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+      FROM t)
+SELECT doc_id, lang, n_tokens, start_off,
+       CAST(FLOOR(CAST(start_off AS DOUBLE) / {PACK_BUDGET}) AS BIGINT)
+         AS pack_id,
+       start_off % {PACK_BUDGET} AS pack_off
+FROM s ORDER BY lang, doc_id
+"""
+
+
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_PHONE = r"\b\d{3}-\d{4}\b"
@@ -3775,6 +3832,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sk_cms_heavy": sk_cms_heavy,
     "a_anchor_rollup": a_anchor_rollup,
     "t_pii_scrub": t_pii_scrub,
+    "t_pack_sequences": t_pack_sequences,
 }
 
 ORACLES: dict[str, str] = {
@@ -3841,4 +3899,5 @@ ORACLES: dict[str, str] = {
     "sk_cms_heavy": SK_CMS_SQL,
     "a_anchor_rollup": A_ANCHOR_SQL,
     "t_pii_scrub": T_PII_SQL,
+    "t_pack_sequences": T_PACK_SQL,
 }

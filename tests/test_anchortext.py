@@ -99,3 +99,14 @@ def test_anchor_texts_rollup_counts_and_cap(spark):
     }[f"{BASE}/about"]
     assert capped.texts == ["About us", "Company"]  # first 2 in sort order
     assert capped.n_refs == 4  # counts unaffected by the text cap
+
+
+def test_anchor_texts_plan_caps_before_collect(spark):
+    """The text cap must plan as WindowGroupLimit (partial+final) so
+    the per-target cut happens BELOW the shuffle — the bounded-hub
+    guarantee is a plan property, not a hope."""
+    s = _anchor_scenario()
+    pages, _http = s.dfs(spark)
+    plan = anchor_texts(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan
