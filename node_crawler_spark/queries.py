@@ -3569,6 +3569,104 @@ FROM est ORDER BY n_exact DESC, word
 """
 
 
+PRIOR_K = 20.0  # pseudo-count for the source-prior shrinkage
+
+
+def t_domain_prior(spark, sf_dir):
+    """Source-level quality prior (the RefinedWeb/CCNet move of
+    filtering by DOMAIN reputation, not just per-document signals):
+    each source's mean quality is shrunk toward the global mean by an
+    empirical-Bayes pseudo-count (small sources get the global prior,
+    big sources earn their own), then blended 50/50 back into every
+    document's score. Shape: one per-doc scalar pass → one hash agg
+    per source → a one-row global agg broadcast in → a broadcast join
+    back to docs. Means are computed as exact DECIMAL(18,6) sums cast
+    to double before one ROUND — order-independent on both engines.
+
+    100 TB posture: two partial-aggregating shuffles (source ≪ docs)
+    and a broadcast of the source table; no window, no Python."""
+    d = _t(spark, sf_dir, "documents")
+    score = F.round(
+        F.col("n_chars").cast("double")
+        / F.size(F.split(F.trim("text"), r"\s+")),
+        6,
+    )
+    docs = d.select("doc_id", "source", score.alias("doc_score"))
+    dec = F.col("doc_score").cast("decimal(18,6)")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("_mean"),
+    )
+    glob = docs.agg(
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("_g")
+    )
+    prior = (
+        per_src.crossJoin(F.broadcast(glob))
+        .select(
+            "source",
+            "n_docs",
+            F.round("_mean", 6).alias("source_mean"),
+            F.round(
+                (F.col("n_docs") * F.col("_mean") + PRIOR_K * F.col("_g"))
+                / (F.col("n_docs") + PRIOR_K),
+                6,
+            ).alias("source_prior"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(prior), "source")
+        .select(
+            "doc_id",
+            "source",
+            "doc_score",
+            "source_mean",
+            "source_prior",
+            # 50/50 blend in exact micro-unit integers, then ONE IEEE
+            # division — 0.5*(a+b) of two 6-decimal values ties at the
+            # 7th digit half the time, the exact sensitivity class the
+            # r2 verdict banned; integer sum + a single shared double
+            # op is bit-identical on both engines.
+            (
+                (
+                    F.round(F.col("doc_score") * 1e6).cast("long")
+                    + F.round(F.col("source_prior") * 1e6).cast("long")
+                ).cast("double")
+                / F.lit(2000000.0)
+            ).alias("adj_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T_DOMAIN_PRIOR_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, source,
+         ROUND(CAST(n_chars AS DOUBLE)
+               / len(string_split_regex(trim(text), '\\s+')), 6) AS doc_score
+  FROM documents),
+per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(CAST(doc_score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+           AS _mean
+  FROM docs GROUP BY source),
+gm AS (
+  SELECT CAST(SUM(CAST(doc_score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+           AS _g
+  FROM docs),
+prior AS (
+  SELECT source, n_docs, ROUND(_mean, 6) AS source_mean,
+         ROUND((n_docs * _mean + {PRIOR_K} * _g) / (n_docs + {PRIOR_K}), 6)
+           AS source_prior
+  FROM per_src, gm)
+SELECT doc_id, docs.source, doc_score, source_mean, source_prior,
+       CAST(CAST(ROUND(doc_score * 1000000) AS BIGINT)
+            + CAST(ROUND(source_prior * 1000000) AS BIGINT) AS DOUBLE)
+         / 2000000.0 AS adj_score
+FROM docs JOIN prior ON docs.source = prior.source
+ORDER BY doc_id
+"""
+
+
 PACK_BUDGET = 256  # tokens per training sequence
 
 
@@ -3833,6 +3931,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a_anchor_rollup": a_anchor_rollup,
     "t_pii_scrub": t_pii_scrub,
     "t_pack_sequences": t_pack_sequences,
+    "t_domain_prior": t_domain_prior,
 }
 
 ORACLES: dict[str, str] = {
@@ -3900,4 +3999,5 @@ ORACLES: dict[str, str] = {
     "a_anchor_rollup": A_ANCHOR_SQL,
     "t_pii_scrub": T_PII_SQL,
     "t_pack_sequences": T_PACK_SQL,
+    "t_domain_prior": T_DOMAIN_PRIOR_SQL,
 }
