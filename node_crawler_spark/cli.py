@@ -67,7 +67,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     help="politeness domain=budget[:delay_ms] (repeatable; "
                          "budget 0 = unlimited, delay-only rule)")
     ap.add_argument("--robots", action="append", default=[],
-                    help="robots rule domain=/disallow-prefix (repeatable)")
+                    help="robots rule domain=/pattern (RFC 9309: '*' "
+                         "wildcard, trailing '$' anchor; prefix the "
+                         "pattern with '+' for an Allow rule; "
+                         "repeatable)")
     ap.add_argument("--robots-from-store", action="store_true",
                     help="also derive rules from robots.txt snapshots "
                          "found in the page store")
@@ -112,8 +115,11 @@ def config_from_args(args) -> CrawlConfig:
         )
     robots = []
     for spec in args.robots:
-        domain, _, prefix = spec.partition("=")
-        robots.append((domain, prefix))
+        domain, _, pattern = spec.partition("=")
+        if pattern.startswith("+"):
+            robots.append((domain, pattern[1:], True))
+        else:
+            robots.append((domain, pattern, False))
     return CrawlConfig(
         crawl_external=args.crawl_external,
         exclude_patterns=tuple(args.exclude),

@@ -48,7 +48,11 @@ class CrawlConfig:
     # against it: a domain with delay D schedules at most floor(T/D)
     # urls per round, or 1 url every ceil(D/T) rounds when D > T
     round_time_ms: int = 1000
-    robots: tuple[tuple[str, str], ...] = ()  # (domain, disallow_prefix)
+    # RFC 9309 rules: (domain, pattern, allow) triples — '*' wildcard,
+    # trailing '$' anchor, longest-match-wins, allow wins ties. Legacy
+    # (domain, disallow_prefix) pairs still accepted (normalize to
+    # allow=False). See operators/robots.py.
+    robots: tuple[tuple, ...] = ()
     # --- scale knobs (operators/seenset.py — the D1 bloom sidecar) ---
     use_bloom_prefilter: bool = True
     # which approximate-membership structure backs the prefilter:

@@ -215,24 +215,12 @@ def link_candidates(expanded: DataFrame, cfg: CrawlConfig) -> DataFrame:
     # F4 — exclude patterns, case-insensitive RegExp(p,'gi') (crawler.js:595-604)
     for pat in cfg.exclude_patterns:
         c = c.where(~F.col("ins_url").rlike("(?i)" + pat))
-    # robots extension (north_star; absent in reference): per-domain
-    # disallow prefixes behave as an extra exclude gate
+    # robots extension (north_star; absent in reference): RFC 9309
+    # allow/disallow rules behave as an extra exclude gate
     if cfg.robots:
-        spark = expanded.sparkSession
-        robots = spark.createDataFrame(
-            list(cfg.robots), "r_domain string, r_prefix string"
-        )
-        c = (
-            c.withColumn("_host", _hostport(F.col("ins_url")))
-            .withColumn("_path", F.coalesce(F.parse_url("ins_url", F.lit("PATH")), F.lit("")))
-            .join(
-                F.broadcast(robots),
-                (F.col("_host") == F.col("r_domain"))
-                & F.col("_path").startswith(F.col("r_prefix")),
-                "left_anti",
-            )
-            .drop("_host", "_path")
-        )
+        from node_crawler_spark.operators.robots import robots_gate
+
+        c = robots_gate(c, cfg.robots, "ins_url")
     return c.select(
         "parent_seq",
         F.lit(1).alias("kind"),

@@ -14,11 +14,17 @@ driver's broadcast gate; at 10^7+ domains keep them as the DataFrame
 and join instead (link_candidates' robots gate is already a broadcast
 left-anti join, so swapping the source is a one-liner).
 
-Parser semantics (original robots.txt convention, not the full REP
-RFC): groups are runs of ``User-agent:`` lines followed by
-``Disallow:`` lines; a group applies when it names the agent (case-
-insensitive exact) or ``*``; empty Disallow means allow-everything and
-contributes no rule; comments (#) and unknown directives are skipped.
+Parser semantics: RFC 9309 (the Robots Exclusion Protocol as Google
+et al. implement it). ``parse_robots_rules`` returns (pattern, allow)
+rules — ``Allow:`` honored, ``*`` matches any octet run, a trailing
+``$`` anchors the end; groups naming the agent exactly take precedence
+over ``*`` groups and same-precedence groups MERGE (RFC 9309 §2.2.1).
+The match decision (``robots_allowed`` / the ``robots_gate`` fold) is
+longest-pattern-wins with allow winning length ties (§2.2.2), default
+allow, over path + '?' + query. The pre-RFC prefix kernel
+(``parse_robots_body``) remains for callers that only want disallow
+prefixes; legacy (domain, prefix) config rows still work — they
+normalize to disallow rules.
 
 ``Crawl-delay`` is honored too (north_star: "per-domain politeness
 budgets and crawl-delay"): ``robots_delays_from_pages`` extracts each
@@ -40,9 +46,147 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-RULE_SCHEMA = "domain string, prefix string"
+RULE_SCHEMA = "domain string, pattern string, allow boolean"
 
 ROBOTS_URL_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+/robots\.txt$"
+
+
+def robots_pattern_regex(pattern: str) -> str:
+    """RFC 9309 path pattern → anchored Java/PCRE-common regex:
+    ``*`` = any octet run, trailing ``$`` = end anchor, everything
+    else literal (inner ``$`` included)."""
+    import re as _re
+
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = "".join(".*" if ch == "*" else _re.escape(ch) for ch in body)
+    return "^" + rx + ("$" if anchored else "")
+
+
+def normalize_robots_rules(rows) -> list[tuple[str, str, bool]]:
+    """Config rows → (domain, pattern, allow). Accepts legacy
+    (domain, prefix) disallow pairs and (domain, pattern, allow)
+    triples, mixed freely."""
+    out = []
+    for r in rows:
+        if len(r) == 2:
+            out.append((r[0], r[1], False))
+        else:
+            out.append((r[0], r[1], bool(r[2])))
+    return out
+
+
+def robots_allowed(rules, path: str) -> bool:
+    """RFC 9309 §2.2.2 decision for ONE domain's (pattern, allow)
+    rules against a path('?'query) string: the longest matching
+    pattern wins; on a length tie allow wins; no match = allowed.
+    Pure kernel — the simulator and tests share it; the Spark gate
+    (``robots_gate``) implements the identical fold in codegen."""
+    import re as _re
+
+    best_len = -1
+    best_allow = True
+    for pattern, allow in rules:
+        if _re.match(robots_pattern_regex(pattern), path):
+            plen = len(pattern)
+            if plen > best_len or (plen == best_len and allow):
+                best_len, best_allow = plen, allow
+    return best_allow if best_len >= 0 else True
+
+
+def robots_gate(df: DataFrame, robots_rows, url_col: str) -> DataFrame:
+    """Filter ``df`` to urls the RFC 9309 rules allow. One broadcast
+    row per domain carrying array<struct<rx,plen,allow>>; the verdict
+    is a higher-order ``filter`` + ``aggregate`` fold picking the
+    longest matching pattern (allow wins ties) — pure JVM codegen, no
+    shuffle on the candidate side, no per-candidate explosion (the
+    rules ride in ONE array cell per domain). Hosts with no rules pass
+    (left join ⇒ null array ⇒ allowed)."""
+    rules = normalize_robots_rules(robots_rows)
+    if not rules:
+        return df
+    by_dom: dict[str, list] = {}
+    for dom, pat, allow in rules:
+        by_dom.setdefault(dom, []).append(
+            (robots_pattern_regex(pat), len(pat), allow)
+        )
+    spark = df.sparkSession
+    rdf = spark.createDataFrame(
+        sorted(by_dom.items()),
+        "r_domain string, "
+        "r_rules array<struct<rx:string, plen:int, allow:boolean>>",
+    )
+    u = F.col(url_col)
+    host = F.lower(F.coalesce(F.parse_url(u, F.lit("HOST")), F.lit("")))
+    port = F.coalesce(F.parse_url(u, F.lit("PORT")), F.lit(""))
+    hostport = F.concat(
+        host,
+        F.when(port != "", F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+    )
+    path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
+    query = F.parse_url(u, F.lit("QUERY"))
+    pathq = F.concat(
+        path,
+        F.when(
+            query.isNotNull(), F.concat(F.lit("?"), query)
+        ).otherwise(F.lit("")),
+    )
+    verdict = F.expr(
+        """
+        aggregate(
+          filter(_rr, r -> _pathq RLIKE r.rx),
+          named_struct('plen', -1, 'allow', true),
+          (acc, r) -> IF(r.plen > acc.plen
+                         OR (r.plen = acc.plen AND r.allow),
+                         named_struct('plen', r.plen, 'allow', r.allow),
+                         acc),
+          acc -> acc.allow)
+        """
+    )
+    return (
+        df.withColumn("_rh", hostport)
+        .withColumn("_pathq", pathq)
+        .join(F.broadcast(rdf), F.col("_rh") == F.col("r_domain"), "left")
+        .withColumnRenamed("r_rules", "_rr")
+        .where(F.coalesce(verdict, F.lit(True)))
+        .drop("_rh", "_pathq", "_rr", "r_domain")
+    )
+
+
+def parse_robots_rules(
+    text: str, user_agent: str = "*"
+) -> list[tuple[str, bool]]:
+    """(pattern, allow) rules applying to ``user_agent`` per RFC 9309
+    group selection: groups naming the agent exactly beat ``*``
+    groups; all groups at the winning precedence MERGE. Empty
+    Allow/Disallow values contribute no rule."""
+    ua = user_agent.lower()
+    exact: list[tuple[str, bool]] = []
+    star: list[tuple[str, bool]] = []
+    group_agents: list[str] = []
+    in_group_body = False
+
+    for raw_line in text.splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if not line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if in_group_body:  # a new group starts
+                group_agents = []
+                in_group_body = False
+            group_agents.append(value.lower())
+        elif field in ("disallow", "allow", "crawl-delay", "sitemap"):
+            in_group_body = True
+            if field in ("disallow", "allow") and value:
+                rule = (value, field == "allow")
+                if ua != "*" and ua in group_agents:
+                    exact.append(rule)
+                if "*" in group_agents:
+                    star.append(rule)
+    return exact if exact else star
 
 
 def parse_robots_body(text: str, user_agent: str = "*") -> list[str]:
@@ -145,19 +289,22 @@ def _latest_robots(pages: DataFrame) -> DataFrame:
 def robots_rules_from_pages(
     pages: DataFrame, user_agent: str = "*"
 ) -> DataFrame:
-    """(domain, prefix) rules from the latest robots.txt snapshot of
-    every host in the page store."""
+    """(domain, pattern, allow) RFC 9309 rules from the latest
+    robots.txt snapshot of every host in the page store."""
     from node_crawler_spark.functions.urlkit import node_parse
 
     def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            doms, prefs = [], []
+            doms, pats, allows = [], [], []
             for url, html in zip(pdf["url"], pdf["html"]):
                 domain = node_parse(url)["host"]
-                for p in parse_robots_body(_decode(html), user_agent):
+                for p, allow in parse_robots_rules(_decode(html), user_agent):
                     doms.append(domain)
-                    prefs.append(p)
-            yield pd.DataFrame({"domain": doms, "prefix": prefs})
+                    pats.append(p)
+                    allows.append(allow)
+            yield pd.DataFrame(
+                {"domain": doms, "pattern": pats, "allow": allows}
+            )
 
     return _latest_robots(pages).mapInPandas(parse_batches, RULE_SCHEMA)
 
@@ -211,10 +358,10 @@ def merge_robots_delays(cfg, delays) -> "CrawlConfig":  # noqa: F821
     return dataclasses.replace(cfg, politeness=cfg.politeness + add)
 
 
-def rules_tuples(rules: DataFrame) -> tuple[tuple[str, str], ...]:
+def rules_tuples(rules: DataFrame) -> tuple[tuple[str, str, bool], ...]:
     """Collect a rules DataFrame into CrawlConfig.robots form (sorted,
     deterministic). Driver-side by design — the config gate broadcasts
     them; see module docstring for the huge-domain-count path."""
     return tuple(
-        sorted((r.domain, r.prefix) for r in rules.collect())
+        sorted((r.domain, r.pattern, r.allow) for r in rules.collect())
     )

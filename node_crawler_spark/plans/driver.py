@@ -103,26 +103,9 @@ def build_seed_frontier(spark: SparkSession, seeds, cfg: CrawlConfig) -> DataFra
     for pat in cfg.exclude_patterns:  # F4
         df = df.where(~F.col("url").rlike("(?i)" + pat))
     if cfg.robots:  # robots extension — same gate as link candidates
-        robots = spark.createDataFrame(
-            list(cfg.robots), "r_domain string, r_prefix string"
-        )
-        host = F.lower(F.coalesce(F.parse_url("url", F.lit("HOST")), F.lit("")))
-        port = F.coalesce(F.parse_url("url", F.lit("PORT")), F.lit(""))
-        hostport = F.concat(
-            host, F.when(port != "", F.concat(F.lit(":"), port)).otherwise(F.lit(""))
-        )
-        path = F.coalesce(F.parse_url("url", F.lit("PATH")), F.lit(""))
-        df = (
-            df.withColumn("_host", hostport)
-            .withColumn("_path", path)
-            .join(
-                F.broadcast(robots),
-                (F.col("_host") == F.col("r_domain"))
-                & F.col("_path").startswith(F.col("r_prefix")),
-                "left_anti",
-            )
-            .drop("_host", "_path")
-        )
+        from node_crawler_spark.operators.robots import robots_gate
+
+        df = robots_gate(df, cfg.robots, "url")
     # first occurrence wins (D1/D2), seq = insertion order (O1)
     from pyspark.sql import Window
 

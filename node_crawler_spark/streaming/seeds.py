@@ -34,22 +34,9 @@ def _gate_seeds(batch: DataFrame, cfg: CrawlConfig) -> DataFrame:
     for pat in cfg.exclude_patterns:
         out = out.where(~F.col("url").rlike("(?i)" + pat))
     if cfg.robots:
-        spark = batch.sparkSession
-        robots = spark.createDataFrame(
-            list(cfg.robots), "r_domain string, r_prefix string"
-        )
-        host = F.lower(F.coalesce(F.parse_url("url", F.lit("HOST")), F.lit("")))
-        path = F.coalesce(F.parse_url("url", F.lit("PATH")), F.lit(""))
-        out = (
-            out.withColumn("_h", host).withColumn("_p", path)
-            .join(
-                F.broadcast(robots),
-                (F.col("_h") == F.col("r_domain"))
-                & F.col("_p").startswith(F.col("r_prefix")),
-                "left_anti",
-            )
-            .drop("_h", "_p")
-        )
+        from node_crawler_spark.operators.robots import robots_gate
+
+        out = robots_gate(out, cfg.robots, "url")
     return out
 
 

@@ -114,10 +114,20 @@ def simulate(cfg, seeds, pages_rows, http_rows, workers: int = 1,
     def robots_blocked(href: str) -> bool:
         if not cfg.robots:
             return False
+        from node_crawler_spark.operators.robots import (
+            normalize_robots_rules,
+            robots_allowed,
+        )
+
         d = node_parse(href)
         host = d["host"]
-        path = d["pathname"]
-        return any(host == dom and path.startswith(pref) for dom, pref in cfg.robots)
+        pathq = d["pathname"] + d["search"]
+        rules = [
+            (pat, allow)
+            for dom, pat, allow in normalize_robots_rules(cfg.robots)
+            if dom == host
+        ]
+        return not robots_allowed(rules, pathq)
 
     def enqueue(url: str, referrer, is_external: bool, depth: int = 0) -> bool:
         # crawler.js:576-618 — gate order matters

@@ -96,7 +96,7 @@ def test_robots_rules_from_pages_and_gate(spark, tmp_path):
     pages, http = s.dfs(spark)
 
     rules = rules_tuples(robots_rules_from_pages(pages))
-    assert rules == (("www.site.test", "/private"),)
+    assert rules == (("www.site.test", "/private", False),)
 
     cfg = CrawlConfig(**{**s.cfg.__dict__, "robots": rules})
     res = run_crawl(spark, cfg, pages, http, s.seeds, str(tmp_path / "r"))
@@ -193,3 +193,83 @@ def test_crawler_facade_camelcase_options(spark, tmp_path):
     res = c.start()
     seen = {r.url for r in res.seen(spark).collect()}
     assert all("/private" not in u and "SKIP" not in u for u in seen)
+
+
+def test_parse_robots_rules_rfc_group_selection():
+    from node_crawler_spark.operators.robots import parse_robots_rules
+
+    body = """
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+
+User-agent: nc-spark
+Disallow: /named
+
+User-agent: nc-spark
+Allow: /named/ok$
+"""
+    # '*' agent: only the star group
+    assert parse_robots_rules(body, "*") == [
+        ("/private", False), ("/private/ok", True)
+    ]
+    # exact-agent groups MERGE and beat the '*' group (RFC 9309 2.2.1)
+    assert parse_robots_rules(body, "NC-Spark") == [
+        ("/named", False), ("/named/ok$", True)
+    ]
+    assert parse_robots_rules("User-agent: *\nDisallow:", "*") == []
+
+
+def test_robots_allowed_rfc_match_semantics():
+    from node_crawler_spark.operators.robots import robots_allowed
+
+    rules = [("/private", False), ("/private/ok", True)]
+    assert not robots_allowed(rules, "/private/a")
+    assert robots_allowed(rules, "/private/ok/x")  # longest match wins
+    assert robots_allowed(rules, "/public")        # no match = allowed
+    assert robots_allowed([], "/anything")
+    # '*' wildcard spans any run; trailing '$' anchors
+    assert not robots_allowed([("/*.pdf$", False)], "/docs/a.pdf")
+    assert robots_allowed([("/*.pdf$", False)], "/docs/a.pdf?x=1")
+    assert not robots_allowed([("/a/*/c", False)], "/a/b/c")
+    # equal-length allow and disallow: allow wins (RFC 9309 2.2.2)
+    assert robots_allowed([("/dir/page", False), ("/dir/page", True)], "/dir/page")
+    # query string participates in the match
+    assert not robots_allowed([("/*?sessionid=", False)], "/x?sessionid=7")
+
+
+def test_robots_rfc_gate_e2e_vs_simulator(spark, tmp_path):
+    """Allow overrides inside a disallowed subtree + a $-anchored
+    wildcard, enforced identically by the Spark gate and the
+    sequential simulator."""
+    from tests.reference_sim import simulate
+
+    rules = (
+        ("www.site.test", "/private", False),
+        ("www.site.test", "/private/ok", True),
+        ("www.site.test", "/*.pdf$", False),
+    )
+    s = Scenario(
+        name="rfc_robots", cfg=CrawlConfig(robots=rules), seeds=[f"{BASE}/"]
+    )
+    body = (
+        '<a href="/private/a">x</a><a href="/private/ok/page">y</a>'
+        '<a href="/doc.pdf">z</a><a href="/doc.pdf?dl=1">w</a>'
+        '<a href="/public">p</a>'
+    )
+    s.page(f"{BASE}/", f"<html><body>{body}</body></html>")
+    for p in ["/private/a", "/private/ok/page", "/doc.pdf",
+              "/doc.pdf?dl=1", "/public"]:
+        s.page(f"{BASE}{p}", "<html></html>")
+
+    pages, http = s.dfs(spark)
+    res = run_crawl(spark, s.cfg, pages, http, s.seeds, str(tmp_path / "r"))
+    seen = [r.url for r in sorted(res.seen(spark).collect(), key=lambda r: r.seq)]
+
+    sim = simulate(s.cfg, s.seeds, s.pages, s.http)
+    assert seen == sim.seen
+    assert f"{BASE}/private/ok/page" in seen      # Allow override
+    assert f"{BASE}/private/a" not in seen        # Disallow prefix
+    assert f"{BASE}/doc.pdf" not in seen          # wildcard + $
+    assert f"{BASE}/doc.pdf?dl=1" in seen         # $ anchor respects query
+    assert f"{BASE}/public" in seen

@@ -196,7 +196,7 @@ def test_warc_robots_record_gates_crawl(spark, tmp_path):
 
     pages, http = warc_tables(read_warc(spark, str(path)))
     derived = rules_tuples(robots_rules_from_pages(pages))
-    assert ("site.test", "/b") in derived
+    assert ("site.test", "/b", False) in derived
 
     cfg = dataclasses.replace(CrawlConfig(), robots=derived)
     seeds = ["http://site.test/"]
