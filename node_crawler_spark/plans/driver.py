@@ -81,6 +81,55 @@ class CrawlResult:
     def seen(self, spark: SparkSession) -> DataFrame | None:
         return self.store.read_seen(spark)
 
+    def report(self, spark: SparkSession) -> DataFrame:
+        """Per-domain operations report over the committed sinks:
+        urls seen / pages crawled / errors / redirect events, plus the
+        last round the domain was fetched in — the summary a crawl
+        operator reads before re-seeding. ONE shuffle: the four sinks
+        are unioned as (domain, kind, round) micro-rows and hash-
+        aggregated once; at any crawl size this is a count rollup over
+        data already on disk."""
+        from node_crawler_spark.operators.expand import _hostport
+
+        def slice_(df: DataFrame | None, url_col: str, kind: str) -> DataFrame | None:
+            if df is None:
+                return None
+            return df.select(
+                _hostport(F.col(url_col)).alias("domain"),
+                F.lit(kind).alias("kind"),
+                F.col("round").cast("long").alias("round"),
+            )
+
+        parts = [
+            slice_(self.seen(spark), "url", "seen"),
+            slice_(self.crawled(spark), "url", "crawled"),
+            slice_(self.errors(spark), "url", "error"),
+            slice_(self.redirects(spark), "pre_url", "redirect"),
+        ]
+        parts = [p for p in parts if p is not None]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+
+        def n(kind: str):
+            return F.count(F.when(F.col("kind") == kind, 1)).alias(
+                "n_" + kind
+            )
+
+        return (
+            u.groupBy("domain")
+            .agg(
+                n("seen"),
+                n("crawled"),
+                n("error"),
+                n("redirect"),
+                F.max(
+                    F.when(F.col("kind") != "seen", F.col("round"))
+                ).alias("last_fetch_round"),
+            )
+            .orderBy("domain")
+        )
+
 
 def build_seed_frontier(spark: SparkSession, seeds, cfg: CrawlConfig) -> DataFrame:
     """queue() applied to the user's seed list in order
