@@ -56,6 +56,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "(n_refs, n_sources, capped distinct texts) over the VISITED "
         "slice of the page store as parquet into this directory",
     )
+    ap.add_argument(
+        "--report",
+        help="after the crawl, write the per-domain operations report "
+        "(seen/crawled/errors/redirects/last round) as parquet into "
+        "this directory",
+    )
     ap.add_argument("--store", required=True, help="snapshot-store root (checkpoints)")
     ap.add_argument("--resume", action="store_true", help="resume from last committed round")
     ap.add_argument("--crawl-external", action="store_true")
@@ -263,6 +269,12 @@ def main(argv=None) -> int:
         summary["exported_anchors"] = {
             "dir": args.export_anchors,
             "targets": spark.read.parquet(args.export_anchors).count(),
+        }
+    if args.report:
+        res.report(spark).write.mode("overwrite").parquet(args.report)
+        summary["report"] = {
+            "dir": args.report,
+            "domains": spark.read.parquet(args.report).count(),
         }
     print(json.dumps(summary))
     if owns_session:

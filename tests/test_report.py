@@ -64,3 +64,29 @@ def test_report_matches_simulator(spark, tmp_path):
     assert site.n_error == 1 and site.n_redirect >= 1
     assert rep["other.test"].n_crawled == 1
     assert site.last_fetch_round is not None
+
+
+def test_cli_report_export(spark, tmp_path, capsys):
+    import json
+
+    from node_crawler_spark.cli import main
+
+    s = _mixed_scenario()
+    pages, http = s.dfs(spark)
+    pages.write.parquet(str(tmp_path / "pages"))
+    http.write.parquet(str(tmp_path / "http"))
+    rc = main(
+        [
+            "--seeds", *s.seeds,
+            "--pages", str(tmp_path / "pages"),
+            "--http-meta", str(tmp_path / "http"),
+            "--store", str(tmp_path / "store"),
+            "--crawl-external",
+            "--report", str(tmp_path / "rep"),
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["report"]["domains"] == 2
+    rep = {r.domain: r for r in spark.read.parquet(str(tmp_path / "rep")).collect()}
+    assert rep["www.site.test"].n_error == 1
