@@ -36,6 +36,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     "store (robots.txt Sitemap: declarations + "
                     "/sitemap.xml, <sitemapindex> followed); sitemap "
                     "entries pass the normal queue gates like any seed")
+    ap.add_argument("--seeds-changed", action="store_true",
+                    help="also seed every url whose two latest page-store "
+                    "snapshots differ (content-change re-crawl); changed "
+                    "urls pass the normal queue gates like any seed")
     ap.add_argument("--pages", help="pages table path (parquet)")
     ap.add_argument("--http-meta", help="http_meta table path (parquet)")
     ap.add_argument(
@@ -147,8 +151,10 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     if not args.warc and not (args.pages and args.http_meta):
         parser.error("either --warc or both --pages and --http-meta required")
-    if not args.seeds and not args.seeds_from_sitemaps:
-        parser.error("--seeds and/or --seeds-from-sitemaps required")
+    if not args.seeds and not args.seeds_from_sitemaps and not args.seeds_changed:
+        parser.error(
+            "--seeds, --seeds-from-sitemaps and/or --seeds-changed required"
+        )
     cfg = config_from_args(args)
 
     from pyspark.sql import SparkSession
@@ -204,6 +210,17 @@ def main(argv=None) -> int:
             u
             for u in seed_tuples(seeds_from_sitemaps(pages))
             if u not in have
+        ]
+
+    if args.seeds_changed:
+        from node_crawler_spark.operators.churn import (
+            changed_tuples,
+            changed_urls,
+        )
+
+        have = set(seeds)
+        seeds += [
+            u for u in changed_tuples(changed_urls(pages)) if u not in have
         ]
 
     priority_ranks = None
