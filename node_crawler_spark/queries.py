@@ -3569,6 +3569,105 @@ FROM est ORDER BY n_exact DESC, word
 """
 
 
+MIRROR_DF_CAP = 50  # drop shingles present in more than this many sources
+MIRROR_T = 0.5      # jaccard at/above which two sources count as mirrors
+
+
+def d_mirror_sources(spark, sf_dir):
+    """Mirror-host detection (the crawl-dedup move ABOVE document
+    level: www/no-www mirrors, CDN clones, scraped re-hosts share
+    most of their content): source-level trigram-shingle sets
+    compared pairwise by Jaccard. The pair space is the inverted
+    index on shared shingles — bounded by content sharing, never
+    n(sources)² — with the same document-frequency discipline as the
+    doc-level joins: a shingle present in > MIRROR_DF_CAP sources is
+    boilerplate and is excluded from the intersection (documented
+    approximation — it deflates a true mirror's measured overlap by
+    at most the cap-frequency mass; set sizes in the union
+    denominator stay exact).
+
+    100 TB posture: state per source is one shingle set (hash agg),
+    the join key space is shingles with df ≤ cap, and output is one
+    row per overlapping host pair — this is how mirror maps of the
+    whole web are actually built."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "source", F.split(F.lower(F.trim("text")), r"\s+").alias("w")
+    ).where(F.size("w") >= 3)
+    sh = w.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 3), "
+                "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"
+            )
+        ).alias("shingle"),
+    ).distinct()
+    sh = sh.persist()
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    low = sh.join(
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= MIRROR_DF_CAP)
+        .select("shingle"),
+        "shingle",
+    )
+    inter = (
+        low.alias("a")
+        .join(low.alias("b"), "shingle")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.round(
+        F.col("n_common")
+        / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")),
+        6,
+    )
+    return (
+        inter.join(sizes.alias("sa"), F.col("src_a") == F.col("sa.source"))
+        .join(sizes.alias("sb"), F.col("src_b") == F.col("sb.source"))
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            jac.alias("jaccard"),
+            (jac >= MIRROR_T).alias("is_mirror"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+D_MIRROR_SQL = f"""
+WITH w AS (SELECT source, string_split_regex(lower(trim(text)), '\\s+') AS w
+           FROM documents WHERE len(string_split_regex(lower(trim(text)),
+                                                       '\\s+')) >= 3),
+sh AS (SELECT DISTINCT source,
+              unnest(list_transform(range(1, len(w) - 1),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+       FROM w),
+sizes AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source),
+low AS (SELECT * FROM sh WHERE shingle IN
+        (SELECT shingle FROM sh GROUP BY shingle
+         HAVING COUNT(*) <= {MIRROR_DF_CAP})),
+inter AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+          FROM low a JOIN low b
+            ON a.shingle = b.shingle AND a.source < b.source
+          GROUP BY 1, 2)
+SELECT src_a, src_b, n_common,
+       ROUND(CAST(n_common AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard,
+       ROUND(CAST(n_common AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - n_common), 6) >= {MIRROR_T} AS is_mirror
+FROM inter JOIN sizes sa ON sa.source = src_a
+           JOIN sizes sb ON sb.source = src_b
+ORDER BY src_a, src_b
+"""
+
+
 PRIOR_K = 20.0  # pseudo-count for the source-prior shrinkage
 
 
@@ -3932,6 +4031,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_pii_scrub": t_pii_scrub,
     "t_pack_sequences": t_pack_sequences,
     "t_domain_prior": t_domain_prior,
+    "d_mirror_sources": d_mirror_sources,
 }
 
 ORACLES: dict[str, str] = {
@@ -4000,4 +4100,5 @@ ORACLES: dict[str, str] = {
     "t_pii_scrub": T_PII_SQL,
     "t_pack_sequences": T_PACK_SQL,
     "t_domain_prior": T_DOMAIN_PRIOR_SQL,
+    "d_mirror_sources": D_MIRROR_SQL,
 }
