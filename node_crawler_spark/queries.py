@@ -3569,6 +3569,60 @@ FROM est ORDER BY n_exact DESC, word
 """
 
 
+def t_sampling_temperature(spark, sf_dir):
+    """Temperature-based sampling weights (the multilingual-corpus
+    rebalancing formula, p_i ∝ n_i^α — mBERT/XLM-R style): per
+    language, the raw share, the α=0.5 tempered share, and the
+    up/down-sampling factor the data loader applies. α is pinned to
+    0.5 because sqrt is IEEE-754 correctly rounded — the ONLY
+    transcendental either engine computes here, so the result is
+    bit-identical where a general pow() could differ in the last ulp.
+    The tempered normalizer sums 6-decimal-quantized sqrt values as
+    exact DECIMALs (order-independent); shares divide once and round
+    once. One tiny hash agg + a one-row broadcast — scan-shaped."""
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    sq = F.round(F.sqrt(F.col("n_docs").cast("double")), 6)
+    per = per.select("lang", "n_docs", sq.alias("_sq"))
+    tot = per.agg(
+        F.sum("n_docs").alias("_n"),
+        F.sum(F.col("_sq").cast("decimal(18,6)")).alias("_z"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("_n"), 6).alias("p_raw"),
+            F.round(
+                F.col("_sq") / F.col("_z").cast("double"), 6
+            ).alias("p_temp"),
+            F.round(
+                (F.col("_sq") / F.col("_z").cast("double"))
+                / (F.col("n_docs") / F.col("_n")),
+                6,
+            ).alias("boost"),
+        )
+        .orderBy("lang")
+    )
+
+
+T_TEMPERATURE_SQL = """
+WITH per AS (SELECT lang, COUNT(*) AS n_docs,
+                    ROUND(sqrt(CAST(COUNT(*) AS DOUBLE)), 6) AS _sq
+             FROM documents GROUP BY lang),
+tot AS (SELECT SUM(n_docs) AS _n,
+               SUM(CAST(_sq AS DECIMAL(18,6))) AS _z
+        FROM per)
+SELECT lang, n_docs,
+       ROUND(CAST(n_docs AS DOUBLE) / _n, 6) AS p_raw,
+       ROUND(_sq / CAST(_z AS DOUBLE), 6) AS p_temp,
+       ROUND((_sq / CAST(_z AS DOUBLE))
+             / (CAST(n_docs AS DOUBLE) / _n), 6) AS boost
+FROM per, tot ORDER BY lang
+"""
+
+
 MIRROR_DF_CAP = 50  # drop shingles present in more than this many sources
 MIRROR_T = 0.5      # jaccard at/above which two sources count as mirrors
 
@@ -4032,6 +4086,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_pack_sequences": t_pack_sequences,
     "t_domain_prior": t_domain_prior,
     "d_mirror_sources": d_mirror_sources,
+    "t_sampling_temperature": t_sampling_temperature,
 }
 
 ORACLES: dict[str, str] = {
@@ -4101,4 +4156,5 @@ ORACLES: dict[str, str] = {
     "t_pack_sequences": T_PACK_SQL,
     "t_domain_prior": T_DOMAIN_PRIOR_SQL,
     "d_mirror_sources": D_MIRROR_SQL,
+    "t_sampling_temperature": T_TEMPERATURE_SQL,
 }
