@@ -253,6 +253,16 @@ URLDATA_TYPE = T.StructType(
 )
 
 
+def hostport_col(c):
+    """JVM-side host[:port] of a url column, matching ``node_parse``'s
+    ``host`` (lowercased, port kept, userinfo dropped). Built from
+    parse_url AUTHORITY because Spark's parse_url has NO ``PORT`` part
+    key — asking for it silently returns NULL, which is how the
+    previous HOST+PORT concat dropped every explicit port."""
+    auth = F.coalesce(F.parse_url(c, F.lit("AUTHORITY")), F.lit(""))
+    return F.lower(F.substring_index(auth, "@", -1))
+
+
 @F.pandas_udf(T.StringType())
 def canonicalize_url(urls: pd.Series) -> pd.Series:
     """P1 — vectorized canonical href. Fast path: a single vectorized
@@ -317,4 +327,4 @@ def strip_fragment_col(col):
 def url_domain_col(col):
     """Registrable-ish domain key for politeness/salting: the legacy
     ``host`` (hostname:port). Built-in parse_url stays JVM-side."""
-    return F.lower(F.parse_url(col, F.lit("HOST")))
+    return hostport_col(col)

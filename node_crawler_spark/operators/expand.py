@@ -60,9 +60,9 @@ def _proto(c):
 
 
 def _hostport(c):
-    host = F.lower(F.coalesce(F.parse_url(c, F.lit("HOST")), F.lit("")))
-    port = F.coalesce(F.parse_url(c, F.lit("PORT")), F.lit(""))
-    return F.concat(host, F.when(port != "", F.concat(F.lit(":"), port)).otherwise(F.lit("")))
+    from node_crawler_spark.functions.urlkit import hostport_col
+
+    return hostport_col(c)
 
 
 def attach_bodies(

@@ -155,13 +155,10 @@ def _join_meta(pending: DataFrame, http_by_url: DataFrame) -> DataFrame:
 def _is_external_pair(a, b):
     """crawler.js:111-117 — protocol OR host (host:port, www counts)
     differ. Stays JVM-side via built-in parse_url."""
+    from node_crawler_spark.functions.urlkit import hostport_col
+
     proto = lambda c: F.lower(F.regexp_extract(c, r"^([a-zA-Z0-9.+-]+:)", 1))
-    host = lambda c: F.lower(F.coalesce(F.parse_url(c, F.lit("HOST")), F.lit("")))
-    port = lambda c: F.coalesce(F.parse_url(c, F.lit("PORT")), F.lit(""))
-    hostport = lambda c: F.concat(
-        host(c), F.when(port(c) != "", F.concat(F.lit(":"), port(c))).otherwise(F.lit(""))
-    )
-    return (proto(a) != proto(b)) | (hostport(a) != hostport(b))
+    return (proto(a) != proto(b)) | (hostport_col(a) != hostport_col(b))
 
 
 def run_fetch(

@@ -41,11 +41,9 @@ _UNLIMITED = (1 << 31) - 1
 
 def domain_of(col):
     """Politeness/salting key: lowercased host:port of the url."""
-    host = F.lower(F.coalesce(F.parse_url(col, F.lit("HOST")), F.lit("")))
-    port = F.coalesce(F.parse_url(col, F.lit("PORT")), F.lit(""))
-    return F.concat(
-        host, F.when(port != "", F.concat(F.lit(":"), port)).otherwise(F.lit(""))
-    )
+    from node_crawler_spark.functions.urlkit import hostport_col
+
+    return hostport_col(col)
 
 
 def apply_domain_budget(

@@ -116,13 +116,10 @@ def robots_gate(df: DataFrame, robots_rows, url_col: str) -> DataFrame:
         "r_domain string, "
         "r_rules array<struct<rx:string, plen:int, allow:boolean>>",
     )
+    from node_crawler_spark.functions.urlkit import hostport_col
+
     u = F.col(url_col)
-    host = F.lower(F.coalesce(F.parse_url(u, F.lit("HOST")), F.lit("")))
-    port = F.coalesce(F.parse_url(u, F.lit("PORT")), F.lit(""))
-    hostport = F.concat(
-        host,
-        F.when(port != "", F.concat(F.lit(":"), port)).otherwise(F.lit("")),
-    )
+    hostport = hostport_col(u)
     path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
     query = F.parse_url(u, F.lit("QUERY"))
     pathq = F.concat(

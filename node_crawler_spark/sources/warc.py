@@ -431,3 +431,153 @@ def read_warc_by_cdx(spark_or_cdx, cdx: DataFrame | None = None) -> DataFrame:
             yield out
 
     return cdx_df.mapInPandas(fetch, RECORD_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WET face (Common Crawl *.warc.wet — 'conversion' records of extracted text)
+# ---------------------------------------------------------------------------
+
+WET_SCHEMA = (
+    "url string, warc_ts timestamp, text string, source_file string"
+)
+_WET_COLS = ["url", "warc_ts", "text", "source_file"]
+
+
+def warc_conversion_record(url: str, ts: datetime, text: str) -> bytes:
+    """One WARC/1.0 ``conversion`` record (the WET layout: payload is
+    the extracted plain text, Content-Type text/plain)."""
+    payload = text.encode("utf-8")
+    date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+    )
+    return head.encode("latin-1") + b"\r\n" + payload + b"\r\n\r\n"
+
+
+def wet_bytes(records: list[dict], per_record_gzip: bool = False) -> bytes:
+    """Serialize (url, ts, text) dicts to a WET file image — one gzip
+    member per record when ``per_record_gzip`` (Common Crawl layout)."""
+    import gzip as _gzip
+
+    out = []
+    for r in records:
+        blob = warc_conversion_record(r["url"], r["ts"], r["text"])
+        out.append(_gzip.compress(blob) if per_record_gzip else blob)
+    return b"".join(out)
+
+
+def parse_wet_file(name: str, raw: bytes) -> list[tuple]:
+    """One WET file (plain or gzip) → (_WET_COLS) rows, ``conversion``
+    records only (response records in a mixed archive are skipped —
+    use parse_warc_file for those)."""
+    if raw[:2] == b"\x1f\x8b":
+        raw = gunzip_members(raw)
+    rows = []
+    for hdrs, payload in iter_warc_records(raw):
+        if hdrs.get("warc-type") != "conversion":
+            continue
+        url = hdrs.get("warc-target-uri")
+        if not url:
+            continue
+        rows.append(
+            (
+                url,
+                _parse_warc_date(hdrs.get("warc-date", "")),
+                payload.decode("utf-8", errors="replace"),
+                name,
+            )
+        )
+    return rows
+
+
+def read_wet(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """WET file(s)/glob → DataFrame of conversion records. Same
+    distribution contract as ``read_warc``: one file per binaryFile
+    task, parsing inside mapInPandas Arrow batches, no driver bytes."""
+    bf = spark.read.format("binaryFile").load(paths).select("path", "content")
+
+    def parse(batches):
+        for pdf in batches:
+            rows: list[tuple] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(parse_wet_file(str(path), bytes(content)))
+            out = pd.DataFrame(rows, columns=_WET_COLS)
+            if rows:
+                out["warc_ts"] = pd.to_datetime(out["warc_ts"])
+            yield out
+
+    return bf.mapInPandas(parse, WET_SCHEMA)
+
+
+def wet_documents(wet: DataFrame) -> DataFrame:
+    """Conversion records → the documents-table shape the t_*/dedup
+    query families consume: (url, warc_ts, text, source, n_chars),
+    source = lower host[:port]. Pure codegen projection."""
+    from node_crawler_spark.functions.urlkit import hostport_col
+
+    source = hostport_col(F.col("url"))
+    return wet.select(
+        "url",
+        "warc_ts",
+        "text",
+        source.alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def export_wet(
+    docs: DataFrame, out_dir: str, per_record_gzip: bool = True
+) -> DataFrame:
+    """Distributed WET export sink: (url, warc_ts, text) rows →
+    ``part-NNNNN.warc.wet[.gz]`` per partition, written executor-side
+    like ``export_warc`` (repartition the input to choose shard
+    count). Returns the manifest (wet_file, n_records, n_bytes).
+    The crawl→WET path: feed ``res.crawled(spark)`` joined to the
+    page store's warc_ts — text is the byte-identical extraction the
+    crawl committed."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    suffix = ".warc.wet.gz" if per_record_gzip else ".warc.wet"
+    src = docs.select("url", "warc_ts", "text")
+
+    def write_part(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        recs: list[dict] = []
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                recs.append(
+                    {
+                        "url": r.url,
+                        "ts": r.warc_ts.to_pydatetime()
+                        if hasattr(r.warc_ts, "to_pydatetime")
+                        else r.warc_ts,
+                        "text": r.text or "",
+                    }
+                )
+        if not recs:
+            yield pd.DataFrame(columns=["wet_file", "n_records", "n_bytes"])
+            return
+        fname = os.path.join(out_dir, f"part-{pid:05d}{suffix}")
+        blob = wet_bytes(recs, per_record_gzip)
+        with open(fname, "wb") as fh:
+            fh.write(blob)
+        yield pd.DataFrame(
+            [(fname, len(recs), len(blob))],
+            columns=["wet_file", "n_records", "n_bytes"],
+        )
+
+    manifest = src.mapInPandas(
+        write_part, "wet_file string, n_records long, n_bytes long"
+    )
+    rows = manifest.collect()
+    return docs.sparkSession.createDataFrame(
+        rows or [], "wet_file string, n_records long, n_bytes long"
+    )

@@ -26,11 +26,9 @@ STATE_SCHEMA = "tokens int, batches long"
 
 
 def _domain(col):
-    host = F.lower(F.coalesce(F.parse_url(col, F.lit("HOST")), F.lit("")))
-    port = F.coalesce(F.parse_url(col, F.lit("PORT")), F.lit(""))
-    return F.concat(
-        host, F.when(port != "", F.concat(F.lit(":"), port)).otherwise(F.lit(""))
-    )
+    from node_crawler_spark.functions.urlkit import hostport_col
+
+    return hostport_col(col)
 
 
 def token_bucket_admit(

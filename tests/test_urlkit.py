@@ -308,3 +308,29 @@ def test_resolve_many_equals_node_resolve():
         got = resolve_many(b, hrefs)
         want = [node_resolve(b, h) for h in hrefs]
         assert got == want, (b, [(h, g, w) for h, g, w in zip(hrefs, got, want) if g != w])
+
+
+def test_hostport_col_matches_node_parse_host(spark):
+    """Spark's parse_url has no PORT part key (returns NULL) — the
+    AUTHORITY-based hostport_col must agree with node_parse()['host']
+    (lowercase, port kept, userinfo dropped) so every domain key
+    (politeness, seen-salt, externality, robots) matches the
+    simulator on urls with explicit ports."""
+    from pyspark.sql import functions as F
+
+    from node_crawler_spark.functions.urlkit import hostport_col, node_parse
+
+    urls = [
+        "http://a.test/x",
+        "http://a.test:8080/x",
+        "HTTP://UPPER.test:8080/x",
+        "http://user:pw@b.test:81/y",
+        "http://c.test",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r.url: r.hp
+        for r in df.select("url", hostport_col(F.col("url")).alias("hp")).collect()
+    }
+    for u in urls:
+        assert got[u] == node_parse(u)["host"], u

@@ -246,3 +246,61 @@ def test_export_roundtrip(spark, tmp_path):
     cdx = spark.read.schema(CDX_SCHEMA).csv(f"{out}/*.cdx.csv")
     via = read_warc_by_cdx(cdx).collect()
     assert sorted(r.url for r in via) == sorted(orig)
+
+
+def test_wet_round_trip_and_documents_face(spark, tmp_path):
+    """WET (conversion-record) archives: serialize → read_wet →
+    byte/field-identical; wet_documents maps to the documents shape;
+    export_wet shards executor-side and re-reads identically."""
+    import datetime
+
+    from node_crawler_spark.sources.warc import (
+        export_wet,
+        read_wet,
+        wet_bytes,
+        wet_documents,
+    )
+
+    ts = datetime.datetime(2026, 3, 1, 12, 0, 0)
+    recs = [
+        {"url": "http://a.test/x", "ts": ts, "text": "hello world"},
+        {"url": "http://a.test:8080/y", "ts": ts, "text": "héllo ünïcode"},
+        {"url": "http://b.test/", "ts": ts, "text": ""},
+    ]
+    p = tmp_path / "c.warc.wet.gz"
+    p.write_bytes(wet_bytes(recs, per_record_gzip=True))
+
+    wet = read_wet(spark, str(p))
+    rows = {r.url: r for r in wet.collect()}
+    assert len(rows) == 3
+    assert rows["http://a.test/x"].text == "hello world"
+    assert rows["http://a.test:8080/y"].text == "héllo ünïcode"
+    assert rows["http://b.test/"].text == ""
+    assert rows["http://a.test/x"].warc_ts == ts
+
+    docs = {r.url: r for r in wet_documents(wet).collect()}
+    assert docs["http://a.test:8080/y"].source == "a.test:8080"
+    assert docs["http://a.test/x"].n_chars == 11
+
+    # a mixed archive: response records are skipped by the WET reader
+    from node_crawler_spark.sources.warc import warc_bytes
+
+    mixed = tmp_path / "mixed.warc.gz"
+    mixed.write_bytes(
+        warc_bytes(
+            [{"url": "http://a.test/r", "ts": ts, "body": b"<html></html>"}],
+            per_record_gzip=True,
+        )
+        + wet_bytes(recs[:1], per_record_gzip=True)
+    )
+    assert read_wet(spark, str(mixed)).count() == 1
+
+    # distributed export → re-read round-trip
+    out = tmp_path / "shards"
+    manifest = export_wet(wet.repartition(2), str(out))
+    m = manifest.collect()
+    assert sum(r.n_records for r in m) == 3
+    back = {r.url: r for r in read_wet(spark, str(out) + "/*.wet.gz").collect()}
+    assert {u: r.text for u, r in back.items()} == {
+        u: r.text for u, r in rows.items()
+    }
