@@ -55,6 +55,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "into this directory",
     )
     ap.add_argument(
+        "--export-wet",
+        help="after the crawl, shard the VISITED pages' extracted text "
+        "as WET archives (WARC conversion records, Common Crawl "
+        "layout) into this directory",
+    )
+    ap.add_argument(
         "--export-anchors",
         help="after the crawl, write the per-target anchor-text rollup "
         "(n_refs, n_sources, capped distinct texts) over the VISITED "
@@ -275,6 +281,40 @@ def main(argv=None) -> int:
             "files": len(manifest),
             "records": sum(m.n_records for m in manifest),
         }
+    if args.export_wet:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from node_crawler_spark.sources.warc import export_wet
+
+        w = Window.partitionBy("url").orderBy(
+            F.col("warc_ts").desc_nulls_last()
+        )
+        latest_ts = (
+            pages.select("url", "warc_ts")
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        docs = (
+            res.crawled(spark)
+            .select("url", "text")
+            .join(latest_ts, "url", "left")
+            .select(
+                "url",
+                F.coalesce(
+                    "warc_ts", F.to_timestamp(F.lit("1970-01-01"))
+                ).alias("warc_ts"),
+                "text",
+            )
+        )
+        wet_manifest = export_wet(docs, args.export_wet).collect()
+        summary["exported_wet"] = {
+            "dir": args.export_wet,
+            "files": len(wet_manifest),
+            "records": sum(m.n_records for m in wet_manifest),
+        }
+
     if args.export_anchors:
         from node_crawler_spark.operators.anchortext import anchor_texts
 

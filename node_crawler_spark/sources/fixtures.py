@@ -304,6 +304,22 @@ def scenario(name: str) -> Scenario:  # noqa: C901 - a catalog is a catalog
         s.page(f"{BASE}/fresh", _links())
         s.page(f"{BASE}/stale", _links())  # reachable only via stale body
 
+    elif name == "port_hosts":
+        # explicit ports are part of the host identity (Node
+        # url.parse host = hostname:port): the same hostname on a
+        # different/absent port is EXTERNAL. Regression golden for
+        # the dropped-port hostport bug (Spark parse_url has no PORT
+        # key) — pre-fix the engine crawled /q; the simulator never did.
+        base8080 = "http://www.site.test:8080"
+        s.seeds = [f"{base8080}/"]
+        s.page(
+            f"{base8080}/",
+            _links("/p", "http://www.site.test/q", f"{base8080}/r"),
+        )
+        s.page(f"{base8080}/p", _links())
+        s.page(f"{base8080}/r", _links())
+        s.page("http://www.site.test/q", _links())
+
     elif name == "seed_fragment":
         # queueSpec/pageInit — seed keeps fragment in seen key, fetch
         # strips it (P2 asymmetry)
@@ -325,7 +341,7 @@ ALL_SCENARIOS = [
     "hpe_external_forgiven", "auth_401", "malformed_html",
     "dup_links_one_page", "seed_fragment", "robots_block", "chain4",
     "cookie_redirect", "cookie_cross_page", "cookie_jar_disabled",
-    "dup_snapshots",
+    "dup_snapshots", "port_hosts",
 ]
 
 
