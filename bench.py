@@ -52,6 +52,15 @@ BENCH_QUERIES = [
     "simhash_near_dup",
     "dedup_semantic",
     "t_bm25_search",
+    # round-3c additions: graph, time-series, sketch, packing, PII,
+    # mirror-map and anchor-rollup families
+    "g_pagerank_fixedpoint",
+    "j_asof_join",
+    "sk_kmv_distinct",
+    "t_pack_sequences",
+    "t_pii_scrub",
+    "d_mirror_sources",
+    "a_anchor_rollup",
 ]
 
 CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "30000"))
