@@ -241,7 +241,10 @@ def run_fetch(
         # cookie gate: a requires_cookie row answers 403 unless this
         # chain stored a cookie for the url's domain OR an earlier
         # round committed one (crawl-global jar, crawler.js:31-36;
-        # jar:false disables both)
+        # jar:false disables both). Cookie domains are HOSTNAME-only
+        # on purpose — RFC 6265 cookies ignore the port (unlike every
+        # other domain key in this engine, which is host:port via
+        # urlkit.hostport_col).
         cur_dom = F.lower(F.coalesce(F.parse_url("cur_url", F.lit("HOST")), F.lit("")))
         have_cookie = F.array_contains(F.col("jar"), cur_dom)
         if cookie_jar is not None:

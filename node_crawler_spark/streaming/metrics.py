@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from node_crawler_spark.functions.urlkit import hostport_col
 from node_crawler_spark.sources.store import SnapshotStore  # noqa: F401 (docs)
 
 
@@ -70,9 +71,7 @@ def windowed_domain_counts(
     scale the state store holds only open windows × domains; closed
     windows are evicted by the same watermark."""
     return (
-        pages.withColumn(
-            "domain", F.lower(F.coalesce(F.parse_url("url", F.lit("HOST")), F.lit("")))
-        )
+        pages.withColumn("domain", hostport_col(F.col("url")))
         .withWatermark("warc_ts", allowed_lateness)
         .groupBy(F.window("warc_ts", window).alias("w"), "domain")
         .agg(F.count(F.lit(1)).alias("pages"))
