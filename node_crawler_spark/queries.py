@@ -4016,6 +4016,250 @@ ORDER BY user_id
 
 
 # ---------------------------------------------------------------------------
+# BFS seed distance / LM-surprisal quality filter / boilerplate strip (r3d)
+# ---------------------------------------------------------------------------
+
+BFS_MAX_DEPTH = 6  # both engines stop expanding past this hop count
+BFS_SEED_MOD = 10  # seeds = suppliers with s_suppkey % MOD == 1 (any SF)
+
+
+def g_bfs_depth(spark, sf_dir):
+    """BFS hop distance from a seed set — the crawl's own frontier-
+    expansion loop (driver.py round loop; crawler.js:543-575 drains
+    its queue in exactly this order) as a falsifiable graph query,
+    completing the graph family beside PageRank, HITS and the
+    connected components in dedup_clusters. Undirected supplier ↔
+    customer edges (lineitem ⋈ orders); seeds are a deterministic
+    supplier subset; dist(node) = first round that reaches it.
+
+    Per round: one edge equi-join keyed on src + distinct + LEFT ANTI
+    against the visited set — identical shuffle shape to the engine's
+    seen probe (expand.py D1), frontier-bounded, localCheckpoint per
+    hop so lineage stays O(1); terminates on empty frontier or
+    BFS_MAX_DEPTH. The DuckDB oracle computes the same distances
+    independently via a bounded WITH RECURSIVE walk + MIN(dist), so
+    the Spark loop's convergence itself is gate-checked."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    fwd = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    e = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") % BFS_SEED_MOD == 1)
+        .select(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node")
+        )
+    )
+    dist = seeds.select("node", F.lit(0).alias("dist")).localCheckpoint()
+    frontier = dist.select("node")
+    for depth in range(1, BFS_MAX_DEPTH + 1):
+        reached = (
+            e.join(frontier, e["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = reached.join(dist, "node", "left_anti").localCheckpoint()
+        if new.isEmpty():
+            break
+        dist = dist.unionByName(
+            new.select("node", F.lit(depth).alias("dist"))
+        ).localCheckpoint()
+        frontier = new
+    return dist.orderBy("node")
+
+
+G_BFS_SQL = f"""
+WITH RECURSIVE
+fwd AS MATERIALIZED (
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                  'c' || CAST(o_custkey AS VARCHAR) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+e AS MATERIALIZED (
+  SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd),
+seeds AS (SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node
+          FROM supplier WHERE s_suppkey % {BFS_SEED_MOD} = 1),
+walk(node, dist) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.dst, w.dist + 1 FROM walk w JOIN e ON e.src = w.node
+  WHERE w.dist < {BFS_MAX_DEPTH})
+SELECT node, MIN(dist) AS dist FROM walk GROUP BY node ORDER BY node
+"""
+
+
+SURPRISAL_MAX_BITS = 12.0  # keep docs whose mean token surprisal ≤ this
+
+
+def t_zipf_surprisal(spark, sf_dir):
+    """Unigram-LM surprisal quality filter — the CCNet/Gopher
+    perplexity-filter stage (PAPERS.md: LM-score filtering is the
+    standard web-corpus quality gate) made falsifiable: rare-token
+    soup scores high, natural text low. Per-token surprisal
+    floor(log2(total/cnt)) is computed EXACTLY in integers as
+    length(bin(total DIV cnt)) - 1 (floor(log2(floor(a/b))) ==
+    floor(log2(a/b)) for a ≥ b ≥ 1), so there is no log(), no pow(),
+    and no float accumulation anywhere — per-doc sums are BIGINT,
+    order-independent, bit-identical across engines; only the final
+    mean is one IEEE division + ROUND(,6).
+
+    Plan: two hash aggregates (vocabulary, per-doc) + one frequency
+    join on term. The join is left unhinted: AQE broadcasts the vocab
+    while it is small and switches to a shuffle join with skew
+    splitting when it is not — hot stopword keys are the classic skew
+    case and exactly what AQE skew-join handles; at open-web scale a
+    min-count vocab prune bounds the table further."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("term"),
+    )
+    vocab = words.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("total"))
+    bits = (
+        words.join(vocab, "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            (F.length(F.bin(F.expr("total DIV cnt"))) - F.lit(1))
+            .cast("long")
+            .alias("bits"),
+        )
+    )
+    mean_bits = F.round(
+        F.col("sum_bits").cast("double") / F.col("n_tokens").cast("double"), 6
+    )
+    return (
+        bits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("bits").alias("sum_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_bits",
+            mean_bits.alias("mean_bits"),
+            (mean_bits <= SURPRISAL_MAX_BITS).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T_SURPRISAL_SQL = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents),
+vocab AS (SELECT term, COUNT(*) AS cnt FROM words GROUP BY term),
+tot AS (SELECT SUM(cnt) AS total FROM vocab),
+bits AS (
+  SELECT doc_id, length(bin(total // cnt)) - 1 AS bits
+  FROM words JOIN vocab USING (term) CROSS JOIN tot),
+docagg AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(bits) AS sum_bits
+  FROM bits GROUP BY doc_id)
+SELECT doc_id, n_tokens, sum_bits,
+       ROUND(CAST(sum_bits AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS mean_bits,
+       ROUND(CAST(sum_bits AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         <= {SURPRISAL_MAX_BITS} AS keep
+FROM docagg ORDER BY doc_id
+"""
+
+
+BOILER_MIN_DF = 5  # shingle is boilerplate when ≥ this many docs of a source share it
+BOILER_KEEP_RATIO = 0.5  # keep docs that retain ≥ this after the strip
+
+
+def t_boilerplate(spark, sf_dir):
+    """Cross-document boilerplate measurement — the CCNet line-dedup
+    stage at shingle granularity: navigation text / headers repeated
+    across a source's documents are exactly the shingles whose
+    within-source document frequency is high. Flags shingles with
+    df ≥ BOILER_MIN_DF, scores each doc by its retained (non-
+    boilerplate) ratio, and emits the keep decision. Distinct from
+    d_mirror_sources (which compares sources pairwise) and
+    t_repetition_filter (within-doc repetition): this is the
+    cross-doc-within-source axis.
+
+    Plan: one groupBy (source, shingle) for df, then the lookup join
+    back on the SAME keys — the aggregate side reuses its exchange,
+    and the join output is exactly |shingles| rows (each distinct
+    (doc, shingle) matches one df row; no fan-out, so the hot-
+    boilerplate shingle that motivates SHINGLE_DF_CAP elsewhere is
+    harmless here — high df raises a counter, never a pair count)."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", "source", F.split(F.lower(F.trim("text")), "\\s+").alias("w")
+    ).where(F.size("w") >= 3)
+    sh = w.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 3), "
+                "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"
+            )
+        ).alias("shingle"),
+    ).distinct()
+    dfx = sh.groupBy("source", "shingle").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(dfx, ["source", "shingle"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") >= BOILER_MIN_DF).cast("long")).alias("n_boiler"),
+        )
+    )
+    ratio = F.round(
+        F.lit(1.0)
+        - F.col("n_boiler").cast("double") / F.col("n_shingles").cast("double"),
+        6,
+    )
+    return per_doc.select(
+        "doc_id",
+        "source",
+        "n_shingles",
+        "n_boiler",
+        ratio.alias("retained_ratio"),
+        (ratio >= BOILER_KEEP_RATIO).alias("keep"),
+    ).orderBy("doc_id")
+
+
+T_BOILER_SQL = f"""
+WITH w AS (
+  SELECT doc_id, source,
+         string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+  FROM w WHERE len(w) >= 3),
+dfx AS (SELECT source, shingle, COUNT(*) AS df
+        FROM sh GROUP BY source, shingle),
+per_doc AS (
+  SELECT doc_id, sh.source, COUNT(*) AS n_shingles,
+         SUM(CASE WHEN df >= {BOILER_MIN_DF} THEN 1 ELSE 0 END) AS n_boiler
+  FROM sh JOIN dfx ON sh.source = dfx.source AND sh.shingle = dfx.shingle
+  GROUP BY doc_id, sh.source)
+SELECT doc_id, source, n_shingles, n_boiler,
+       ROUND(1.0 - CAST(n_boiler AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6)
+         AS retained_ratio,
+       ROUND(1.0 - CAST(n_boiler AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6)
+         >= {BOILER_KEEP_RATIO} AS keep
+FROM per_doc ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -4087,6 +4331,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_domain_prior": t_domain_prior,
     "d_mirror_sources": d_mirror_sources,
     "t_sampling_temperature": t_sampling_temperature,
+    "g_bfs_depth": g_bfs_depth,
+    "t_zipf_surprisal": t_zipf_surprisal,
+    "t_boilerplate": t_boilerplate,
 }
 
 ORACLES: dict[str, str] = {
@@ -4157,4 +4404,7 @@ ORACLES: dict[str, str] = {
     "t_domain_prior": T_DOMAIN_PRIOR_SQL,
     "d_mirror_sources": D_MIRROR_SQL,
     "t_sampling_temperature": T_TEMPERATURE_SQL,
+    "g_bfs_depth": G_BFS_SQL,
+    "t_zipf_surprisal": T_SURPRISAL_SQL,
+    "t_boilerplate": T_BOILER_SQL,
 }
