@@ -61,6 +61,10 @@ BENCH_QUERIES = [
     "t_pii_scrub",
     "d_mirror_sources",
     "a_anchor_rollup",
+    # round-3d additions: BFS distance, LM-surprisal filter, boilerplate
+    "g_bfs_depth",
+    "t_zipf_surprisal",
+    "t_boilerplate",
 ]
 
 CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "30000"))

@@ -72,7 +72,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "(seen/crawled/errors/redirects/last round) as parquet into "
         "this directory",
     )
-    ap.add_argument("--store", required=True, help="snapshot-store root (checkpoints)")
+    ap.add_argument("--store",
+                    help="snapshot-store root (checkpoints); required "
+                    "unless --curate")
     ap.add_argument("--resume", action="store_true", help="resume from last committed round")
     ap.add_argument("--crawl-external", action="store_true")
     ap.add_argument("--exclude", action="append", default=[], help="exclude regex (repeatable)")
@@ -112,6 +114,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     "prefilter (cuckoo = deletion-capable fingerprints)")
     ap.add_argument("--no-bloom", action="store_true",
                     help="disable the bloom seen prefilter")
+    ap.add_argument(
+        "--curate",
+        help="standalone curation mode (no crawl): directory holding a "
+        "documents.parquet table; runs the full training-data curation "
+        "pipeline (language-ID + token floor + repetition gate + exact "
+        "and MinHash near-dup keepers + decontamination) and writes "
+        "per-document gate verdicts + the keep decision",
+    )
+    ap.add_argument("--curate-out",
+                    help="output parquet dir for --curate")
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     return ap
@@ -152,9 +164,47 @@ def config_from_args(args) -> CrawlConfig:
     )
 
 
+def _curate_main(args) -> int:
+    """Standalone curation over a documents table — the training-data
+    half of the engine behind one flag, no crawl required. The
+    directory contract matches the query registry's (documents.parquet
+    inside), so the pipeline is byte-for-byte the oracle-checked
+    ``pipeline_curate``."""
+    from pyspark.sql import SparkSession
+
+    from node_crawler_spark.queries import pipeline_curate
+    from node_crawler_spark.session import build_session
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = build_session(
+        app_name="node-crawler-spark-curate",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    verdicts = pipeline_curate(spark, args.curate)
+    verdicts.write.mode("overwrite").parquet(args.curate_out)
+    out = spark.read.parquet(args.curate_out)
+    summary = {
+        "curated": args.curate,
+        "out": args.curate_out,
+        "docs": out.count(),
+        "kept": out.where("keep").count(),
+    }
+    print(json.dumps(summary))
+    if owns_session:
+        spark.stop()
+    return 0
+
+
 def main(argv=None) -> int:
     parser = build_arg_parser()
     args = parser.parse_args(argv)
+    if args.curate:
+        if not args.curate_out:
+            parser.error("--curate requires --curate-out")
+        return _curate_main(args)
+    if not args.store:
+        parser.error("--store is required for a crawl")
     if not args.warc and not (args.pages and args.http_meta):
         parser.error("either --warc or both --pages and --http-meta required")
     if not args.seeds and not args.seeds_from_sitemaps and not args.seeds_changed:

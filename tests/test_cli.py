@@ -126,3 +126,26 @@ def test_cli_export_anchors(spark, tmp_path, capsys):
     assert set(rollup) <= {
         f"{base}{p}" for p in ["/", "/a", "/b", "/a2", "/c", "/d"]
     }
+
+
+def test_cli_curate_standalone(spark, tmp_path, capsys):
+    """--curate runs the training-data pipeline with no crawl args and
+    writes the same verdicts the oracle-checked query produces."""
+    from node_crawler_spark.queries import pipeline_curate
+
+    rc = main(
+        [
+            "--curate", "/root/testdata/sf0.001",
+            "--curate-out", str(tmp_path / "curated"),
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    out = spark.read.parquet(str(tmp_path / "curated"))
+    direct = pipeline_curate(spark, "/root/testdata/sf0.001")
+    assert summary["docs"] == direct.count()
+    assert summary["kept"] == direct.where("keep").count()
+    assert sorted(out.columns) == sorted(direct.columns)
+    got = {r["doc_id"]: r["keep"] for r in out.collect()}
+    want = {r["doc_id"]: r["keep"] for r in direct.collect()}
+    assert got == want
