@@ -4260,6 +4260,135 @@ FROM per_doc ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Triangle counting (degree-ordered orientation) (r3e)
+# ---------------------------------------------------------------------------
+
+TRI_TOP_K = 20  # report the K most clustered parts
+
+
+def g_triangle_counts(spark, sf_dir):
+    """Per-node triangle counts over the part co-purchase graph — link
+    graphs from a crawl (linkgraph.py; crawler.js:543-575 emits the
+    edges) get their clustering structure measured this way (community
+    detection, spam-farm detection: spam link farms are near-cliques).
+    Completes the graph family beside PageRank, HITS, BFS and the
+    connected components in dedup_clusters.
+
+    The scalable algorithm, not the naive one: every undirected edge is
+    oriented from its LOWER-degree endpoint to its higher (ties by id),
+    so wedge enumeration groups on the low-degree endpoint and the
+    wedge count is sum(d_out(v) choose 2) with d_out bounded by O(sqrt(m))
+    — the classic O(m^1.5) bound. A naive neighbor self-join on hot
+    nodes is O(sum d(v)^2), quadratic in the hottest node's degree; the
+    orientation is exactly what kills that. Each triangle is counted
+    once (a<b<c in orientation order), then exploded back to its three
+    corners for per-node counts. Plan: equi-join edge build (bounded by
+    per-order basket size), one degree aggregate, two hash joins to
+    attach degrees, wedge self-join on src + closing-edge hash join —
+    all shuffle hash/sort-merge, no Python, no windows. e is
+    localCheckpoint-ed once and reused by both wedge sides and the
+    closing probe."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    e = (
+        edges.join(deg.withColumnsRenamed({"node": "u", "deg": "du"}), "u")
+        .join(deg.withColumnsRenamed({"node": "v", "deg": "dv"}), "v")
+        .select(
+            F.when(
+                lower_first,
+                F.struct(
+                    F.col("u").alias("src"),
+                    F.col("v").alias("dst"),
+                    F.col("du").alias("dsrc"),
+                    F.col("dv").alias("ddst"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("v").alias("src"),
+                    F.col("u").alias("dst"),
+                    F.col("dv").alias("dsrc"),
+                    F.col("du").alias("ddst"),
+                )
+            )
+            .alias("o")
+        )
+        .select("o.src", "o.dst", "o.dsrc", "o.ddst")
+        .localCheckpoint()
+    )
+    e1, e2 = e.alias("e1"), e.alias("e2")
+    wedges = (
+        e1.join(e2, F.col("e1.src") == F.col("e2.src"))
+        .where(
+            (F.col("e1.ddst") < F.col("e2.ddst"))
+            | (
+                (F.col("e1.ddst") == F.col("e2.ddst"))
+                & (F.col("e1.dst") < F.col("e2.dst"))
+            )
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    closing = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"])
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "part")
+        .limit(TRI_TOP_K)
+    )
+
+
+G_TRI_SQL = f"""
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+  GROUP BY node),
+e AS MATERIALIZED (
+  SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS src,
+         CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS dst,
+         CASE WHEN du < dv OR (du = dv AND u < v) THEN du ELSE dv END AS dsrc,
+         CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS ddst
+  FROM edges
+  JOIN deg d1 ON d1.node = edges.u
+  JOIN deg d2 ON d2.node = edges.v
+  , LATERAL (SELECT d1.deg AS du, d2.deg AS dv) x),
+wedges AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM e e1 JOIN e e2 ON e1.src = e2.src
+  WHERE e1.ddst < e2.ddst OR (e1.ddst = e2.ddst AND e1.dst < e2.dst)),
+tri AS (
+  SELECT w.a, w.b, w.c FROM wedges w JOIN e ON e.src = w.b AND e.dst = w.c)
+SELECT part, COUNT(*) AS n_triangles FROM (
+  SELECT a AS part FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+GROUP BY part ORDER BY n_triangles DESC, part LIMIT {TRI_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -4332,6 +4461,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_mirror_sources": d_mirror_sources,
     "t_sampling_temperature": t_sampling_temperature,
     "g_bfs_depth": g_bfs_depth,
+    "g_triangle_counts": g_triangle_counts,
     "t_zipf_surprisal": t_zipf_surprisal,
     "t_boilerplate": t_boilerplate,
 }
@@ -4405,6 +4535,7 @@ ORACLES: dict[str, str] = {
     "d_mirror_sources": D_MIRROR_SQL,
     "t_sampling_temperature": T_TEMPERATURE_SQL,
     "g_bfs_depth": G_BFS_SQL,
+    "g_triangle_counts": G_TRI_SQL,
     "t_zipf_surprisal": T_SURPRISAL_SQL,
     "t_boilerplate": T_BOILER_SQL,
 }
