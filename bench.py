@@ -65,6 +65,9 @@ BENCH_QUERIES = [
     "g_bfs_depth",
     "t_zipf_surprisal",
     "t_boilerplate",
+    # round-3e: degree-ordered triangle counting + portable HLL sketch
+    "g_triangle_counts",
+    "sk_hll_distinct",
 ]
 
 CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "30000"))

@@ -4266,13 +4266,9 @@ FROM per_doc ORDER BY doc_id
 TRI_TOP_K = 20  # report the K most clustered parts
 
 
-def g_triangle_counts(spark, sf_dir):
-    """Per-node triangle counts over the part co-purchase graph — link
-    graphs from a crawl (linkgraph.py; crawler.js:543-575 emits the
-    edges) get their clustering structure measured this way (community
-    detection, spam-farm detection: spam link farms are near-cliques).
-    Completes the graph family beside PageRank, HITS, BFS and the
-    connected components in dedup_clusters.
+def _tri_corner_counts(spark, sf_dir):
+    """Shared builder for the triangle family: (deg, per-node triangle
+    counts) over the part co-purchase graph, degree-ordered.
 
     The scalable algorithm, not the naive one: every undirected edge is
     oriented from its LOWER-degree endpoint to its higher (ties by id),
@@ -4349,17 +4345,57 @@ def g_triangle_counts(spark, sf_dir):
     )
     closing = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     tri = wedges.join(closing, ["b", "c"])
-    return (
+    counts = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("part"))
         .groupBy("part")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
-        .orderBy(F.col("n_triangles").desc(), "part")
+    )
+    return deg, counts
+
+
+def g_triangle_counts(spark, sf_dir):
+    """Per-node triangle counts over the part co-purchase graph — link
+    graphs from a crawl (linkgraph.py; crawler.js:543-575 emits the
+    edges) get their clustering structure measured this way (community
+    detection, spam-farm detection: spam link farms are near-cliques).
+    Completes the graph family beside PageRank, HITS, BFS and the
+    connected components in dedup_clusters. Algorithm and plan notes:
+    _tri_corner_counts."""
+    _deg, counts = _tri_corner_counts(spark, sf_dir)
+    return counts.orderBy(F.col("n_triangles").desc(), "part").limit(TRI_TOP_K)
+
+
+def g_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient c(v) = 2·T(v) / (d(v)·(d(v)−1)) —
+    the per-node near-clique score that rides on the degree-ordered
+    triangle counts (spam link farms score ≈ 1, organic hubs ≪ 1;
+    Watts–Strogatz 1998, public). Nodes with d < 2 are excluded (the
+    coefficient is undefined). Deterministic: T and d are exact
+    BIGINTs, the coefficient is ONE IEEE division of exact integers
+    (2·T by d·(d−1)) rounded to 6 — no float accumulation anywhere.
+    Plan: the triangle pipeline plus one left join deg⋈counts on node
+    (missing count = 0 triangles), top-K is TakeOrderedAndProject."""
+    deg, counts = _tri_corner_counts(spark, sf_dir)
+    per_node = (
+        deg.where(F.col("deg") >= 2)
+        .join(counts.withColumnRenamed("part", "node"), "node", "left")
+        .select(
+            F.col("node").alias("part"),
+            "deg",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_tri"),
+        )
+    )
+    coeff = (F.lit(2) * F.col("n_tri")).cast("double") / (
+        F.col("deg") * (F.col("deg") - F.lit(1))
+    ).cast("double")
+    return (
+        per_node.select("part", "deg", "n_tri", F.round(coeff, 6).alias("clust_coeff"))
+        .orderBy(F.col("clust_coeff").desc(), "part")
         .limit(TRI_TOP_K)
     )
 
 
-G_TRI_SQL = f"""
-WITH edges AS (
+_TRI_BASE_CTE = """edges AS (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
   WHERE a.l_partkey < b.l_partkey),
@@ -4381,10 +4417,135 @@ wedges AS (
   FROM e e1 JOIN e e2 ON e1.src = e2.src
   WHERE e1.ddst < e2.ddst OR (e1.ddst = e2.ddst AND e1.dst < e2.dst)),
 tri AS (
-  SELECT w.a, w.b, w.c FROM wedges w JOIN e ON e.src = w.b AND e.dst = w.c)
-SELECT part, COUNT(*) AS n_triangles FROM (
-  SELECT a AS part FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
-GROUP BY part ORDER BY n_triangles DESC, part LIMIT {TRI_TOP_K}
+  SELECT w.a, w.b, w.c FROM wedges w JOIN e ON e.src = w.b AND e.dst = w.c),
+counts AS (
+  SELECT part, COUNT(*) AS n_triangles FROM (
+    SELECT a AS part FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+  GROUP BY part)"""
+
+
+G_TRI_SQL = f"""
+WITH {_TRI_BASE_CTE}
+SELECT part, n_triangles FROM counts
+ORDER BY n_triangles DESC, part LIMIT {TRI_TOP_K}
+"""
+
+
+G_CLUST_SQL = f"""
+WITH {_TRI_BASE_CTE}
+SELECT node AS part, deg, COALESCE(n_triangles, 0) AS n_tri,
+       ROUND(CAST(2 * COALESCE(n_triangles, 0) AS DOUBLE)
+             / CAST(deg * (deg - 1) AS DOUBLE), 6) AS clust_coeff
+FROM deg LEFT JOIN counts ON counts.part = deg.node
+WHERE deg >= 2
+ORDER BY clust_coeff DESC, part LIMIT {TRI_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog distinct-count sketch (r3e)
+# ---------------------------------------------------------------------------
+
+HLL_M = 256        # registers (2^8 buckets from the low 8 hash bits)
+HLL_RHO_CAP = 40   # clamp rho so 2^(cap-rho) sums stay comfortably in BIGINT
+
+# alpha_m * m^2 * 2^cap as ONE shared float literal (Flajolet et al. 2007
+# bias constant, m=256) — both engines parse the same decimal literal, so
+# the only float op left in the estimate is a single IEEE division by S.
+_HLL_NUM = (0.7213 / (1.0 + 1.079 / HLL_M)) * HLL_M * HLL_M * float(1 << HLL_RHO_CAP)
+
+
+def sk_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-word count per language (Flajolet-Fuchs-
+    Gandouet-Meunier 2007, public) — completes the sketch family
+    beside sk_cms_heavy (frequency) and sk_kmv_distinct (theta): HLL
+    is THE sketch a crawl uses for per-domain distinct-URL counting at
+    scale (fixed 256-register state per key, mergeable by register
+    max). Portable down to the bit: bucket = phash % 256, rho = leading
+    -zero rank of the remaining 52 hash bits computed EXACTLY in
+    integers as 53 - length(bin(w)) (no log()), registers are max(rho)
+    per bucket, and the harmonic sum S = Σ 2^(40−r) is an exact BIGINT
+    (empty registers contribute 2^40; rho clamped at 40 so S ≤ 256·2^40
+    ≪ 2^63 — the clamp can only bite after a register sees 40 leading
+    zeros, p ≈ 2^-40 per item, and both engines clamp identically so
+    the gate is exact regardless). The estimate is the raw HLL
+    estimator alpha·m²·2^40 / S — one IEEE division by an exact
+    integer. The small-range linear-counting correction needs ln() and
+    is deliberately NOT applied (ln is not cross-engine bit-stable);
+    n_exact and rel_err quantify the raw estimator's error honestly,
+    the KMV pattern. Scale shape: one distinct + one 256-bucket
+    aggregate per key — register state is O(m) per group, mergeable,
+    never a top-K window."""
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select("lang", F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("g"))
+        .where(F.length("g") > 0)
+        .distinct()
+    )
+    h = words.select("lang", _phash(F.col("g"), "hll").alias("hv"))
+    rb = h.select(
+        "lang",
+        (F.col("hv") % HLL_M).alias("bucket"),
+        F.expr(
+            f"least(CASE WHEN hv DIV {HLL_M} = 0 THEN 53 "
+            f"ELSE 53 - length(bin(hv DIV {HLL_M})) END, {HLL_RHO_CAP})"
+        ).alias("rho"),
+    )
+    regs = rb.groupBy("lang", "bucket").agg(F.max("rho").alias("r"))
+    sketch = regs.groupBy("lang").agg(
+        F.sum(F.expr(f"shiftleft(1L, {HLL_RHO_CAP} - r)")).alias("s_nonempty"),
+        F.count(F.lit(1)).alias("m_used"),
+    )
+    s_total = F.col("s_nonempty") + (F.lit(HLL_M) - F.col("m_used")) * F.lit(
+        1 << HLL_RHO_CAP
+    )
+    est = F.lit(_HLL_NUM) / s_total.cast("double")
+    exact = words.groupBy("lang").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        exact.join(sketch, "lang")
+        .select(
+            "lang",
+            "n_exact",
+            F.col("m_used").alias("regs_used"),
+            F.round(est, 2).alias("hll_estimate"),
+            F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+                "rel_err"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+SK_HLL_SQL = f"""
+WITH words AS (
+  SELECT DISTINCT lang,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS g
+  FROM documents),
+h AS (SELECT lang, {_phash_sql('g', 'hll')} AS hv
+      FROM words WHERE length(g) > 0),
+rb AS (SELECT lang, hv % {HLL_M} AS bucket,
+              LEAST(CASE WHEN hv // {HLL_M} = 0 THEN 53
+                    ELSE 53 - length(bin(hv // {HLL_M})) END,
+                    {HLL_RHO_CAP}) AS rho
+       FROM h),
+regs AS (SELECT lang, bucket, MAX(rho) AS r FROM rb GROUP BY lang, bucket),
+sketch AS (
+  SELECT lang,
+         SUM((1::BIGINT << ({HLL_RHO_CAP} - r))) AS s_nonempty,
+         COUNT(*) AS m_used
+  FROM regs GROUP BY lang),
+exact AS (
+  SELECT lang, COUNT(*) AS n_exact
+  FROM words WHERE length(g) > 0 GROUP BY lang)
+SELECT e.lang, n_exact, m_used AS regs_used,
+       ROUND({_HLL_NUM!r} / CAST(s_nonempty
+             + ({HLL_M} - m_used) * ({1 << HLL_RHO_CAP}::BIGINT) AS DOUBLE), 2)
+         AS hll_estimate,
+       ROUND(ABS({_HLL_NUM!r} / CAST(s_nonempty
+             + ({HLL_M} - m_used) * ({1 << HLL_RHO_CAP}::BIGINT) AS DOUBLE)
+             - n_exact) / n_exact, 4) AS rel_err
+FROM exact e JOIN sketch USING (lang)
+ORDER BY e.lang
 """
 
 
@@ -4462,6 +4623,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_sampling_temperature": t_sampling_temperature,
     "g_bfs_depth": g_bfs_depth,
     "g_triangle_counts": g_triangle_counts,
+    "g_clustering_coeff": g_clustering_coeff,
+    "sk_hll_distinct": sk_hll_distinct,
     "t_zipf_surprisal": t_zipf_surprisal,
     "t_boilerplate": t_boilerplate,
 }
@@ -4536,6 +4699,8 @@ ORACLES: dict[str, str] = {
     "t_sampling_temperature": T_TEMPERATURE_SQL,
     "g_bfs_depth": G_BFS_SQL,
     "g_triangle_counts": G_TRI_SQL,
+    "g_clustering_coeff": G_CLUST_SQL,
+    "sk_hll_distinct": SK_HLL_SQL,
     "t_zipf_surprisal": T_SURPRISAL_SQL,
     "t_boilerplate": T_BOILER_SQL,
 }
