@@ -4550,6 +4550,112 @@ ORDER BY e.lang
 
 
 # ---------------------------------------------------------------------------
+# PMI collocation mining (r3e)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_PAIR = 5   # min bigram support — kills one-off noise pairs
+PMI_TOP_K = 50
+
+
+def t_collocations_pmi(spark, sf_dir):
+    """Collocation / phrase mining by pointwise mutual information
+    (Church & Hanks 1990, public) — the corpus-analysis operator that
+    finds multiword units ("hong kong", "et al") for tokenizer vocab
+    construction and n-gram quality audits over a web corpus. PMI =
+    log[ p(xy) / (p(x)p(y)) ]; since log is monotone we rank by the
+    RATIO itself and never call log(): score = ((((n_xy·N)·N)/B)/n_x)
+    /n_y evaluated in ONE fixed left-to-right chain of IEEE ops —
+    identical expression tree on both engines, all inputs exact
+    BIGINTs, no accumulation (the float-determinism discipline: fixed
+    scalar expressions are bit-stable; only order-free float SUMS are
+    not). Support floor n_xy ≥ {PMI_MIN_PAIR} is the standard guard
+    against the PMI low-frequency pathology. Scale shape: one token
+    explode + two hash aggregates (bigram counts, unigram counts) +
+    two 1:1 lookup joins on word (unigram side broadcasts while
+    small, AQE shuffle+skew-split when not) + two 1-row broadcast
+    scalars; top-K is TakeOrderedAndProject. No windows, no self-join
+    blowup — pair candidates are ADJACENT tokens only, |bigrams| ≤
+    |tokens|, never n²."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(F.split(F.lower(F.trim("text")), "\\s+").alias("w")).where(
+        F.size("w") >= 2
+    )
+    bi = (
+        w.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2), "
+                    "i -> struct(w[i] AS w1, w[i+1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .where(F.col("n_xy") >= PMI_MIN_PAIR)
+    )
+    uni = (
+        d.select(F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot_n = uni.agg(F.sum("cnt").alias("n_total"))
+    tot_b = (
+        w.select(F.sum(F.size("w") - F.lit(1)).alias("b_total"))
+    )
+    score = (
+        F.col("n_xy").cast("double")
+        * F.col("n_total").cast("double")
+        * F.col("n_total").cast("double")
+        / F.col("b_total").cast("double")
+        / F.col("nx").cast("double")
+        / F.col("ny").cast("double")
+    )
+    return (
+        bi.join(uni.withColumnsRenamed({"t": "w1", "cnt": "nx"}), "w1")
+        .join(uni.withColumnsRenamed({"t": "w2", "cnt": "ny"}), "w2")
+        .crossJoin(F.broadcast(tot_n))
+        .crossJoin(F.broadcast(tot_b))
+        .select(
+            "w1", "w2", "n_xy", "nx", "ny",
+            F.round(score, 6).alias("pmi_ratio"),
+        )
+        .orderBy(F.col("pmi_ratio").desc(), "w1", "w2")
+        .limit(PMI_TOP_K)
+    )
+
+
+T_PMI_SQL = f"""
+WITH w AS (
+  SELECT string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents),
+w2 AS (SELECT w FROM w WHERE len(w) >= 2),
+bi AS (
+  SELECT b.w1, b.w2, COUNT(*) AS n_xy FROM (
+    SELECT unnest(list_transform(range(1, len(w)),
+                  i -> {{'w1': w[i], 'w2': w[i+1]}})) AS b
+    FROM w2)
+  GROUP BY b.w1, b.w2
+  HAVING COUNT(*) >= {PMI_MIN_PAIR}),
+uni AS (
+  SELECT t, COUNT(*) AS cnt FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+    FROM documents)
+  GROUP BY t),
+tot AS (SELECT SUM(cnt) AS n_total FROM uni),
+totb AS (SELECT SUM(len(w) - 1) AS b_total FROM w2)
+SELECT w1, w2, n_xy, u1.cnt AS nx, u2.cnt AS ny,
+       ROUND(CAST(n_xy AS DOUBLE) * CAST(n_total AS DOUBLE)
+             * CAST(n_total AS DOUBLE) / CAST(b_total AS DOUBLE)
+             / CAST(u1.cnt AS DOUBLE) / CAST(u2.cnt AS DOUBLE), 6)
+         AS pmi_ratio
+FROM bi JOIN uni u1 ON u1.t = bi.w1
+        JOIN uni u2 ON u2.t = bi.w2, tot, totb
+ORDER BY pmi_ratio DESC, w1, w2 LIMIT {PMI_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -4625,6 +4731,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_triangle_counts": g_triangle_counts,
     "g_clustering_coeff": g_clustering_coeff,
     "sk_hll_distinct": sk_hll_distinct,
+    "t_collocations_pmi": t_collocations_pmi,
     "t_zipf_surprisal": t_zipf_surprisal,
     "t_boilerplate": t_boilerplate,
 }
@@ -4701,6 +4808,7 @@ ORACLES: dict[str, str] = {
     "g_triangle_counts": G_TRI_SQL,
     "g_clustering_coeff": G_CLUST_SQL,
     "sk_hll_distinct": SK_HLL_SQL,
+    "t_collocations_pmi": T_PMI_SQL,
     "t_zipf_surprisal": T_SURPRISAL_SQL,
     "t_boilerplate": T_BOILER_SQL,
 }
