@@ -4550,6 +4550,123 @@ ORDER BY e.lang
 
 
 # ---------------------------------------------------------------------------
+# k-core decomposition by iterative peeling (r3e)
+# ---------------------------------------------------------------------------
+
+KCORE_SUPPORT = 2   # co-purchase support floor — sparsifies the graph
+KCORE_K = 2         # the 2-core: iteratively strip pendants/trees
+KCORE_MAX_PEELS = 12
+
+
+def g_kcore_peel(spark, sf_dir):
+    """k-core membership by iterative peeling (Seidman 1983, public) —
+    the fifth graph algorithm beside PageRank, HITS, BFS and the
+    triangle family: repeatedly remove nodes of degree < k until fixed
+    point; what remains is the maximal subgraph of min-degree ≥ k. On
+    a crawl's link graph the k-core is the spam/link-farm core and the
+    densely-linked hub set (cf. crawler.js:543-575's emitted edges).
+    The graph is the co-purchase graph SPARSIFIED by a support floor
+    (pairs co-bought in ≥ KCORE_SUPPORT orders) — without it the raw
+    graph's min degree exceeds k and the peel is vacuous; with it the
+    peel genuinely cascades (4 rounds at sf0.01, 7 at sf0.1).
+
+    Determinism: the alive set shrinks monotonically, so count
+    equality between consecutive rounds ⇔ set fixpoint; the Spark
+    loop early-exits there while the oracle runs all
+    KCORE_MAX_PEELS bounded rounds — identical at fixpoint by
+    construction, and the converged flag is count(a_R) == count(a_R-1)
+    on both sides. Plan: per peel ONE degree aggregate over the
+    induced subgraph (two alive-set equi-joins, the BFS shuffle
+    shape); localCheckpoint truncates per-round lineage; counts are
+    exact BIGINTs, no floats anywhere."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .where(F.col("sup") >= KCORE_SUPPORT)
+        .select("u", "v")
+    )
+    adj = (
+        edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint()
+    )
+    alive = adj.select(F.col("u").alias("node")).distinct().localCheckpoint()
+    n_prev = alive.count()
+    converged = False
+    for _ in range(KCORE_MAX_PEELS):
+        deg = (
+            adj.join(alive.withColumnRenamed("node", "u"), "u")
+            .join(alive.withColumnRenamed("node", "v"), "v")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        new_alive = (
+            deg.where(F.col("deg") >= KCORE_K)
+            .select(F.col("u").alias("node"))
+            .localCheckpoint()
+        )
+        n_new = new_alive.count()
+        alive = new_alive
+        if n_new == n_prev:
+            converged = True
+            break
+        n_prev = n_new
+    core_deg = (
+        adj.join(alive.withColumnRenamed("node", "u"), "u")
+        .join(alive.withColumnRenamed("node", "v"), "v")
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+    )
+    return core_deg.select(
+        F.col("u").alias("part"),
+        "core_deg",
+        F.lit(converged).alias("converged"),
+    ).orderBy(F.col("core_deg").desc(), "part")
+
+
+def _kcore_sql() -> str:
+    peels = []
+    prev = "a0"
+    for i in range(1, KCORE_MAX_PEELS + 1):
+        # each peel CTE is referenced twice (both join sides) —
+        # MATERIALIZED stops DuckDB's CTE inlining from going 2^R
+        peels.append(
+            f"a{i} AS MATERIALIZED (SELECT adj.u AS node FROM adj "
+            f"JOIN {prev} x ON x.node = adj.u "
+            f"JOIN {prev} y ON y.node = adj.v "
+            f"GROUP BY adj.u HAVING COUNT(*) >= {KCORE_K})"
+        )
+        prev = f"a{i}"
+    last, prev2 = f"a{KCORE_MAX_PEELS}", f"a{KCORE_MAX_PEELS - 1}"
+    peel_block = ",\n".join(peels)
+    return f"""
+WITH e AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {KCORE_SUPPORT}),
+adj AS MATERIALIZED (
+  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+a0 AS (SELECT DISTINCT u AS node FROM adj),
+{peel_block}
+SELECT adj.u AS part, COUNT(*) AS core_deg,
+       ((SELECT COUNT(*) FROM {last}) = (SELECT COUNT(*) FROM {prev2}))
+         AS converged
+FROM adj
+JOIN {last} x ON x.node = adj.u
+JOIN {last} y ON y.node = adj.v
+GROUP BY adj.u
+ORDER BY core_deg DESC, part
+"""
+
+
+G_KCORE_SQL = _kcore_sql()
+
+
+# ---------------------------------------------------------------------------
 # PMI collocation mining (r3e)
 # ---------------------------------------------------------------------------
 
@@ -4568,7 +4685,7 @@ def t_collocations_pmi(spark, sf_dir):
     identical expression tree on both engines, all inputs exact
     BIGINTs, no accumulation (the float-determinism discipline: fixed
     scalar expressions are bit-stable; only order-free float SUMS are
-    not). Support floor n_xy ≥ {PMI_MIN_PAIR} is the standard guard
+    not). Support floor n_xy ≥ PMI_MIN_PAIR is the standard guard
     against the PMI low-frequency pathology. Scale shape: one token
     explode + two hash aggregates (bigram counts, unigram counts) +
     two 1:1 lookup joins on word (unigram side broadcasts while
@@ -4730,6 +4847,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_bfs_depth": g_bfs_depth,
     "g_triangle_counts": g_triangle_counts,
     "g_clustering_coeff": g_clustering_coeff,
+    "g_kcore_peel": g_kcore_peel,
     "sk_hll_distinct": sk_hll_distinct,
     "t_collocations_pmi": t_collocations_pmi,
     "t_zipf_surprisal": t_zipf_surprisal,
@@ -4807,6 +4925,7 @@ ORACLES: dict[str, str] = {
     "g_bfs_depth": G_BFS_SQL,
     "g_triangle_counts": G_TRI_SQL,
     "g_clustering_coeff": G_CLUST_SQL,
+    "g_kcore_peel": G_KCORE_SQL,
     "sk_hll_distinct": SK_HLL_SQL,
     "t_collocations_pmi": T_PMI_SQL,
     "t_zipf_surprisal": T_SURPRISAL_SQL,
