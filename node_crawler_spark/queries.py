@@ -4773,6 +4773,224 @@ ORDER BY pmi_ratio DESC, w1, w2 LIMIT {PMI_TOP_K}
 
 
 # ---------------------------------------------------------------------------
+# Two-star connected components (r3f)
+# ---------------------------------------------------------------------------
+
+TWOSTAR_SUPPORT = 2      # keep supplier↔customer pairs co-occurring in ≥2 orders
+TWOSTAR_MAX_ITERS = 20   # two-star converges in O(log n) alternations
+TWOSTAR_ORACLE_ROUNDS = 16  # label-prop fixpoint: 5 rounds @sf0.01, 11 @sf0.1
+
+
+def g_components_twostar(spark, sf_dir):
+    """Connected components by large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014 — public) — the O(log n)-round CC algorithm, beside
+    dedup_clusters' min-label propagation which needs O(diameter)
+    rounds. On a web host graph the diameter is unbounded (link
+    chains, pagination ladders), so two-star is the 100 TB algorithm:
+    each alternation halves the tree height regardless of diameter.
+    Graph: supplier↔customer pairs co-occurring in ≥ TWOSTAR_SUPPORT
+    orders (the same deterministic bipartite graph as g_bfs_depth,
+    support-floored like g_kcore_peel so the edge list stays sparse).
+
+    Per alternation: ONE groupBy-min keyed on node + ONE equi-join
+    back on the same key (the shuffle partitioning is reused between
+    them) + distinct — no windows, no n² anywhere; localCheckpoint
+    truncates per-round lineage. Node ids are strings compared with
+    binary collation, identical in both engines; the fixpoint is a
+    star per component, so label(u) = its unique out-edge target =
+    min node of the component. The DuckDB oracle computes the same
+    labels INDEPENDENTLY via TWOSTAR_ORACLE_ROUNDS unrolled rounds of
+    min-label propagation over the symmetric adjacency (O(R·E), never
+    the O(n²) transitive closure), so the Spark loop's convergence is
+    itself gate-checked — cf. crawler.js:543-575, whose emitted link
+    events are the edge stream this runs over in the crawl engine."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    und = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("a"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= TWOSTAR_SUPPORT)
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )  # canonical big→small orientation
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = und
+    converged = False
+    for _ in range(TWOSTAR_MAX_ITERS):
+        # large-star over the symmetric view: for each node u, every
+        # strictly-larger neighbor v re-links to m = min(Γ(u) ∪ {u})
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.select("u", F.least("u", "mn").alias("m"))
+        ls = (
+            sym.where(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star over big→small edges: group u's smaller neighbors
+        # plus u itself all re-link to the group min
+        sm = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(sm, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(sm.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        same = (
+            ss.count() == e.count()
+            and ss.exceptAll(e).isEmpty()
+        )
+        e = ss
+        if same:
+            converged = True
+            break
+    labels = (
+        nodes.join(e.select(F.col("u").alias("node"), F.col("v").alias("lbl")), "node", "left")
+        .groupBy("node")
+        .agg(F.min("lbl").alias("mn"))
+        .select(
+            "node",
+            F.coalesce("mn", F.col("node")).alias("component"),
+            F.lit(converged).alias("converged"),
+        )
+    )
+    return labels.orderBy("node")
+
+
+def _twostar_sql() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, TWOSTAR_ORACLE_ROUNDS + 1):
+        rounds.append(
+            f"l{i} AS MATERIALIZED ("
+            f"SELECT p.node, LEAST(p.lbl, MIN(q.lbl)) AS lbl "
+            f"FROM {prev} p JOIN adj ON adj.u = p.node "
+            f"JOIN {prev} q ON q.node = adj.v "
+            f"GROUP BY p.node, p.lbl)"
+        )
+        prev = f"l{i}"
+    last, prev2 = f"l{TWOSTAR_ORACLE_ROUNDS}", f"l{TWOSTAR_ORACLE_ROUNDS - 1}"
+    block = ",\n".join(rounds)
+    return f"""
+WITH e0 AS (
+  SELECT GREATEST(a, b) AS u, LEAST(a, b) AS v
+  FROM (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS a,
+               'c' || CAST(o_custkey AS VARCHAR) AS b
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {TWOSTAR_SUPPORT})
+  GROUP BY 1, 2),
+adj AS MATERIALIZED (
+  SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM adj),
+{block}
+SELECT f.node, f.lbl AS component,
+       ((SELECT COUNT(*) FROM {last} x JOIN {prev2} y ON y.node = x.node
+         WHERE x.lbl <> y.lbl) = 0) AS converged
+FROM {last} f
+ORDER BY f.node
+"""
+
+
+G_TWOSTAR_SQL = _twostar_sql()
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantile sketch (r3f)
+# ---------------------------------------------------------------------------
+
+HISTQ_WIDTH = 64    # bucket width in chars
+HISTQ_BUCKETS = 256  # overflow bucket at the top
+
+
+def sk_hist_quantiles(spark, sf_dir):
+    """Per-language length quantiles from a MERGEABLE equi-width
+    histogram sketch — the fourth sketch beside HLL, count-min and
+    KMV, completing the classic mergeable-summaries suite (Agarwal et
+    al., "Mergeable Summaries", PODS 2012 — public). The sketch is the
+    (lang, bucket)→count table: map-side partial aggregation compresses
+    10^10 rows to ≤ HISTQ_BUCKETS rows per language BEFORE the shuffle,
+    and two shards' sketches merge by adding counts — the property that
+    makes it a sketch and not just a groupBy. Quantile estimate = upper
+    edge of the first bucket whose cumulative count covers ⌈p·n⌉,
+    the standard histogram-quantile read-out with bounded error W.
+
+    Everything is BIGINT end-to-end: bucket = min(n_chars // W, B-1),
+    the coverage test is cum·100 ≥ p·n in integers (no IEEE division,
+    no float accumulation — exact and order-independent in any
+    engine). Plan: one hash aggregate (the sketch), one window over
+    ≤ B rows per language partition (bounded, never a global sort),
+    one final aggregate. Used on a crawl corpus to size truncation /
+    padding budgets per language (documents = the extracted-text
+    table the engine's S3 sink emits; crawler.js:599-608)."""
+    B, W = HISTQ_BUCKETS, HISTQ_WIDTH
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.least((F.col("n_chars") / W).cast("long"), F.lit(B - 1)).alias("b"),
+    )
+    h = d.groupBy("lang", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.partitionBy("lang").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("lang")
+    c = h.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "n", F.sum("cnt").over(wall)
+    )
+
+    def est(p):
+        return (
+            F.min(F.when(F.col("cum") * 100 >= p * F.col("n"), F.col("b"))) + 1
+        ) * W
+
+    return (
+        c.groupBy("lang")
+        .agg(
+            F.max("n").alias("n_docs"),
+            est(50).alias("p50_est"),
+            est(90).alias("p90_est"),
+            est(99).alias("p99_est"),
+        )
+        .orderBy("lang")
+    )
+
+
+SK_HISTQ_SQL = f"""
+WITH h AS (
+  SELECT lang, LEAST(n_chars // {HISTQ_WIDTH}, {HISTQ_BUCKETS - 1}) AS b,
+         COUNT(*) AS cnt
+  FROM documents GROUP BY 1, 2),
+c AS (
+  SELECT lang, b, cnt,
+         SUM(cnt) OVER (PARTITION BY lang ORDER BY b
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY lang) AS n
+  FROM h)
+SELECT lang, MAX(n) AS n_docs,
+       (MIN(CASE WHEN cum * 100 >= 50 * n THEN b END) + 1) * {HISTQ_WIDTH} AS p50_est,
+       (MIN(CASE WHEN cum * 100 >= 90 * n THEN b END) + 1) * {HISTQ_WIDTH} AS p90_est,
+       (MIN(CASE WHEN cum * 100 >= 99 * n THEN b END) + 1) * {HISTQ_WIDTH} AS p99_est
+FROM c GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -4852,6 +5070,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_collocations_pmi": t_collocations_pmi,
     "t_zipf_surprisal": t_zipf_surprisal,
     "t_boilerplate": t_boilerplate,
+    "g_components_twostar": g_components_twostar,
+    "sk_hist_quantiles": sk_hist_quantiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -4930,4 +5150,6 @@ ORACLES: dict[str, str] = {
     "t_collocations_pmi": T_PMI_SQL,
     "t_zipf_surprisal": T_SURPRISAL_SQL,
     "t_boilerplate": T_BOILER_SQL,
+    "g_components_twostar": G_TWOSTAR_SQL,
+    "sk_hist_quantiles": SK_HISTQ_SQL,
 }
