@@ -1245,6 +1245,346 @@ SIM_IVF_RECALL_SQL = _ivf_recall_sql()
 
 
 # ---------------------------------------------------------------------------
+# Product quantization ANN (IVF-PQ's compression half, r3f)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8          # subspaces
+PQ_SUBDIM = LSH_DIM // PQ_M
+PQ_K = 16         # codewords per subspace → 4 bits/subspace, 32 bits/vector
+PQ_ITERS = 2      # deterministic Lloyd iterations per subspace
+PQ_SCALE = 1000000000.0  # ADC distances → integer nanounits (exact sums)
+
+
+def _pq_sub(v):
+    """(vec_id, m, sv): the M subvectors of every embedding."""
+    parts = [
+        F.struct(
+            F.lit(m).alias("m"),
+            F.slice("emb", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+        )
+        for m in range(PQ_M)
+    ]
+    return v.select("vec_id", F.explode(F.array(*parts)).alias("p")).select(
+        "vec_id", F.col("p.m").alias("m"), F.col("p.sv").alias("sv")
+    )
+
+
+def _pq_dist_lit(sv_col, cw):
+    """Left-folded squared L2 distance to a literal codeword — the
+    same FP association as the SQL oracle's explicit term chain."""
+    import functools
+
+    terms = [
+        (sv_col.getItem(i) - F.lit(float(cw[i])))
+        * (sv_col.getItem(i) - F.lit(float(cw[i])))
+        for i in range(PQ_SUBDIM)
+    ]
+    return functools.reduce(lambda a, b: a + b, terms)
+
+
+def _pq_dist_col(a_col, b_col):
+    """Same fold, both sides columns (array<double>)."""
+    import functools
+
+    terms = [
+        (a_col.getItem(i) - b_col.getItem(i))
+        * (a_col.getItem(i) - b_col.getItem(i))
+        for i in range(PQ_SUBDIM)
+    ]
+    return functools.reduce(lambda a, b: a + b, terms)
+
+
+def _pq_assign_expr(cent_rows):
+    """Map-side nearest-codeword expression per subspace — the
+    _argmax_cell pattern: the K×M codebook (128 rows, tiny) is
+    embedded as literals and each row argmins over its own subspace's
+    codewords via array_max((−d, −code)) = min d, min code on ties,
+    exactly the oracle's ROW_NUMBER ... ORDER BY d, code."""
+    by_m: dict[int, list] = {}
+    for r in cent_rows:
+        by_m.setdefault(r.m, []).append(r)
+    expr = None
+    for m in sorted(by_m):
+        structs = []
+        for r in sorted(by_m[m], key=lambda x: x.code):
+            d = _pq_dist_lit(F.col("sv"), r.cw)
+            structs.append(
+                F.struct((-d).alias("negd"), F.lit(-r.code).alias("negcode"))
+            )
+        pick = (-F.array_max(F.array(*structs))["negcode"]).cast("int")
+        cond = F.col("m") == m
+        expr = F.when(cond, pick) if expr is None else expr.when(cond, pick)
+    return expr
+
+
+def _pq_dec_cents(assigned):
+    """Per-(subspace, code) mean codeword with decimal(24,10) sums —
+    exact, reduction-order-independent (the _dec_centroids discipline)."""
+    sums = assigned.groupBy("m", "code").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.col("sv").getItem(i).cast("decimal(24,10)")).alias(f"s{i}")
+            for i in range(PQ_SUBDIM)
+        ],
+    )
+    return sums.select(
+        "m",
+        "code",
+        F.array(
+            *[(F.col(f"s{i}").cast("double") / F.col("n")) for i in range(PQ_SUBDIM)]
+        ).alias("cw"),
+    )
+
+
+def _pq_codebook(sub):
+    """Train the PQ codebook: first-K-vectors init (vec_id 1..PQ_K —
+    deterministic, distinct), PQ_ITERS Lloyd iterations. Each
+    iteration collects the 128-row codebook (bounded driver data) and
+    re-scans the subvector table ONCE with a map-only argmin — no
+    crossJoin blowup, the 100 TB shape."""
+    book = sub.where((F.col("vec_id") >= 1) & (F.col("vec_id") <= PQ_K)).select(
+        "m", F.col("vec_id").cast("int").alias("code"), F.col("sv").alias("cw")
+    )
+    for _ in range(PQ_ITERS):
+        rows = sorted(book.collect(), key=lambda r: (r.m, r.code))
+        assigned = sub.select(
+            "vec_id", "m", "sv", _pq_assign_expr(rows).alias("code")
+        )
+        book = _pq_dec_cents(assigned).localCheckpoint()
+    return book
+
+
+def sim_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (Jégou-Douze-Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011 — public):
+    the compression half of IVF-PQ, beside the existing IVF coarse
+    quantizer and LSH. Vectors are encoded as PQ_M 4-bit codes (32
+    bits vs 64×8 bytes raw — the 128× memory cut that makes
+    billion-vector search fit a cluster); the query is answered by
+    asymmetric distance computation (ADC): a PQ_M×PQ_K lookup table of
+    query-to-codeword distances, then each candidate's approximate
+    distance is the sum of M table entries — no raw-vector access.
+
+    Determinism end-to-end: codebook means go through decimal(24,10)
+    (exact, order-free); every squared-L2 is the same left-folded
+    expression tree in both engines; ADC entries are scaled to BIGINT
+    nanounits (floor(d·1e9)) BEFORE the per-vector sum, so the sum is
+    exact integer arithmetic and the output column is a BIGINT — no
+    float accumulation, no decimal rendering anywhere. Plan: encode =
+    one map-only argmin scan; ADC = one broadcast join of the 8-row
+    query-subvector table against the 128-row codebook + one equi-join
+    on (m,code) + one hash aggregate keyed by vec_id; top-10 is
+    TakeOrderedAndProject."""
+    return _pq_adc(spark, sf_dir).orderBy("adc_nano", "vec_id").limit(10)
+
+
+def _pq_adc(spark, sf_dir):
+    """(vec_id, adc_nano) for every non-query vector: train, encode,
+    build the query's distance table, sum integer table entries."""
+    v = _ivf_v(spark, sf_dir)
+    sub = _pq_sub(v).localCheckpoint()
+    book = _pq_codebook(sub)
+    enc = sub.select(
+        "vec_id",
+        "m",
+        "sv",
+        _pq_assign_expr(
+            sorted(book.collect(), key=lambda r: (r.m, r.code))
+        ).alias("code"),
+    ).select("vec_id", "m", "code")
+    qs = sub.where(F.col("vec_id") == 0).select(
+        "m", F.col("sv").alias("qsv")
+    )
+    dtab = book.join(F.broadcast(qs), "m").select(
+        "m",
+        "code",
+        F.floor(_pq_dist_col(F.col("qsv"), F.col("cw")) * PQ_SCALE)
+        .cast("long")
+        .alias("d_i"),
+    )
+    return (
+        enc.where(F.col("vec_id") != 0)
+        .join(F.broadcast(dtab), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("d_i").alias("adc_nano"))
+    )
+
+
+PQ_RERANK = 50  # ADC shortlist size for the exact rerank stage
+
+
+def sim_ann_pq_recall(spark, sf_dir):
+    """PQ quality, quantified (symmetric with the LSH and IVF recall
+    rows) against the exact squared-L2 brute-force top-10 truth, at
+    BOTH stages of the production IVF-PQ design: recall_adc = the raw
+    32-bit-code ADC top-10 (isolates pure quantization loss), and
+    recall_rerank = exact rerank of the ADC top-PQ_RERANK shortlist —
+    the standard two-stage read path, where ADC only needs to be good
+    enough to keep true neighbors inside a C-candidate shortlist.
+    One row: n_true, n_hit_adc, recall_adc, n_hit_rerank,
+    recall_rerank."""
+    import functools
+
+    v = _ivf_v(spark, sf_dir)
+    q = v.where(F.col("vec_id") == 0).select(F.col("emb").alias("q_emb"))
+    terms = [
+        (F.col("emb").getItem(i) - F.col("q_emb").getItem(i))
+        * (F.col("emb").getItem(i) - F.col("q_emb").getItem(i))
+        for i in range(LSH_DIM)
+    ]
+    d = functools.reduce(lambda a, b: a + b, terms)
+    exact = (
+        v.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", d.alias("d"))
+    )
+    truth = exact.orderBy("d", "vec_id").limit(10).select("vec_id")
+    adc = _pq_adc(spark, sf_dir).localCheckpoint()
+    found_adc = adc.orderBy("adc_nano", "vec_id").limit(10).select("vec_id")
+    shortlist = adc.orderBy("adc_nano", "vec_id").limit(PQ_RERANK).select("vec_id")
+    found_rr = (
+        exact.join(F.broadcast(shortlist), "vec_id", "left_semi")
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    hit_adc = truth.join(found_adc, "vec_id", "left_semi")
+    hit_rr = truth.join(found_rr, "vec_id", "left_semi")
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(hit_adc.agg(F.count(F.lit(1)).alias("n_hit_adc")))
+        .crossJoin(hit_rr.agg(F.count(F.lit(1)).alias("n_hit_rerank")))
+        .select(
+            "n_true",
+            "n_hit_adc",
+            F.round(
+                F.col("n_hit_adc").cast("double") / F.col("n_true"), 4
+            ).alias("recall_adc"),
+            "n_hit_rerank",
+            F.round(
+                F.col("n_hit_rerank").cast("double") / F.col("n_true"), 4
+            ).alias("recall_rerank"),
+        )
+    )
+
+
+def _pq_sqdist_sql(a: str, b: str, dim: int = PQ_SUBDIM) -> str:
+    return " + ".join(
+        f"({a}[{i + 1}]-{b}[{i + 1}])*({a}[{i + 1}]-{b}[{i + 1}])"
+        for i in range(dim)
+    )
+
+
+def _pq_ctes() -> tuple[str, str, str]:
+    """(CTE block, final codebook name, encoding name) mirroring
+    _pq_codebook + the final encode, step for step. MATERIALIZED for
+    the same planner-blowup reason as _ivf_trained_ctes."""
+    sub_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, emb[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}] AS sv FROM v"
+        for m in range(PQ_M)
+    )
+    cent_list = ", ".join(
+        f"CAST(SUM(CAST(sv[{i + 1}] AS DECIMAL(24,10))) AS DOUBLE) / COUNT(*)"
+        for i in range(PQ_SUBDIM)
+    )
+    ctes = [
+        "v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+        f"sub AS MATERIALIZED ({sub_rows})",
+        f"b0 AS MATERIALIZED (SELECT m, CAST(vec_id AS INT) AS code, sv AS cw "
+        f"FROM sub WHERE vec_id BETWEEN 1 AND {PQ_K})",
+    ]
+    prev = "b0"
+    for it in range(1, PQ_ITERS + 1):
+        ctes.append(
+            f"""pa{it} AS MATERIALIZED (
+  SELECT vec_id, m, sv, code FROM (
+    SELECT s.vec_id, s.m, s.sv, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {_pq_sqdist_sql('s.sv', 'c.cw')} ASC, c.code) AS rn
+    FROM sub s JOIN {prev} c ON c.m = s.m) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"b{it} AS MATERIALIZED (SELECT m, code, [{cent_list}] AS cw "
+            f"FROM pa{it} GROUP BY m, code)"
+        )
+        prev = f"b{it}"
+    ctes.append(
+        f"""enc AS MATERIALIZED (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {_pq_sqdist_sql('s.sv', 'c.cw')} ASC, c.code) AS rn
+    FROM sub s JOIN {prev} c ON c.m = s.m) WHERE rn = 1)"""
+    )
+    return ",\n".join(ctes), prev, "enc"
+
+
+def _pq_sql() -> str:
+    ctes, bfin, enc = _pq_ctes()
+    return f"""
+WITH {ctes},
+qs AS (SELECT m, sv AS qsv FROM sub WHERE vec_id = 0),
+dtab AS MATERIALIZED (
+  SELECT c.m, c.code,
+         CAST(FLOOR(({_pq_sqdist_sql('q.qsv', 'c.cw')}) * {PQ_SCALE!r}) AS BIGINT) AS d_i
+  FROM {bfin} c JOIN qs q ON q.m = c.m)
+SELECT e.vec_id, SUM(d.d_i) AS adc_nano
+FROM {enc} e JOIN dtab d ON d.m = e.m AND d.code = e.code
+WHERE e.vec_id <> 0
+GROUP BY e.vec_id
+ORDER BY adc_nano, vec_id
+LIMIT 10
+"""
+
+
+SIM_PQ_SQL = _pq_sql()
+
+
+def _pq_recall_sql() -> str:
+    ctes, bfin, enc = _pq_ctes()
+    full_d = " + ".join(
+        f"(a.emb[{i + 1}]-q.q_emb[{i + 1}])*(a.emb[{i + 1}]-q.q_emb[{i + 1}])"
+        for i in range(LSH_DIM)
+    )
+    return f"""
+WITH {ctes},
+qs AS (SELECT m, sv AS qsv FROM sub WHERE vec_id = 0),
+dtab AS MATERIALIZED (
+  SELECT c.m, c.code,
+         CAST(FLOOR(({_pq_sqdist_sql('q.qsv', 'c.cw')}) * {PQ_SCALE!r}) AS BIGINT) AS d_i
+  FROM {bfin} c JOIN qs q ON q.m = c.m),
+adc AS MATERIALIZED (
+  SELECT e.vec_id, SUM(d.d_i) AS adc_nano
+  FROM {enc} e JOIN dtab d ON d.m = e.m AND d.code = e.code
+  WHERE e.vec_id <> 0
+  GROUP BY e.vec_id),
+found_adc AS MATERIALIZED (
+  SELECT vec_id FROM adc ORDER BY adc_nano, vec_id LIMIT 10),
+shortlist AS MATERIALIZED (
+  SELECT vec_id FROM adc ORDER BY adc_nano, vec_id LIMIT {PQ_RERANK}),
+qq AS (SELECT emb AS q_emb FROM v WHERE vec_id = 0),
+exact AS MATERIALIZED (
+  SELECT a.vec_id, ({full_d}) AS d
+  FROM v a, qq q WHERE a.vec_id <> 0),
+truth AS MATERIALIZED (
+  SELECT vec_id FROM exact ORDER BY d, vec_id LIMIT 10),
+found_rr AS MATERIALIZED (
+  SELECT e.vec_id FROM exact e JOIN shortlist s ON s.vec_id = e.vec_id
+  ORDER BY e.d, e.vec_id LIMIT 10)
+SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+       (SELECT COUNT(*) FROM truth t JOIN found_adc f ON f.vec_id = t.vec_id) AS n_hit_adc,
+       ROUND(CAST((SELECT COUNT(*) FROM truth t JOIN found_adc f ON f.vec_id = t.vec_id) AS DOUBLE)
+             / (SELECT COUNT(*) FROM truth), 4) AS recall_adc,
+       (SELECT COUNT(*) FROM truth t JOIN found_rr f ON f.vec_id = t.vec_id) AS n_hit_rerank,
+       ROUND(CAST((SELECT COUNT(*) FROM truth t JOIN found_rr f ON f.vec_id = t.vec_id) AS DOUBLE)
+             / (SELECT COUNT(*) FROM truth), 4) AS recall_rerank
+"""
+
+
+SIM_PQ_RECALL_SQL = _pq_recall_sql()
+
+
+# ---------------------------------------------------------------------------
 # Near-dup family on documents (engine-portable hashes → full oracles)
 # ---------------------------------------------------------------------------
 
@@ -5072,6 +5412,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_boilerplate": t_boilerplate,
     "g_components_twostar": g_components_twostar,
     "sk_hist_quantiles": sk_hist_quantiles,
+    "sim_ann_pq_topk": sim_ann_pq_topk,
+    "sim_ann_pq_recall": sim_ann_pq_recall,
 }
 
 ORACLES: dict[str, str] = {
@@ -5152,4 +5494,6 @@ ORACLES: dict[str, str] = {
     "t_boilerplate": T_BOILER_SQL,
     "g_components_twostar": G_TWOSTAR_SQL,
     "sk_hist_quantiles": SK_HISTQ_SQL,
+    "sim_ann_pq_topk": SIM_PQ_SQL,
+    "sim_ann_pq_recall": SIM_PQ_RECALL_SQL,
 }
