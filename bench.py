@@ -68,6 +68,14 @@ BENCH_QUERIES = [
     # round-3e: degree-ordered triangle counting + portable HLL sketch
     "g_triangle_counts",
     "sk_hll_distinct",
+    # round-3f: two-star components, histogram quantiles.
+    # sim_ann_pq_topk is deliberately NOT here: its wall is ~60 s of
+    # DATA-SIZE-INDEPENDENT expression-compilation overhead (62 s at
+    # sf0.01 / 500 vecs vs 55 s at sf0.1 / 5000 vecs — the 3 literal
+    # codebook argmin trees), which amortizes at scale but would read
+    # as a per-query regression here; the oracle gate covers it.
+    "g_components_twostar",
+    "sk_hist_quantiles",
 ]
 
 CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "30000"))
