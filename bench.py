@@ -69,11 +69,13 @@ BENCH_QUERIES = [
     "g_triangle_counts",
     "sk_hll_distinct",
     # round-3f: two-star components, histogram quantiles.
-    # sim_ann_pq_topk is deliberately NOT here: its wall is ~60 s of
-    # DATA-SIZE-INDEPENDENT expression-compilation overhead (62 s at
-    # sf0.01 / 500 vecs vs 55 s at sf0.1 / 5000 vecs — the 3 literal
-    # codebook argmin trees), which amortizes at scale but would read
-    # as a per-query regression here; the oracle gate covers it.
+    # sim_ann_pq_topk is deliberately NOT here: ~29 s of its wall is
+    # DATA-SIZE-INDEPENDENT constant cost (same at 500 and 5000 vecs —
+    # Catalyst analysis + interpreted eval of the 3 literal codebook
+    # argmin trees; the py4j construction half was already cut 13 s →
+    # 0.01 s by building them as single SQL strings), which amortizes
+    # at scale but would read as a per-query regression here; the
+    # oracle gate covers it.
     "g_components_twostar",
     "sk_hist_quantiles",
 ]

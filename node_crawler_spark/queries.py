@@ -1269,17 +1269,17 @@ def _pq_sub(v):
     )
 
 
-def _pq_dist_lit(sv_col, cw):
-    """Left-folded squared L2 distance to a literal codeword — the
-    same FP association as the SQL oracle's explicit term chain."""
-    import functools
-
-    terms = [
-        (sv_col.getItem(i) - F.lit(float(cw[i])))
-        * (sv_col.getItem(i) - F.lit(float(cw[i])))
+def _pq_dist_lit(sv: str, cw) -> str:
+    """Left-folded squared L2 distance to a literal codeword as a SQL
+    string — the same FP association as the oracle's explicit chain.
+    Literals round-trip bit-exactly via CAST('repr' AS DOUBLE). Built
+    as ONE string (not a py4j Column tree): the Column version cost
+    ~13 s of py4j round trips PER assignment expression."""
+    return " + ".join(
+        f"({sv}[{i}] - CAST('{float(cw[i])!r}' AS DOUBLE))"
+        f" * ({sv}[{i}] - CAST('{float(cw[i])!r}' AS DOUBLE))"
         for i in range(PQ_SUBDIM)
-    ]
-    return functools.reduce(lambda a, b: a + b, terms)
+    )
 
 
 def _pq_dist_col(a_col, b_col):
@@ -1303,18 +1303,16 @@ def _pq_assign_expr(cent_rows):
     by_m: dict[int, list] = {}
     for r in cent_rows:
         by_m.setdefault(r.m, []).append(r)
-    expr = None
+    branches = []
     for m in sorted(by_m):
-        structs = []
-        for r in sorted(by_m[m], key=lambda x: x.code):
-            d = _pq_dist_lit(F.col("sv"), r.cw)
-            structs.append(
-                F.struct((-d).alias("negd"), F.lit(-r.code).alias("negcode"))
-            )
-        pick = (-F.array_max(F.array(*structs))["negcode"]).cast("int")
-        cond = F.col("m") == m
-        expr = F.when(cond, pick) if expr is None else expr.when(cond, pick)
-    return expr
+        structs = ", ".join(
+            f"named_struct('negd', -({_pq_dist_lit('sv', r.cw)}), "
+            f"'negcode', {-r.code})"
+            for r in sorted(by_m[m], key=lambda x: x.code)
+        )
+        pick = f"CAST(-(array_max(array({structs})).negcode) AS INT)"
+        branches.append(f"WHEN m = {m} THEN {pick}")
+    return F.expr("CASE " + " ".join(branches) + " END")
 
 
 def _pq_dec_cents(assigned):
