@@ -70,6 +70,37 @@ def test_sketch_is_layout_invariant(spark, scrambled_sf, name):
     assert len(base) > 0
 
 
+def test_pq_is_layout_invariant(spark, tmp_path):
+    """The PQ training chain is deterministic BY DESIGN (sorted
+    codebook collects, decimal-exact means, integer ADC sums); this
+    falsifies it: scramble embeddings.parquet's row order and file
+    count and require bit-identical top-10 + recall rows."""
+    root = tmp_path / "sf"
+    root.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        src = f"{SF}/{t}.parquet"
+        dst = str(root / f"{t}.parquet")
+        if t == "embeddings":
+            (
+                spark.read.parquet(src)
+                .selectExpr("*", "xxhash64(vec_id) AS _k")
+                .orderBy("_k")
+                .drop("_k")
+                .repartition(5)
+                .write.parquet(dst)
+            )
+        else:
+            shutil.copy(src, dst)
+    for name in ("sim_ann_pq_topk", "sim_ann_pq_recall"):
+        base = [tuple(r) for r in QUERIES[name](spark, SF).collect()]
+        scr = [tuple(r) for r in QUERIES[name](spark, str(root)).collect()]
+        assert base == scr
+        assert len(base) > 0
+
+
 def test_hist_quantile_within_one_bucket_width(spark):
     rows = {
         r["lang"]: r for r in QUERIES["sk_hist_quantiles"](spark, SF).collect()
