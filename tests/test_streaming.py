@@ -275,3 +275,57 @@ def test_dedup_frontier_stream(spark, tmp_path):
     run()
     got2 = sorted(r.url for r in spark.read.parquet(out).collect())
     assert got2 == ["http://a.test/", "http://b.test/", "http://c.test/"]
+
+
+def test_cms_heavy_hitters_stream_merges_across_batches(spark, tmp_path):
+    """Streaming CMS: two micro-batch drops sharing one checkpoint;
+    the merged counter matrix must equal the BATCH matrix built over
+    the full stream cell-for-cell (integer-exact mergeability — the
+    property that lets per-batch partials stand in for a global
+    aggregation at any cardinality), and point estimates must be
+    exact here (no collisions at this size) and never underestimates."""
+    from node_crawler_spark.streaming.heavy_hitters import (
+        cms_counters,
+        cms_estimate,
+        cms_partial,
+        start_cms_query,
+    )
+
+    src = tmp_path / "urls"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = ["http://hot.test/"] * 5 + ["http://warm.test/"] * 2
+    b2 = ["http://hot.test/"] * 3 + ["http://cold.test/"]
+
+    def run(name, urls):
+        (src / f"{name}.csv").write_text("\n".join(urls) + "\n")
+        stream = spark.readStream.schema("url string").csv(str(src))
+        q = start_cms_query(stream, state, ckpt)
+        q.awaitTermination(120)
+
+    run("b1", b1)
+    run("b2", b2)
+
+    merged = {
+        (r.r, r.c): r.cnt for r in cms_counters(spark, state).collect()
+    }
+    batch = {
+        (r.r, r.c): r.cnt
+        for r in cms_partial(
+            spark.createDataFrame([(u,) for u in b1 + b2], "url string")
+        ).collect()
+    }
+    assert merged == batch
+
+    keys = spark.createDataFrame(
+        [("http://hot.test/",), ("http://warm.test/",),
+         ("http://cold.test/",), ("http://never.test/",)],
+        "k string",
+    )
+    est = {r.k: r.cms_estimate for r in cms_estimate(spark, state, keys).collect()}
+    assert est["http://hot.test/"] == 8
+    assert est["http://warm.test/"] == 2
+    assert est["http://cold.test/"] == 1
+    assert est["http://never.test/"] >= 0  # CMS never underestimates
