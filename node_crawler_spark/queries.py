@@ -5329,6 +5329,85 @@ FROM c GROUP BY lang ORDER BY lang
 
 
 # ---------------------------------------------------------------------------
+# Inverted-index construction (r3f)
+# ---------------------------------------------------------------------------
+
+POSTINGS_SAMPLE_K = 8   # posting-list sample cap (before any collect)
+INVIDX_TOP_TERMS = 100  # report the highest-df terms
+
+
+def t_inverted_index(spark, sf_dir):
+    """Inverted-index construction — the retrieval-infra operator
+    BEHIND t_bm25_search (a search stack materializes term → posting
+    lists once, then serves queries from them; Zobel & Moffat,
+    "Inverted files for text search engines", CSUR 2006 — public).
+    Per term: document frequency, total term frequency, and a bounded
+    deterministic posting sample (first POSTINGS_SAMPLE_K doc_ids).
+
+    The load-bearing shape is a_anchor_rollup's: the posting CAP
+    comes BEFORE the collect — a per-term window ranked by doc_id is
+    cut at K so a stopword's aggregation buffer holds ≤ K rows, never
+    its full posting list (Spark plans WindowGroupLimit partial+final,
+    the cut pushed below the shuffle). Everything else is two hash
+    aggregates sharing the (term, doc_id) key; top-terms is
+    TakeOrderedAndProject. All counts BIGINT; the sample serializes
+    as a '|'-joined numerically-sorted string, order-pinned on both
+    engines."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("t"),
+    ).where(F.length("t") > 0)
+    tf = tok.groupBy("t", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.groupBy("t").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("tf_total")
+    )
+    rn = F.row_number().over(Window.partitionBy("t").orderBy("doc_id"))
+    capped = tf.withColumn("_rn", rn).where(F.col("_rn") <= POSTINGS_SAMPLE_K)
+    samp = capped.groupBy("t").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            "|",
+        ).alias("postings_sample")
+    )
+    return (
+        stats.join(samp, "t")
+        .select(
+            F.col("t").alias("term"), "df", "tf_total", "postings_sample"
+        )
+        .orderBy(F.col("df").desc(), "term")
+        .limit(INVIDX_TOP_TERMS)
+    )
+
+
+T_INVIDX_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+  FROM documents),
+tf AS (
+  SELECT t, doc_id, COUNT(*) AS tf FROM tok WHERE length(t) > 0
+  GROUP BY t, doc_id),
+stats AS (
+  SELECT t, COUNT(*) AS df, SUM(tf) AS tf_total FROM tf GROUP BY t),
+capped AS (
+  SELECT t, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+  FROM tf),
+samp AS (
+  SELECT t, string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY doc_id)
+           AS postings_sample
+  FROM capped WHERE rn <= {POSTINGS_SAMPLE_K} GROUP BY t)
+SELECT stats.t AS term, df, tf_total, postings_sample
+FROM stats JOIN samp ON samp.t = stats.t
+ORDER BY df DESC, term
+LIMIT {INVIDX_TOP_TERMS}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -5412,6 +5491,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sk_hist_quantiles": sk_hist_quantiles,
     "sim_ann_pq_topk": sim_ann_pq_topk,
     "sim_ann_pq_recall": sim_ann_pq_recall,
+    "t_inverted_index": t_inverted_index,
 }
 
 ORACLES: dict[str, str] = {
@@ -5494,4 +5574,5 @@ ORACLES: dict[str, str] = {
     "sk_hist_quantiles": SK_HISTQ_SQL,
     "sim_ann_pq_topk": SIM_PQ_SQL,
     "sim_ann_pq_recall": SIM_PQ_RECALL_SQL,
+    "t_inverted_index": T_INVIDX_SQL,
 }
