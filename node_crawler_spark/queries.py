@@ -5408,6 +5408,106 @@ LIMIT {INVIDX_TOP_TERMS}
 
 
 # ---------------------------------------------------------------------------
+# Join-key skew profiler (r3f)
+# ---------------------------------------------------------------------------
+
+SKEW_TOP_N = 10
+
+
+def o_key_skew(spark, sf_dir):
+    """Join-key skew profiler — the diagnostic run BEFORE choosing a
+    skew strategy (salting, AQE skew-join, broadcast): per candidate
+    join key, cardinality, hottest-key and top-{SKEW_TOP_N} load
+    shares, and the Herfindahl concentration index (Σ share² — the
+    expected relative load of a hash-partitioned reducer, ≈1/n_keys
+    when uniform, →1 when one key dominates). This is the engine's
+    own medicine: politeness salting (politeness.py) and the
+    seen-set's hot-domain spread (seenset.py) exist because of
+    exactly the distributions this measures.
+
+    Determinism: shares are integer parts-per-million via BIGINT
+    floor division (max·10⁶ DIV total); HHI's Σcnt² is an exact
+    BIGINT order-free sum, finished by ONE fixed division chain +
+    ROUND. Scale shape: one hash aggregate per profiled key + one
+    order-free scalar aggregate; only the top-{SKEW_TOP_N} extraction
+    uses a per-profile window (rank over the per-key COUNTS table,
+    |keys| rows not |rows|; at open-web cardinalities the two-phase
+    O1 rank substitutes — documented, same result)."""
+    profiles = [
+        ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("events.user_id", "events", "user_id"),
+    ]
+    outs = []
+    for label, tbl, key in profiles:
+        cnts = (
+            _t(spark, sf_dir, tbl)
+            .groupBy(F.col(key).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        rn = F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col("k"))
+        )
+        top = cnts.withColumn("_rn", rn).where(F.col("_rn") <= SKEW_TOP_N)
+        stats = cnts.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("total"),
+            F.max("cnt").alias("max_cnt"),
+            F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+        )
+        topsum = top.agg(F.sum("cnt").alias("top_cnt"))
+        outs.append(
+            stats.crossJoin(topsum).select(
+                F.lit(label).alias("profile"),
+                "n_keys",
+                "total",
+                "max_cnt",
+                F.expr("max_cnt * 1000000L DIV total").alias("top1_ppm"),
+                F.expr("top_cnt * 1000000L DIV total").alias(
+                    f"top{SKEW_TOP_N}_ppm"
+                ),
+                F.round(
+                    (F.col("s2").cast("double") / F.col("total"))
+                    / F.col("total")
+                    * 1000000,
+                    3,
+                ).alias("hhi_ppm"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("profile")
+
+
+def _skew_sql() -> str:
+    parts = []
+    for label, tbl, key in (
+        ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("events.user_id", "events", "user_id"),
+    ):
+        parts.append(f"""
+SELECT '{label}' AS profile, n_keys, total, max_cnt,
+       max_cnt * 1000000 // total AS top1_ppm,
+       top_cnt * 1000000 // total AS top{SKEW_TOP_N}_ppm,
+       ROUND(CAST(s2 AS DOUBLE) / total / total * 1000000, 3) AS hhi_ppm
+FROM (
+  SELECT COUNT(*) AS n_keys, SUM(cnt) AS total, MAX(cnt) AS max_cnt,
+         SUM(cnt * cnt) AS s2
+  FROM (SELECT {key} AS k, COUNT(*) AS cnt FROM {tbl} GROUP BY {key})),
+(
+  SELECT SUM(cnt) AS top_cnt FROM (
+    SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, k) AS rn
+    FROM (SELECT {key} AS k, COUNT(*) AS cnt FROM {tbl} GROUP BY {key}))
+  WHERE rn <= {SKEW_TOP_N})""")
+    return " UNION ALL ".join(parts) + " ORDER BY profile"
+
+
+O_SKEW_SQL = _skew_sql()
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -5492,6 +5592,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_pq_topk": sim_ann_pq_topk,
     "sim_ann_pq_recall": sim_ann_pq_recall,
     "t_inverted_index": t_inverted_index,
+    "o_key_skew": o_key_skew,
 }
 
 ORACLES: dict[str, str] = {
@@ -5575,4 +5676,5 @@ ORACLES: dict[str, str] = {
     "sim_ann_pq_topk": SIM_PQ_SQL,
     "sim_ann_pq_recall": SIM_PQ_RECALL_SQL,
     "t_inverted_index": T_INVIDX_SQL,
+    "o_key_skew": O_SKEW_SQL,
 }
