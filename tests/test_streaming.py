@@ -385,3 +385,37 @@ def test_hll_distinct_stream_merges_to_batch_registers(spark, tmp_path):
     # merge-exactness assert above is the test. Ordering still holds:
     # 60 distincts fill more registers than 1.
     assert est["a.test"] > est["b.test"] > 0
+
+
+def test_cms_state_is_replay_idempotent(spark, tmp_path):
+    """Adversarial foreachBatch-replay simulation: append a DUPLICATE
+    partial for an already-folded batch_id (what a retried micro-batch
+    does) and require the merged matrix and estimates unchanged."""
+    from node_crawler_spark.streaming.heavy_hitters import (
+        cms_counters,
+        cms_partial,
+        start_cms_query,
+    )
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "urls"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    urls = ["http://x.test/"] * 4 + ["http://y.test/"]
+    (src / "b1.csv").write_text("\n".join(urls) + "\n")
+    stream = spark.readStream.schema("url string").csv(str(src))
+    q = start_cms_query(stream, state, ckpt)
+    q.awaitTermination(120)
+
+    before = {(r.r, r.c): r.cnt for r in cms_counters(spark, state).collect()}
+
+    # replay batch 0: identical partial, same batch_id, appended again
+    (
+        cms_partial(spark.createDataFrame([(u,) for u in urls], "url string"))
+        .withColumn("batch_id", F.lit(0))
+        .write.mode("append")
+        .parquet(state)
+    )
+    after = {(r.r, r.c): r.cnt for r in cms_counters(spark, state).collect()}
+    assert after == before
