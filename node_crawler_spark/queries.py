@@ -5508,6 +5508,143 @@ O_SKEW_SQL = _skew_sql()
 
 
 # ---------------------------------------------------------------------------
+# BPE merge steps (r3f)
+# ---------------------------------------------------------------------------
+
+BPE_STEPS = 3
+
+
+def _bpe_apply(repr_col, a, b):
+    """Apply merge (a,b) to a space-separated symbol string: replace
+    ' a b ' with ' ab ', three passes. Plain replace consumes the
+    trailing space of each match, so a directly following occurrence
+    misses its leading space in the same pass; any pair left after a
+    pass is flanked by already-merged symbols and merges in the next,
+    and runs of k adjacent occurrences need ⌈log⌉-ish passes — 3
+    covers every run this corpus (or any natural-language corpus)
+    produces. The contract is NOT HuggingFace scan-order parity; it is
+    that both engines share ONE deterministic greedy convention, which
+    they do because replace() is the same leftmost-non-overlapping
+    algorithm in both."""
+    pat = F.concat(F.lit(" "), a, F.lit(" "), b, F.lit(" "))
+    rep = F.concat(F.lit(" "), a, b, F.lit(" "))
+    out = repr_col
+    for _ in range(3):
+        out = F.replace(out, pat, rep)
+    return out
+
+
+def t_bpe_merges(spark, sf_dir):
+    """Byte-pair-encoding merge learning (Sennrich-Haddow-Birch, "Neural
+    Machine Translation of Rare Words with Subword Units", ACL 2016 —
+    public): the tokenizer-vocabulary construction step between corpus
+    curation and tokenized shards. {BPE_STEPS} merge iterations over
+    the word-frequency table: count adjacent symbol pairs weighted by
+    word frequency, pick the most frequent (ties broken on the pair
+    string — pinned in both engines), merge it corpus-wide, repeat.
+    Output: the learned merge table (step, left, right, pair_count).
+
+    Scale shape per step: ONE explode + hash aggregate over the
+    word-VOCABULARY (not the corpus — frequencies were aggregated
+    once up front, the standard BPE trick), one 1-row top-pair
+    TakeOrdered, one map-side replace. The chosen pair is bounded
+    driver data (1 row/step, the bucket-prune collect class). The
+    DuckDB oracle unrolls the same steps as CTEs with the top pair as
+    a scalar CTE — cross-engine agreement checks pair counting, tie
+    order, AND the merge-application convention (_bpe_apply)."""
+    d = _t(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    reprs = wf.select(
+        F.concat(
+            F.regexp_replace(F.col("w"), "(.)", " $1"), F.lit(" ")
+        ).alias("repr"),
+        "n",
+    ).localCheckpoint()
+
+    merges = []
+    for step in range(1, BPE_STEPS + 1):
+        s = F.split(F.trim(F.col("repr")), " ")
+        pairs = (
+            reprs.where(F.size(s) >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(split(trim(repr), ' ')) - 2), "
+                        "i -> concat(split(trim(repr), ' ')[i], '\t', "
+                        "split(trim(repr), ' ')[i+1]))"
+                    )
+                ).alias("pair"),
+                "n",
+            )
+            .groupBy("pair")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        top = pairs.orderBy(F.col("cnt").desc(), "pair").limit(1).collect()[0]
+        a, b = top.pair.split("\t")
+        merges.append((step, a, b, top.cnt))
+        reprs = reprs.select(
+            _bpe_apply(F.col("repr"), F.lit(a), F.lit(b)).alias("repr"), "n"
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, pair_count bigint"
+    ).orderBy("step")
+
+
+def _bpe_sql() -> str:
+    def apply_sql(r, t):
+        out = f"{r}.repr"
+        for _ in range(3):
+            out = (
+                f"replace({out}, ' ' || {t}.a || ' ' || {t}.b || ' ', "
+                f"' ' || {t}.a || {t}.b || ' ')"
+            )
+        return out
+
+    pair_cte = (
+        "SELECT unnest(list_transform(generate_series(1, len(s) - 1), "
+        "i -> s[i] || chr(9) || s[i+1])) AS pair, n "
+        "FROM (SELECT string_split(trim(repr), ' ') AS s, n FROM {src}) "
+        "WHERE len(s) >= 2"
+    )
+    ctes = [
+        "wf AS MATERIALIZED (SELECT w, COUNT(*) AS n FROM ("
+        "SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w "
+        "FROM documents) WHERE length(w) > 0 GROUP BY w)",
+        "r0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', ' \\1', 'g') "
+        "|| ' ' AS repr, n FROM wf)",
+    ]
+    prev = "r0"
+    for i in range(1, BPE_STEPS + 1):
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT pair, SUM(n) AS cnt FROM "
+            f"({pair_cte.format(src=prev)}) GROUP BY pair)"
+        )
+        ctes.append(
+            f"t{i} AS MATERIALIZED (SELECT string_split(pair, chr(9))[1] AS a, "
+            f"string_split(pair, chr(9))[2] AS b, cnt FROM p{i} "
+            f"ORDER BY cnt DESC, pair LIMIT 1)"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT {apply_sql(prev, f't{i}')} AS repr, n "
+            f"FROM {prev}, t{i})"
+        )
+        prev = f"r{i}"
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS step, a AS left, b AS right, cnt AS pair_count FROM t{i}"
+        for i in range(1, BPE_STEPS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\n{selects} ORDER BY step"
+
+
+T_BPE_SQL = _bpe_sql()
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -5593,6 +5730,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_pq_recall": sim_ann_pq_recall,
     "t_inverted_index": t_inverted_index,
     "o_key_skew": o_key_skew,
+    "t_bpe_merges": t_bpe_merges,
 }
 
 ORACLES: dict[str, str] = {
@@ -5677,4 +5815,5 @@ ORACLES: dict[str, str] = {
     "sim_ann_pq_recall": SIM_PQ_RECALL_SQL,
     "t_inverted_index": T_INVIDX_SQL,
     "o_key_skew": O_SKEW_SQL,
+    "t_bpe_merges": T_BPE_SQL,
 }
