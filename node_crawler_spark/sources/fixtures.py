@@ -326,6 +326,47 @@ def scenario(name: str) -> Scenario:  # noqa: C901 - a catalog is a catalog
         s.seeds = [f"{BASE}/page#middle"]
         s.page(f"{BASE}/page", _links())
 
+    elif name == "kitchen_sink":
+        # every gate interacting in ONE crawl: robots block + exclude
+        # pattern + dup link + external HEAD-fetch + crawl-global
+        # cookie (set on the seed, required 3 rounds later) + redirect
+        # chain + basic-auth 401 + media-extension body drop + gzip
+        # decode + retry-then-ok, across a 6-round BFS. Each feature
+        # has its own isolated golden; this pins their INTERACTIONS
+        # (shared seen-set, cookie visibility across rounds, auth
+        # params frozen per attempt) to the sequential reference.
+        s.cfg = CrawlConfig(
+            auth=True,
+            crawl_external=True,
+            retries=1,
+            exclude_patterns=("/tmp",),
+            robots=(("www.site.test", "/private"),),
+        )
+        s.page(
+            f"{BASE}/",
+            _links(
+                "/hop", "/private/x", "/tmp/skip", "/dup", "/dup",
+                "http://other.test/", "/movie.mp4",
+            ),
+            set_cookie="sid=abc",
+        )
+        s.page(f"{BASE}/private/x", _links())      # robots-blocked, never fetched
+        s.page(f"{BASE}/tmp/skip", _links())       # excluded, never fetched
+        s.page(f"{BASE}/dup", _links("/secret"))
+        s.page("http://other.test/", _links("/never"))  # external: no link walk
+        s.page(f"{BASE}/movie.mp4", _links("/hidden"), content_type="text/html")
+        s.page(f"{BASE}/hop", status=302, location="/landed",
+               content_type=None, store_body=False)
+        s.page(f"{BASE}/landed", _links("/member"))
+        s.page(f"{BASE}/secret", _links("/gz"), status=401, requires_auth=True)
+        s.page(f"{BASE}/member", _links("/flaky"), requires_cookie=True)
+        raw = _links("/end") + "<p>compressed</p>"
+        s.page(f"{BASE}/gz", _gzip.compress(raw.encode()),
+               content_encoding="gzip")
+        s.page(f"{BASE}/flaky", status=500, attempt=0, store_body=False)
+        s.page(f"{BASE}/flaky", _links(), attempt=1)
+        s.page(f"{BASE}/end", _links())
+
     else:
         raise KeyError(f"unknown scenario: {name}")
     return s
@@ -341,7 +382,7 @@ ALL_SCENARIOS = [
     "hpe_external_forgiven", "auth_401", "malformed_html",
     "dup_links_one_page", "seed_fragment", "robots_block", "chain4",
     "cookie_redirect", "cookie_cross_page", "cookie_jar_disabled",
-    "dup_snapshots", "port_hosts",
+    "dup_snapshots", "port_hosts", "kitchen_sink",
 ]
 
 
