@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     # oracle gate covers it.
     "g_components_twostar",
     "sk_hist_quantiles",
+    "o_key_skew",
+    "t_inverted_index",
 ]
 
 CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "30000"))
