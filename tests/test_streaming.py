@@ -419,3 +419,54 @@ def test_cms_state_is_replay_idempotent(spark, tmp_path):
     )
     after = {(r.r, r.c): r.cnt for r in cms_counters(spark, state).collect()}
     assert after == before
+
+
+def test_hist_quantiles_stream_merges_to_batch(spark, tmp_path):
+    """Streaming histogram quantiles: two drops on one checkpoint; the
+    merged histogram equals the batch histogram over the union
+    cell-for-cell, and the quantile read-out matches the batch
+    read-out exactly (same integer coverage test)."""
+    from node_crawler_spark.streaming.quantiles import (
+        hist_counters,
+        hist_partial,
+        hist_quantiles,
+        start_hist_query,
+    )
+
+    src = tmp_path / "rows"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = [("en", 10 + 64 * (i % 5)) for i in range(50)]
+    b2 = [("en", 300 + 7 * i) for i in range(30)] + [("de", 99)]
+
+    def run(name, rows):
+        (src / f"{name}.csv").write_text(
+            "\n".join(f"{g},{v}" for g, v in rows) + "\n"
+        )
+        stream = spark.readStream.schema("g string, n_chars long").csv(str(src))
+        q = start_hist_query(stream, state, ckpt)
+        q.awaitTermination(120)
+
+    run("b1", b1)
+    run("b2", b2)
+
+    merged = {(r.g, r.b): r.cnt for r in hist_counters(spark, state).collect()}
+    batch = {
+        (r.g, r.b): r.cnt
+        for r in hist_partial(
+            spark.createDataFrame(b1 + b2, "g string, n_chars long")
+        ).collect()
+    }
+    assert merged == batch
+
+    got = {r.g: r for r in hist_quantiles(spark, state).collect()}
+    assert got["en"].n_rows == 80
+    assert got["de"].n_rows == 1
+    # de: single value 99 → bucket 1 → upper edge 128 for every pct
+    assert (got["de"].p50_est, got["de"].p99_est) == (128, 128)
+    # en p50: exact median of the union is in the bucket the estimate names
+    vals = sorted(v for g, v in b1 + b2 if g == "en")
+    p50_true = vals[int(0.5 * (len(vals) - 1))]
+    assert got["en"].p50_est - 64 < p50_true <= got["en"].p50_est
