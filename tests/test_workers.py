@@ -15,7 +15,8 @@ from node_crawler_spark.plans.driver import run_crawl
 from node_crawler_spark.sources.fixtures import scenario
 from tests.reference_sim import simulate
 
-SCENARIOS = ["basic_link_crawl", "chain4", "dup_links_one_page"]
+SCENARIOS = ["basic_link_crawl", "chain4", "dup_links_one_page",
+             "kitchen_sink"]
 
 
 @pytest.mark.parametrize("name", SCENARIOS)
