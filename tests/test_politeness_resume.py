@@ -29,10 +29,17 @@ def _tables(spark, res):
     return out
 
 
-def test_resume_bit_identical(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("name", ["chain4", "kitchen_sink"])
+def test_resume_bit_identical(spark, tmp_path, name):
     """Kill after round 2, resume → identical final state to an
-    uninterrupted run (north_rule resumability)."""
-    s = scenario("chain4")
+    uninterrupted run (north_rule resumability). kitchen_sink makes
+    this adversarial: the crawl-global cookie set in round 1 and the
+    auth/retry machinery must survive the kill/resume boundary —
+    in-memory-only jar state would 403 the post-resume /member fetch."""
+    s = scenario(name)
     pages, http = s.dfs(spark)
 
     full = run_crawl(spark, s.cfg, pages, http, s.seeds, str(tmp_path / "full"))
