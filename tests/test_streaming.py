@@ -470,3 +470,53 @@ def test_hist_quantiles_stream_merges_to_batch(spark, tmp_path):
     vals = sorted(v for g, v in b1 + b2 if g == "en")
     p50_true = vals[int(0.5 * (len(vals) - 1))]
     assert got["en"].p50_est - 64 < p50_true <= got["en"].p50_est
+
+
+def test_kmv_distinct_stream_merges_to_batch(spark, tmp_path):
+    """Streaming KMV: two drops (with replayed urls) on one checkpoint;
+    the merged K-smallest set equals the batch K-smallest set over the
+    union value-for-value (so the estimate is identical too — it is a
+    pure function of those values)."""
+    from node_crawler_spark.streaming.kmv import (
+        kmv_estimate,
+        kmv_partial,
+        kmv_values,
+        start_kmv_query,
+    )
+
+    src = tmp_path / "urls"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = [("a.test", f"http://a.test/{i}") for i in range(120)]
+    b2 = [("a.test", f"http://a.test/{i}") for i in range(80, 200)] + [
+        ("b.test", f"http://b.test/{i}") for i in range(5)
+    ]
+
+    def run(name, rows):
+        (src / f"{name}.csv").write_text(
+            "\n".join(f"{g},{u}" for g, u in rows) + "\n"
+        )
+        stream = spark.readStream.schema("g string, url string").csv(str(src))
+        q = start_kmv_query(stream, state, ckpt)
+        q.awaitTermination(120)
+
+    run("b1", b1)
+    run("b2", b2)
+
+    merged = sorted(
+        (r.g, r.hv) for r in kmv_values(spark, state).collect()
+    )
+    batch = sorted(
+        (r.g, r.hv)
+        for r in kmv_partial(
+            spark.createDataFrame(b1 + b2, "g string, url string")
+        ).collect()
+    )
+    assert merged == batch
+
+    est = {r.g: r for r in kmv_estimate(spark, state).collect()}
+    assert est["a.test"].k_used == 64          # 200 distinct > K
+    assert est["b.test"].k_used == 5           # undersaturated group
+    assert 80 < est["a.test"].kmv_estimate < 500  # ~200 ± sketch error
