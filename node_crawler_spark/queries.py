@@ -1473,20 +1473,27 @@ def _pq_sqdist_sql(a: str, b: str, dim: int = PQ_SUBDIM) -> str:
     )
 
 
-def _pq_ctes() -> tuple[str, str, str]:
+def _pq_ctes(src: str = "v", include_base: bool = True) -> tuple[str, str, str]:
     """(CTE block, final codebook name, encoding name) mirroring
     _pq_codebook + the final encode, step for step. MATERIALIZED for
-    the same planner-blowup reason as _ivf_trained_ctes."""
+    the same planner-blowup reason as _ivf_trained_ctes. ``src`` is
+    the (vec_id, emb) table to quantize — 'v' for raw embeddings,
+    a residual CTE for composed IVF-PQ; ``include_base=False`` skips
+    emitting the 'v' CTE when the caller's chain already defines it."""
     sub_rows = " UNION ALL ".join(
-        f"SELECT vec_id, {m} AS m, emb[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}] AS sv FROM v"
+        f"SELECT vec_id, {m} AS m, emb[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}] AS sv FROM {src}"
         for m in range(PQ_M)
     )
     cent_list = ", ".join(
         f"CAST(SUM(CAST(sv[{i + 1}] AS DECIMAL(24,10))) AS DOUBLE) / COUNT(*)"
         for i in range(PQ_SUBDIM)
     )
-    ctes = [
-        "v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)",
+    ctes = []
+    if include_base:
+        ctes.append(
+            "v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)"
+        )
+    ctes += [
         f"sub AS MATERIALIZED ({sub_rows})",
         f"b0 AS MATERIALIZED (SELECT m, CAST(vec_id AS INT) AS code, sv AS cw "
         f"FROM sub WHERE vec_id BETWEEN 1 AND {PQ_K})",
@@ -1580,6 +1587,150 @@ SELECT (SELECT COUNT(*) FROM truth) AS n_true,
 
 
 SIM_PQ_RECALL_SQL = _pq_recall_sql()
+
+
+def _resid_list(emb: str, cent: str) -> str:
+    return "[" + ", ".join(
+        f"{emb}[{i + 1}]-{cent}[{i + 1}]" for i in range(LSH_DIM)
+    ) + "]"
+
+
+def sim_ann_ivfpq_topk(spark, sf_dir):
+    """Composed IVF-PQ (Jégou et al. 2011, §IV — the architecture
+    FAISS calls IVFPQ and every billion-vector deployment runs): the
+    trained coarse quantizer routes each vector to a cell, PQ encodes
+    the RESIDUAL emb − centroid(cell) (residuals are centered, so the
+    same code budget quantizes them far better than raw vectors), and
+    a query probes nprobe cells, building a PER-CELL ADC table from
+    its per-cell query residual. Candidates join their cell's table on
+    (cell, m, code) — the inner join against the probed-cells-only
+    table IS the probe filter; vectors in unprobed cells match nothing.
+
+    Every ingredient reuses an already-oracle-verified chain: the
+    coarse k-means from sim_ann_ivf_topk, the per-subspace codebook
+    discipline from sim_ann_pq_topk, integer-nanounit ADC sums, the
+    shared FP fold. Plan: two map-only argmin scans (cell, then code),
+    one broadcast of the ≤ nprobe·M·K distance table, one hash
+    aggregate keyed by vec_id."""
+    v = _ivf_v(spark, sf_dir)
+    cents, assigned = _ivf_trained_cents(v)
+    cents = cents.localCheckpoint()
+    resid = (
+        assigned.join(F.broadcast(cents), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.array(
+                *[
+                    F.col("emb").getItem(i) - F.col("cent").getItem(i)
+                    for i in range(LSH_DIM)
+                ]
+            ).alias("emb"),
+        )
+        .localCheckpoint()
+    )
+    sub = _pq_sub(resid.select("vec_id", "emb")).localCheckpoint()
+    book = _pq_codebook(sub)
+    enc = sub.select(
+        "vec_id",
+        "m",
+        _pq_assign_expr(
+            sorted(book.collect(), key=lambda r: (r.m, r.code))
+        ).alias("code"),
+    )
+    q = v.where(F.col("vec_id") == 0).select(F.col("emb").alias("q_emb"))
+    probe_cells = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn(
+            "sim",
+            _arr_dot(F.col("cent"), F.col("q_emb"))
+            / (_arr_norm(F.col("cent")) * _arr_norm(F.col("q_emb"))),
+        )
+        .orderBy(F.col("sim").desc(), F.col("cell"))
+        .limit(IVF_NPROBE)
+        .select("cell")
+    )
+    qres = (
+        cents.join(F.broadcast(probe_cells), "cell")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "cell",
+            F.array(
+                *[
+                    F.col("q_emb").getItem(i) - F.col("cent").getItem(i)
+                    for i in range(LSH_DIM)
+                ]
+            ).alias("emb"),
+        )
+    )
+    parts = [
+        F.struct(
+            F.lit(m).alias("m"),
+            F.slice("emb", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+        )
+        for m in range(PQ_M)
+    ]
+    qsub = qres.select("cell", F.explode(F.array(*parts)).alias("p")).select(
+        "cell", F.col("p.m").alias("m"), F.col("p.sv").alias("qsv")
+    )
+    dtab = book.join(F.broadcast(qsub), "m").select(
+        "cell",
+        "m",
+        "code",
+        F.floor(_pq_dist_col(F.col("qsv"), F.col("cw")) * PQ_SCALE)
+        .cast("long")
+        .alias("d_i"),
+    )
+    return (
+        enc.where(F.col("vec_id") != 0)
+        .join(assigned.select("vec_id", "cell"), "vec_id")
+        .join(F.broadcast(dtab), ["cell", "m", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("d_i").alias("adc_nano"))
+        .orderBy("adc_nano", "vec_id")
+        .limit(10)
+    )
+
+
+def _ivfpq_sql() -> str:
+    ivf_ctes, cfin, afin = _ivf_trained_ctes()
+    pq_ctes, bfin, enc = _pq_ctes(src="resid", include_base=False)
+    qsub_rows = " UNION ALL ".join(
+        f"SELECT cell, {m} AS m, emb[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}] AS sv FROM qres"
+        for m in range(PQ_M)
+    )
+    return f"""
+WITH {ivf_ctes},
+resid AS MATERIALIZED (
+  SELECT a.vec_id, {_resid_list('a.emb', 'c.cent')} AS emb
+  FROM {afin} a JOIN {cfin} c ON c.cell = a.cell),
+{pq_ctes},
+q AS (SELECT emb AS q_emb FROM v WHERE vec_id = 0),
+probe AS MATERIALIZED (
+  SELECT cell FROM {cfin}, q
+  ORDER BY ({_dot_sql('cent', 'q_emb')})
+           / (sqrt({_dot_sql('cent', 'cent')}) * sqrt({_dot_sql('q_emb', 'q_emb')})) DESC, cell
+  LIMIT {IVF_NPROBE}),
+qres AS MATERIALIZED (
+  SELECT c.cell, {_resid_list('q.q_emb', 'c.cent')} AS emb
+  FROM {cfin} c JOIN probe p ON p.cell = c.cell, q),
+qsub AS ({qsub_rows}),
+dtab AS MATERIALIZED (
+  SELECT s.cell, b.m, b.code,
+         CAST(FLOOR(({_pq_sqdist_sql('s.sv', 'b.cw')}) * {PQ_SCALE!r}) AS BIGINT) AS d_i
+  FROM qsub s JOIN {bfin} b ON b.m = s.m)
+SELECT e.vec_id, SUM(d.d_i) AS adc_nano
+FROM {enc} e
+JOIN {afin} a ON a.vec_id = e.vec_id
+JOIN dtab d ON d.cell = a.cell AND d.m = e.m AND d.code = e.code
+WHERE e.vec_id <> 0
+GROUP BY e.vec_id
+ORDER BY adc_nano, e.vec_id
+LIMIT 10
+"""
+
+
+SIM_IVFPQ_SQL = _ivfpq_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -5731,6 +5882,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_inverted_index": t_inverted_index,
     "o_key_skew": o_key_skew,
     "t_bpe_merges": t_bpe_merges,
+    "sim_ann_ivfpq_topk": sim_ann_ivfpq_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -5816,4 +5968,5 @@ ORACLES: dict[str, str] = {
     "t_inverted_index": T_INVIDX_SQL,
     "o_key_skew": O_SKEW_SQL,
     "t_bpe_merges": T_BPE_SQL,
+    "sim_ann_ivfpq_topk": SIM_IVFPQ_SQL,
 }
