@@ -1733,6 +1733,74 @@ LIMIT 10
 SIM_IVFPQ_SQL = _ivfpq_sql()
 
 
+def sim_ann_ivfpq_recall(spark, sf_dir):
+    """Composed IVF-PQ quality, quantified (the last recall row — LSH,
+    IVF, PQ and IVFPQ are now all graded the same way): recall@10 of
+    the probed+quantized answer against the exact squared-L2
+    brute-force top-10. Unlike sim_ann_pq_recall this number folds in
+    BOTH loss sources — coarse-probe misses (the true neighbor's cell
+    wasn't probed) and residual-quantization error. One row: n_true,
+    n_hit, recall."""
+    import functools
+
+    v = _ivf_v(spark, sf_dir)
+    q = v.where(F.col("vec_id") == 0).select(F.col("emb").alias("q_emb"))
+    terms = [
+        (F.col("emb").getItem(i) - F.col("q_emb").getItem(i))
+        * (F.col("emb").getItem(i) - F.col("q_emb").getItem(i))
+        for i in range(LSH_DIM)
+    ]
+    d = functools.reduce(lambda a, b: a + b, terms)
+    truth = (
+        v.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", d.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    found = sim_ann_ivfpq_topk(spark, sf_dir).select("vec_id")
+    hit = truth.join(found, "vec_id", "left_semi")
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_true",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_true"), 4
+            ).alias("recall"),
+        )
+    )
+
+
+def _ivfpq_recall_sql() -> str:
+    body = _ivfpq_sql().strip()
+    assert body.startswith("WITH ")
+    # reuse the full topk statement as a CTE
+    full_d = " + ".join(
+        f"(a.emb[{i + 1}]-qq.q_emb[{i + 1}])*(a.emb[{i + 1}]-qq.q_emb[{i + 1}])"
+        for i in range(LSH_DIM)
+    )
+    select_at = body.index("SELECT e.vec_id, SUM(d.d_i)")
+    ctes, final_select = body[:select_at].rstrip().rstrip(","), body[select_at:]
+    return f"""{ctes},
+found AS MATERIALIZED (
+  {final_select}),
+qq2 AS (SELECT emb AS q_emb FROM v WHERE vec_id = 0),
+truth AS MATERIALIZED (
+  SELECT a.vec_id FROM v a, qq2 qq WHERE a.vec_id <> 0
+  ORDER BY ({full_d}), a.vec_id LIMIT 10)
+SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+       (SELECT COUNT(*) FROM truth t JOIN found f ON f.vec_id = t.vec_id) AS n_hit,
+       ROUND(CAST((SELECT COUNT(*) FROM truth t JOIN found f ON f.vec_id = t.vec_id) AS DOUBLE)
+             / (SELECT COUNT(*) FROM truth), 4) AS recall
+"""
+
+
+SIM_IVFPQ_RECALL_SQL = _ivfpq_recall_sql()
+
+
 # ---------------------------------------------------------------------------
 # Near-dup family on documents (engine-portable hashes → full oracles)
 # ---------------------------------------------------------------------------
@@ -5883,6 +5951,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o_key_skew": o_key_skew,
     "t_bpe_merges": t_bpe_merges,
     "sim_ann_ivfpq_topk": sim_ann_ivfpq_topk,
+    "sim_ann_ivfpq_recall": sim_ann_ivfpq_recall,
 }
 
 ORACLES: dict[str, str] = {
@@ -5969,4 +6038,5 @@ ORACLES: dict[str, str] = {
     "o_key_skew": O_SKEW_SQL,
     "t_bpe_merges": T_BPE_SQL,
     "sim_ann_ivfpq_topk": SIM_IVFPQ_SQL,
+    "sim_ann_ivfpq_recall": SIM_IVFPQ_RECALL_SQL,
 }
