@@ -1800,6 +1800,187 @@ SELECT (SELECT COUNT(*) FROM truth) AS n_true,
 
 SIM_IVFPQ_RECALL_SQL = _ivfpq_recall_sql()
 
+IVFPQ_NPROBES = (1, 2, 4)
+
+
+def sim_ann_ivfpq_nprobe(spark, sf_dir):
+    """The recall-vs-nprobe curve for composed IVF-PQ — the knob a
+    production deployment actually tunes (probe more cells → scan more
+    inverted lists → higher recall, linearly more work). ONE trained
+    index (coarse cells + residual codebook, both the oracle-verified
+    chains) is shared across the sweep; each nprobe re-probes and
+    re-scores only. One row per nprobe: n_hit@10 and recall@10 vs the
+    exact squared-L2 truth."""
+    import functools
+
+    v = _ivf_v(spark, sf_dir)
+    cents, assigned = _ivf_trained_cents(v)
+    cents = cents.localCheckpoint()
+    assigned = assigned.localCheckpoint()
+    resid = (
+        assigned.join(F.broadcast(cents), "cell")
+        .select(
+            "vec_id",
+            F.array(
+                *[
+                    F.col("emb").getItem(i) - F.col("cent").getItem(i)
+                    for i in range(LSH_DIM)
+                ]
+            ).alias("emb"),
+        )
+        .localCheckpoint()
+    )
+    sub = _pq_sub(resid).localCheckpoint()
+    book = _pq_codebook(sub).localCheckpoint()
+    enc = sub.select(
+        "vec_id",
+        "m",
+        _pq_assign_expr(
+            sorted(book.collect(), key=lambda r: (r.m, r.code))
+        ).alias("code"),
+    ).localCheckpoint()
+    q = v.where(F.col("vec_id") == 0).select(F.col("emb").alias("q_emb"))
+    terms = [
+        (F.col("emb").getItem(i) - F.col("q_emb").getItem(i))
+        * (F.col("emb").getItem(i) - F.col("q_emb").getItem(i))
+        for i in range(LSH_DIM)
+    ]
+    d = functools.reduce(lambda a, b: a + b, terms)
+    truth = (
+        v.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", d.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .select("vec_id")
+        .localCheckpoint()
+    )
+    ranked = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn(
+            "sim",
+            _arr_dot(F.col("cent"), F.col("q_emb"))
+            / (_arr_norm(F.col("cent")) * _arr_norm(F.col("q_emb"))),
+        )
+        .localCheckpoint()
+    )
+    parts = [
+        F.struct(
+            F.lit(m).alias("m"),
+            F.slice("emb", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+        )
+        for m in range(PQ_M)
+    ]
+    out = None
+    for np_ in IVFPQ_NPROBES:
+        probe = (
+            ranked.orderBy(F.col("sim").desc(), F.col("cell"))
+            .limit(np_)
+            .select("cell")
+        )
+        qres = (
+            cents.join(F.broadcast(probe), "cell")
+            .crossJoin(F.broadcast(q))
+            .select(
+                "cell",
+                F.array(
+                    *[
+                        F.col("q_emb").getItem(i) - F.col("cent").getItem(i)
+                        for i in range(LSH_DIM)
+                    ]
+                ).alias("emb"),
+            )
+        )
+        qsub = qres.select(
+            "cell", F.explode(F.array(*parts)).alias("p")
+        ).select("cell", F.col("p.m").alias("m"), F.col("p.sv").alias("qsv"))
+        dtab = book.join(F.broadcast(qsub), "m").select(
+            "cell",
+            "m",
+            "code",
+            F.floor(_pq_dist_col(F.col("qsv"), F.col("cw")) * PQ_SCALE)
+            .cast("long")
+            .alias("d_i"),
+        )
+        found = (
+            enc.where(F.col("vec_id") != 0)
+            .join(assigned.select("vec_id", "cell"), "vec_id")
+            .join(F.broadcast(dtab), ["cell", "m", "code"])
+            .groupBy("vec_id")
+            .agg(F.sum("d_i").alias("adc_nano"))
+            .orderBy("adc_nano", "vec_id")
+            .limit(10)
+            .select("vec_id")
+        )
+        hit = truth.join(found, "vec_id", "left_semi")
+        row = hit.agg(F.count(F.lit(1)).alias("n_hit")).select(
+            F.lit(np_).alias("nprobe"),
+            "n_hit",
+            F.round(F.col("n_hit").cast("double") / 10, 4).alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("nprobe")
+
+
+def _ivfpq_nprobe_sql() -> str:
+    ivf_ctes, cfin, afin = _ivf_trained_ctes()
+    pq_ctes, bfin, enc = _pq_ctes(src="resid", include_base=False)
+    full_d = " + ".join(
+        f"(a.emb[{i + 1}]-qq.q_emb[{i + 1}])*(a.emb[{i + 1}]-qq.q_emb[{i + 1}])"
+        for i in range(LSH_DIM)
+    )
+    per_np = []
+    selects = []
+    for np_ in IVFPQ_NPROBES:
+        qsub_rows = " UNION ALL ".join(
+            f"SELECT cell, {m} AS m, emb[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}] AS sv FROM qres{np_}"
+            for m in range(PQ_M)
+        )
+        per_np.append(f"""probe{np_} AS MATERIALIZED (
+  SELECT cell FROM {cfin}, q
+  ORDER BY ({_dot_sql('cent', 'q_emb')})
+           / (sqrt({_dot_sql('cent', 'cent')}) * sqrt({_dot_sql('q_emb', 'q_emb')})) DESC, cell
+  LIMIT {np_}),
+qres{np_} AS MATERIALIZED (
+  SELECT c.cell, {_resid_list('q.q_emb', 'c.cent')} AS emb
+  FROM {cfin} c JOIN probe{np_} p ON p.cell = c.cell, q),
+dtab{np_} AS MATERIALIZED (
+  SELECT s.cell, b.m, b.code,
+         CAST(FLOOR(({_pq_sqdist_sql('s.sv', 'b.cw')}) * {PQ_SCALE!r}) AS BIGINT) AS d_i
+  FROM ({qsub_rows}) s JOIN {bfin} b ON b.m = s.m),
+found{np_} AS MATERIALIZED (
+  SELECT e.vec_id FROM {enc} e
+  JOIN {afin} a ON a.vec_id = e.vec_id
+  JOIN dtab{np_} d ON d.cell = a.cell AND d.m = e.m AND d.code = e.code
+  WHERE e.vec_id <> 0
+  GROUP BY e.vec_id
+  ORDER BY SUM(d.d_i), e.vec_id
+  LIMIT 10)""")
+        selects.append(
+            f"SELECT {np_} AS nprobe, "
+            f"(SELECT COUNT(*) FROM truth t JOIN found{np_} f ON f.vec_id = t.vec_id) AS n_hit, "
+            f"ROUND(CAST((SELECT COUNT(*) FROM truth t JOIN found{np_} f ON f.vec_id = t.vec_id) AS DOUBLE) / 10, 4) AS recall"
+        )
+    np_block = ",\n".join(per_np)
+    sel_block = " UNION ALL ".join(selects)
+    return f"""
+WITH {ivf_ctes},
+resid AS MATERIALIZED (
+  SELECT a.vec_id, {_resid_list('a.emb', 'c.cent')} AS emb
+  FROM {afin} a JOIN {cfin} c ON c.cell = a.cell),
+{pq_ctes},
+q AS (SELECT emb AS q_emb FROM v WHERE vec_id = 0),
+truth AS MATERIALIZED (
+  SELECT a.vec_id FROM v a, q qq WHERE a.vec_id <> 0
+  ORDER BY ({full_d}), a.vec_id LIMIT 10),
+{np_block}
+{sel_block}
+ORDER BY nprobe
+"""
+
+
+SIM_IVFPQ_NPROBE_SQL = _ivfpq_nprobe_sql()
+
 
 # ---------------------------------------------------------------------------
 # Near-dup family on documents (engine-portable hashes → full oracles)
@@ -5952,6 +6133,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_bpe_merges": t_bpe_merges,
     "sim_ann_ivfpq_topk": sim_ann_ivfpq_topk,
     "sim_ann_ivfpq_recall": sim_ann_ivfpq_recall,
+    "sim_ann_ivfpq_nprobe": sim_ann_ivfpq_nprobe,
 }
 
 ORACLES: dict[str, str] = {
@@ -6039,4 +6221,5 @@ ORACLES: dict[str, str] = {
     "t_bpe_merges": T_BPE_SQL,
     "sim_ann_ivfpq_topk": SIM_IVFPQ_SQL,
     "sim_ann_ivfpq_recall": SIM_IVFPQ_RECALL_SQL,
+    "sim_ann_ivfpq_nprobe": SIM_IVFPQ_NPROBE_SQL,
 }
