@@ -6044,6 +6044,114 @@ def _bpe_sql() -> str:
 T_BPE_SQL = _bpe_sql()
 
 
+LINE_W = 8        # words per "line" (deterministic segmentation proxy)
+LINE_DF_MIN = 5   # line is boilerplate when ≥ this many docs share it
+
+
+def t_line_dedup(spark, sf_dir):
+    """CCNet-style LINE-level dedup (Wenzek et al. 2020 §3.1 — remove
+    lines repeated verbatim across the corpus: cookie banners, nav
+    menus, share buttons; the single highest-yield cleanup CCNet
+    applies before its LM filter). Fourth repetition axis beside the
+    within-doc t_repetition_filter, within-source shingle t_boilerplate
+    and source-pair d_mirror_sources: corpus-WIDE, exact-line
+    granularity, and the STRIPPED TEXT ITSELF is md5-checked, not just
+    the counts. The synthetic corpus has no newlines, so "lines" are
+    deterministic 8-word windows (``slice``/list-slice give the same
+    segmentation on both engines); a crawl-wide cookie banner and a
+    per-source promo line are injected at aligned line positions on
+    BOTH engines — the df counter must find exactly what was planted
+    (df=corpus for the banner, df=docs-per-source for the promo, so
+    the LINE_DF_MIN=5 threshold splits them differently per SF).
+
+    100 TB posture: segmentation is pure codegen (no explode until the
+    line table, which is |corpus|/8 rows); the boilerplate set — lines
+    with df ≥ 5 — is a tiny aggregate BROADCAST back over the line
+    table (the corpus is never shuffled for the membership test); the
+    per-doc rebuild groups on doc_id, one shuffle. Reference scope:
+    crawler.js has no text curation — this extends its collected
+    corpus the way CCNet extends Common Crawl."""
+    d = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.lit("cookie notice accept all cookies to continue reading "),
+        F.lit("special offer from "),
+        F.col("source"),
+        F.lit(" today only buy now "),
+        F.col("text"),
+    )
+    toks = d.select("doc_id", F.split(injected, " ").alias("toks"))
+    lines = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, (size(toks)-1) div {LINE_W}),"
+                f" i -> array_join(slice(toks, i*{LINE_W}+1, {LINE_W}), ' '))"
+            )
+        ).alias("line_no", "line"),
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= LINE_DF_MIN)
+        .select("line", F.lit(1).alias("_b"))
+    )
+    marked = lines.join(F.broadcast(boiler), "line", "left")
+    agg = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("_b").isNull(), 1).otherwise(0)).alias("n_kept"),
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("_b").isNull(), F.struct("line_no", "line"))
+            )
+        ).alias("_kl"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.round(F.col("n_kept").cast("double") / F.col("n_lines"), 6).alias(
+            "kept_ratio"
+        ),
+        F.md5(
+            F.array_join(F.transform("_kl", lambda s: s["line"]), " ")
+        ).alias("kept_fp"),
+    ).orderBy("doc_id")
+
+
+T_LINE_DEDUP_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split('cookie notice accept all cookies to continue reading '
+           || 'special offer from ' || source || ' today only buy now '
+           || text, ' ') AS toks
+  FROM documents),
+lines AS (
+  SELECT doc_id, s.line_no AS line_no, s.line AS line
+  FROM (SELECT doc_id,
+               unnest(list_transform(
+                 range((len(toks) + {LINE_W - 1}) // {LINE_W}),
+                 i -> {{'line_no': i,
+                        'line': array_to_string(
+                          toks[i*{LINE_W}+1 : i*{LINE_W}+{LINE_W}], ' ')}}))
+                 AS s
+        FROM base)),
+boiler AS (
+  SELECT line FROM lines GROUP BY line
+  HAVING COUNT(DISTINCT doc_id) >= {LINE_DF_MIN}),
+marked AS (
+  SELECT l.doc_id, l.line_no, l.line, b.line IS NOT NULL AS is_boiler
+  FROM lines l LEFT JOIN boiler b USING (line))
+SELECT doc_id,
+       COUNT(*) AS n_lines,
+       SUM(CASE WHEN is_boiler THEN 0 ELSE 1 END) AS n_kept,
+       ROUND(CAST(SUM(CASE WHEN is_boiler THEN 0 ELSE 1 END) AS DOUBLE)
+             / COUNT(*), 6) AS kept_ratio,
+       md5(coalesce(string_agg(CASE WHEN NOT is_boiler THEN line END,
+                               ' ' ORDER BY line_no), '')) AS kept_fp
+FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6134,6 +6242,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_ivfpq_topk": sim_ann_ivfpq_topk,
     "sim_ann_ivfpq_recall": sim_ann_ivfpq_recall,
     "sim_ann_ivfpq_nprobe": sim_ann_ivfpq_nprobe,
+    "t_line_dedup": t_line_dedup,
 }
 
 ORACLES: dict[str, str] = {
@@ -6222,4 +6331,5 @@ ORACLES: dict[str, str] = {
     "sim_ann_ivfpq_topk": SIM_IVFPQ_SQL,
     "sim_ann_ivfpq_recall": SIM_IVFPQ_RECALL_SQL,
     "sim_ann_ivfpq_nprobe": SIM_IVFPQ_NPROBE_SQL,
+    "t_line_dedup": T_LINE_DEDUP_SQL,
 }
