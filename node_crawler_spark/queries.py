@@ -6152,6 +6152,136 @@ FROM marked GROUP BY doc_id ORDER BY doc_id
 """
 
 
+TRAP_MIN_PATHS = 3  # template is suspect once ≥ this many distinct paths
+
+
+def o_url_traps(spark, sf_dir):
+    """Crawl-trap detection by URL-template explosion (the Heritrix
+    "pathological path" / IRLbot spam-control heuristic — calendar
+    pages, session-id paths and infinite facet spaces that a frontier
+    must starve before they eat the politeness budget; the operational
+    complement to o_key_skew's join-side view of the same hot-domain
+    pathology). Each URL's path is collapsed to a TEMPLATE: hex runs
+    ≥ 8 chars → 'H' (session ids), then digit runs → 'N'; per
+    (host, template) the profile reports url count, distinct-path
+    cardinality, and the host-traffic share in exact BIGINT ppm. A
+    template is flagged when it has ≥ 3 distinct paths AND looks
+    machine-generated: ≥ 2 numeric wildcards (date hierarchies —
+    /cal/N/N/N) or any hex wildcard (session ids — /s/H); a plain
+    paginated listing (/page/N, one wildcard) is NOT a trap. The
+    synthetic corpus has no URLs, so each doc deterministically mints
+    one on BOTH engines: host from its source, path from (doc_id div 20)%5 (decorrelated from the source id) —
+    a 3-level calendar date, a 12-hex session id, or a page number.
+
+    100 TB posture: template collapse is two regexp_replace in the
+    scan's codegen Project; one hash aggregate keyed (host, template)
+    — |output| is the number of TEMPLATES, not URLs; host totals are
+    a second tiny aggregate broadcast back. The flagged templates
+    feed F4's exclude patterns for the next crawl. Reference scope:
+    crawler.js relies on manual `exclude` lists (crawler.js:56) —
+    this learns them."""
+    d = _t(spark, sf_dir, "documents")
+    branch = F.expr("(doc_id div 20) % 5")
+    path = (
+        F.when(
+            branch == 0,
+            F.concat(
+                F.lit("/cal/"),
+                (F.col("doc_id") % 40 + 2000).cast("string"),
+                F.lit("/"),
+                (F.col("doc_id") % 12 + 1).cast("string"),
+                F.lit("/"),
+                (F.col("doc_id") % 28 + 1).cast("string"),
+            ),
+        )
+        .when(
+            branch == 1,
+            F.concat(
+                F.lit("/s/"),
+                F.substring(
+                    F.md5(F.concat(F.lit("sid:"), F.col("doc_id").cast("string"))),
+                    1,
+                    12,
+                ),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("/page/"), (F.col("doc_id") % 97).cast("string"))
+        )
+    )
+    urls = d.select(
+        F.concat(F.col("source"), F.lit(".example.test")).alias("host"),
+        path.alias("path"),
+    ).withColumn(
+        "template",
+        F.regexp_replace(
+            F.regexp_replace("path", "[0-9a-f]{8,}", "H"), "[0-9]+", "N"
+        ),
+    )
+    prof = urls.groupBy("host", "template").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("path").alias("n_paths"),
+    )
+    totals = urls.groupBy("host").agg(F.count("*").alias("host_total"))
+    n_n = F.length("template") - F.length(F.regexp_replace("template", "N", ""))
+    n_h = F.length("template") - F.length(F.regexp_replace("template", "H", ""))
+    return (
+        prof.join(F.broadcast(totals), "host")
+        .select(
+            "host",
+            "template",
+            "n_urls",
+            "n_paths",
+            F.expr("n_urls * 1000000L div host_total").alias("host_share_ppm"),
+            n_n.cast("long").alias("n_num_wild"),
+            n_h.cast("long").alias("n_hex_wild"),
+            (
+                (F.col("n_paths") >= TRAP_MIN_PATHS)
+                & ((n_n >= 2) | (n_h >= 1))
+            ).alias("is_trap"),
+        )
+        .orderBy("host", "template")
+    )
+
+
+O_TRAPS_SQL = f"""
+WITH urls AS (
+  SELECT source || '.example.test' AS host,
+         CASE
+           WHEN (doc_id // 20) % 5 = 0 THEN
+             '/cal/' || CAST(doc_id % 40 + 2000 AS VARCHAR)
+               || '/' || CAST(doc_id % 12 + 1 AS VARCHAR)
+               || '/' || CAST(doc_id % 28 + 1 AS VARCHAR)
+           WHEN (doc_id // 20) % 5 = 1 THEN
+             '/s/' || substr(md5('sid:' || CAST(doc_id AS VARCHAR)), 1, 12)
+           ELSE '/page/' || CAST(doc_id % 97 AS VARCHAR)
+         END AS path
+  FROM documents),
+shaped AS (
+  SELECT host, path,
+         regexp_replace(regexp_replace(path, '[0-9a-f]{{8,}}', 'H', 'g'),
+                        '[0-9]+', 'N', 'g') AS template
+  FROM urls),
+prof AS (
+  SELECT host, template, COUNT(*) AS n_urls,
+         COUNT(DISTINCT path) AS n_paths
+  FROM shaped GROUP BY host, template),
+totals AS (SELECT host, COUNT(*) AS host_total FROM shaped GROUP BY host)
+SELECT p.host, p.template, p.n_urls, p.n_paths,
+       p.n_urls * 1000000 // t.host_total AS host_share_ppm,
+       CAST(length(p.template)
+            - length(replace(p.template, 'N', '')) AS BIGINT) AS n_num_wild,
+       CAST(length(p.template)
+            - length(replace(p.template, 'H', '')) AS BIGINT) AS n_hex_wild,
+       (p.n_paths >= {TRAP_MIN_PATHS}
+        AND (length(p.template) - length(replace(p.template, 'N', '')) >= 2
+             OR length(p.template) - length(replace(p.template, 'H', '')) >= 1))
+         AS is_trap
+FROM prof p JOIN totals t USING (host)
+ORDER BY host, template
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6243,6 +6373,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_ivfpq_recall": sim_ann_ivfpq_recall,
     "sim_ann_ivfpq_nprobe": sim_ann_ivfpq_nprobe,
     "t_line_dedup": t_line_dedup,
+    "o_url_traps": o_url_traps,
 }
 
 ORACLES: dict[str, str] = {
@@ -6332,4 +6463,5 @@ ORACLES: dict[str, str] = {
     "sim_ann_ivfpq_recall": SIM_IVFPQ_RECALL_SQL,
     "sim_ann_ivfpq_nprobe": SIM_IVFPQ_NPROBE_SQL,
     "t_line_dedup": T_LINE_DEDUP_SQL,
+    "o_url_traps": O_TRAPS_SQL,
 }
