@@ -6282,6 +6282,114 @@ ORDER BY host, template
 """
 
 
+def d_surt_dup(spark, sf_dir):
+    """URL-level dedup by SURT key (Sort-friendly URI Reordering
+    Transform — the canonical-URL convention of Common Crawl's CDX
+    indexes and OpenWayback, and the natural key for sources/warc.py's
+    CDX sidecar): scheme dropped (http==https), host lowercased,
+    default ports 80/443 stripped, leading ``www.`` stripped, fragment
+    stripped, host labels REVERSED and comma-joined so one registrable
+    domain's urls sort adjacent (``com,example)/path``) — the dedup
+    axis ABOVE the seen-set's exact-string identity (D1 treats
+    ``http://X`` and ``https://www.X:443`` as different urls; a
+    re-crawl shouldn't). The synthetic corpus has no urls, so each doc
+    mints one of 4 variants (plain / UPPERCASE+:80 / https+www /
+    fragment) of its resource group's url on BOTH engines — every
+    4-doc group must collapse to ONE surt key with 4 distinct raws.
+
+    100 TB posture: the whole transform is a chain of lower/regexp/
+    split/reverse string ops in the scan's codegen Project — no UDF,
+    no shuffle until the ONE hash aggregate on surt_key (the same
+    shape as D1's exact dedup, just a computed key); output
+    cardinality = logical resources, not raw urls. Reference scope:
+    crawler.js:69-78 canonicalizes only by stripping fragments —
+    SURT is what its seen-set would need at archive scale."""
+    d = _t(spark, sf_dir, "documents")
+    rid = F.expr("doc_id div 4")
+    base = F.concat(
+        F.lit("example-"), (rid % 7).cast("string"), F.lit(".test/res/"),
+        rid.cast("string"),
+    )
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(F.lit("http://"), base))
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("HTTP://"),
+                F.upper(F.concat(F.lit("example-"), (rid % 7).cast("string"), F.lit(".test"))),
+                F.lit(":80/res/"),
+                rid.cast("string"),
+            ),
+        )
+        .when(v == 2, F.concat(F.lit("https://www."), base))
+        .otherwise(F.concat(F.lit("http://"), base, F.lit("#frag")))
+    )
+    u = d.select("doc_id", url.alias("url"))
+    nofrag = F.regexp_replace(F.lower("url"), "#.*$", "")
+    rest = F.regexp_replace(nofrag, "^https?://", "")
+    host0 = F.regexp_extract(rest, "^[^/]+", 0)
+    path = F.regexp_replace(rest, "^[^/]+", "")
+    host = F.regexp_replace(
+        F.regexp_replace(host0, ":(80|443)$", ""), "^www\\.", ""
+    )
+    surt = F.concat(
+        F.array_join(F.reverse(F.split(host, "\\.")), ","),
+        F.lit(")"),
+        F.when(path == "", F.lit("/")).otherwise(path),
+    )
+    return (
+        u.select("doc_id", "url", surt.alias("surt_key"))
+        .groupBy("surt_key")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("url").alias("n_raw_variants"),
+            F.min("url").alias("canonical_raw"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .orderBy("surt_key")
+    )
+
+
+D_SURT_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'http://example-' || CAST((doc_id // 4) % 7 AS VARCHAR)
+                    || '.test/res/' || CAST(doc_id // 4 AS VARCHAR)
+           WHEN 1 THEN 'HTTP://' || upper('example-'
+                    || CAST((doc_id // 4) % 7 AS VARCHAR) || '.test')
+                    || ':80/res/' || CAST(doc_id // 4 AS VARCHAR)
+           WHEN 2 THEN 'https://www.example-'
+                    || CAST((doc_id // 4) % 7 AS VARCHAR)
+                    || '.test/res/' || CAST(doc_id // 4 AS VARCHAR)
+           ELSE 'http://example-' || CAST((doc_id // 4) % 7 AS VARCHAR)
+                    || '.test/res/' || CAST(doc_id // 4 AS VARCHAR) || '#frag'
+         END AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id, url,
+         regexp_replace(regexp_replace(lower(url), '#.*$', ''),
+                        '^https?://', '') AS rest
+  FROM u),
+hp AS (
+  SELECT doc_id, url,
+         regexp_replace(regexp_replace(
+             regexp_extract(rest, '^[^/]+'), ':(80|443)$', ''),
+             '^www\\.', '') AS host,
+         regexp_replace(rest, '^[^/]+', '') AS path
+  FROM parts)
+SELECT array_to_string(list_reverse(string_split(host, '.')), ',') || ')'
+         || CASE WHEN path = '' THEN '/' ELSE path END AS surt_key,
+       COUNT(*) AS n_urls,
+       COUNT(DISTINCT url) AS n_raw_variants,
+       MIN(url) AS canonical_raw,
+       MIN(doc_id) AS keeper_doc
+FROM hp
+GROUP BY 1 ORDER BY surt_key
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6374,6 +6482,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_ivfpq_nprobe": sim_ann_ivfpq_nprobe,
     "t_line_dedup": t_line_dedup,
     "o_url_traps": o_url_traps,
+    "d_surt_dup": d_surt_dup,
 }
 
 ORACLES: dict[str, str] = {
@@ -6464,4 +6573,5 @@ ORACLES: dict[str, str] = {
     "sim_ann_ivfpq_nprobe": SIM_IVFPQ_NPROBE_SQL,
     "t_line_dedup": T_LINE_DEDUP_SQL,
     "o_url_traps": O_TRAPS_SQL,
+    "d_surt_dup": D_SURT_SQL,
 }
