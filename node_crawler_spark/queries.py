@@ -6390,6 +6390,125 @@ GROUP BY 1 ORDER BY surt_key
 """
 
 
+# Embedded public-suffix subset, longest-match-first (the real list is
+# ~9k rules; the ALGORITHM — longest matching suffix wins, private
+# suffixes like github.io make each user a registrable domain — is
+# what's under test, and swapping in the full list is a data change).
+PSL_SUFFIXES = ["github.io", "co.uk", "com", "org", "uk", "io"]
+
+
+def p_pld_extract(spark, sf_dir):
+    """Registrable-domain (pay-level-domain) extraction under
+    public-suffix rules (publicsuffix.org — the key real crawlers
+    group politeness budgets and seen-set salts by: 'a.shop.x.co.uk'
+    and 'cdn.x.co.uk' are ONE crawl target 'x.co.uk', while
+    'alice.github.io' and 'bob.github.io' are TWO, because github.io
+    is a private suffix; hostname-keyed budgets (A4's key) overthrottle
+    multi-subdomain sites and underthrottle user-content suffixes).
+    Longest-match-wins over an embedded suffix subset; PLD = last
+    label before the matched suffix + the suffix. The synthetic corpus
+    has no hosts, so each doc mints one of 4 deterministic shapes on
+    BOTH engines (nested co.uk subdomain / cdn .com subdomain /
+    github.io user site / bare .org); the rollup reports docs and
+    DISTINCT HOSTS per PLD — the contraction a PLD-keyed scheduler
+    sees vs a host-keyed one.
+
+    100 TB posture: suffix match is a literal CASE chain + one
+    regexp_extract in the scan's codegen Project (no UDF, no lookup
+    join — the PSL is a broadcast-sized literal by nature); ONE hash
+    aggregate on pld. Reference scope: crawler.js keys everything by
+    raw hostname (crawler.js:441) — this is the archive-scale key it
+    would need."""
+    d = _t(spark, sf_dir, "documents")
+    b = F.expr("(doc_id div 20) % 4")
+    host = (
+        F.when(
+            b == 0,
+            F.concat(
+                F.lit("a"), (F.col("doc_id") % 5).cast("string"),
+                F.lit(".shop.example"), (F.col("doc_id") % 3).cast("string"),
+                F.lit(".co.uk"),
+            ),
+        )
+        .when(
+            b == 1,
+            F.concat(
+                F.lit("cdn"), (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example"), (F.col("doc_id") % 3).cast("string"),
+                F.lit(".com"),
+            ),
+        )
+        .when(
+            b == 2,
+            F.concat(
+                F.lit("user"), (F.col("doc_id") % 11).cast("string"),
+                F.lit(".github.io"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("example"), (F.col("doc_id") % 3).cast("string"),
+                F.lit(".org"),
+            )
+        )
+    )
+    sfx = None
+    for s in PSL_SUFFIXES:
+        cond = F.col("host").endswith("." + s)
+        sfx = F.when(cond, F.lit(s)) if sfx is None else sfx.when(cond, F.lit(s))
+    u = d.select("doc_id", host.alias("host")).withColumn("sfx", sfx)
+    pld = F.concat(
+        F.regexp_extract(
+            F.expr("substr(host, 1, length(host) - length(sfx) - 1)"),
+            "([^.]+)$",
+            1,
+        ),
+        F.lit("."),
+        F.col("sfx"),
+    )
+    return (
+        u.select("doc_id", "host", "sfx", pld.alias("pld"))
+        .groupBy("pld")
+        .agg(
+            F.first("sfx").alias("public_suffix"),
+            F.count("*").alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+        )
+        .orderBy("pld")
+    )
+
+
+def _pld_sql() -> str:
+    case = "CASE " + " ".join(
+        f"WHEN host LIKE '%.{s}' THEN '{s}'" for s in PSL_SUFFIXES
+    ) + " END"
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+         CASE (doc_id // 20) % 4
+           WHEN 0 THEN 'a' || CAST(doc_id % 5 AS VARCHAR) || '.shop.example'
+                    || CAST(doc_id % 3 AS VARCHAR) || '.co.uk'
+           WHEN 1 THEN 'cdn' || CAST(doc_id % 7 AS VARCHAR) || '.example'
+                    || CAST(doc_id % 3 AS VARCHAR) || '.com'
+           WHEN 2 THEN 'user' || CAST(doc_id % 11 AS VARCHAR) || '.github.io'
+           ELSE 'example' || CAST(doc_id % 3 AS VARCHAR) || '.org'
+         END AS host
+  FROM documents),
+m AS (SELECT doc_id, host, {case} AS sfx FROM u),
+p AS (
+  SELECT doc_id, host, sfx,
+         regexp_extract(substr(host, 1, length(host) - length(sfx) - 1),
+                        '([^.]+)$', 1) || '.' || sfx AS pld
+  FROM m)
+SELECT pld, MIN(sfx) AS public_suffix, COUNT(*) AS n_docs,
+       COUNT(DISTINCT host) AS n_hosts
+FROM p GROUP BY pld ORDER BY pld
+"""
+
+
+P_PLD_SQL = _pld_sql()
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6483,6 +6602,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_line_dedup": t_line_dedup,
     "o_url_traps": o_url_traps,
     "d_surt_dup": d_surt_dup,
+    "p_pld_extract": p_pld_extract,
 }
 
 ORACLES: dict[str, str] = {
@@ -6574,4 +6694,5 @@ ORACLES: dict[str, str] = {
     "t_line_dedup": T_LINE_DEDUP_SQL,
     "o_url_traps": O_TRAPS_SQL,
     "d_surt_dup": D_SURT_SQL,
+    "p_pld_extract": P_PLD_SQL,
 }
