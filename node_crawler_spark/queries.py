@@ -6509,6 +6509,126 @@ FROM p GROUP BY pld ORDER BY pld
 P_PLD_SQL = _pld_sql()
 
 
+DSIR_BUCKETS = 1024       # hashed n-gram feature space (Xie et al. use 10^4)
+DSIR_TARGET_LANG = "en"   # the "target distribution" sample
+
+
+def t_dsir_importance(spark, sf_dir):
+    """DSIR importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — the
+    pretraining-data selection method behind DoReMi-era pipelines:
+    score every raw document by how target-like its hashed n-gram
+    profile is, then resample ∝ weight). Features are word bigrams
+    hashed into 1024 buckets with the portable md5 family; the target
+    distribution is the English slice, raw is the whole corpus; a
+    feature's log-ratio log2(p_target/p_raw) is computed EXACTLY in
+    integer bits as ilog2((cnt_t+1)·tot_r) − ilog2((cnt_r+1)·tot_t)
+    (add-1 smoothed, ilog2 = length(bin(x))−1 — the t_zipf_surprisal
+    discipline: no log(), no float accumulation); a doc's importance
+    is the BIGINT sum of its features' bits (order-independent),
+    selection = nonnegative total. Deterministic twin of DSIR's
+    sampling step: rank, don't roll dice.
+
+    100 TB posture: the feature table is ≤ 1024 rows however big the
+    corpus — both the weight build (one hash aggregate + 1-row totals
+    crossJoin) and the scoring join (weights BROADCAST back over the
+    bigram stream) keep the corpus un-shuffled except the per-doc sum,
+    one hash(doc_id) aggregate. At a real 100 TB run the counts are
+    rescaled (divide both totals by 2^k) before the product to keep
+    BIGINT headroom; at test SFs the products stay ≤ 2^40. Reference
+    scope: crawler.js collects the corpus — DSIR decides what of it
+    a training run keeps."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", "lang", F.split(F.lower(F.trim("text")), "\\s+").alias("w")
+    )
+    bi = (
+        w.where(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2), "
+                    "i -> concat(w[i], ' ', w[i+1]))"
+                )
+            ).alias("g"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.pmod(_phash(F.col("g"), "dsir"), F.lit(DSIR_BUCKETS)).alias("b"),
+        )
+    )
+    feat = bi.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cnt_r"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("cnt_t"),
+    )
+    tot = feat.agg(
+        F.sum("cnt_r").alias("tot_r"), F.sum("cnt_t").alias("tot_t")
+    )
+    wtab = feat.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            (F.length(F.bin(F.expr("(cnt_t + 1) * tot_r"))) - F.lit(1))
+            - (F.length(F.bin(F.expr("(cnt_r + 1) * tot_t"))) - F.lit(1))
+        )
+        .cast("long")
+        .alias("w_bits"),
+    )
+    scored = (
+        bi.join(F.broadcast(wtab), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("w_bits").alias("score_bits"),
+        )
+    )
+    mean = F.round(
+        F.col("score_bits").cast("double") / F.col("n_feats").cast("double"), 6
+    )
+    return scored.select(
+        "doc_id",
+        "n_feats",
+        "score_bits",
+        mean.alias("mean_bits"),
+        (F.col("score_bits") >= 0).alias("keep"),
+    ).orderBy("doc_id")
+
+
+T_DSIR_SQL = f"""
+WITH w AS (
+  SELECT doc_id, lang,
+         string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents),
+bi AS (
+  SELECT doc_id, lang, {_phash_sql("g", "dsir")} % {DSIR_BUCKETS} AS b
+  FROM (SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(w)),
+                      i -> w[i] || ' ' || w[i+1])) AS g
+        FROM w)),
+feat AS (
+  SELECT b, COUNT(*) AS cnt_r,
+         SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS cnt_t
+  FROM bi GROUP BY b),
+tot AS (SELECT SUM(cnt_r) AS tot_r, SUM(cnt_t) AS tot_t FROM feat),
+wtab AS (
+  SELECT b, (length(bin((cnt_t + 1) * tot_r)) - 1)
+          - (length(bin((cnt_r + 1) * tot_t)) - 1) AS w_bits
+  FROM feat CROSS JOIN tot),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_feats, SUM(w_bits) AS score_bits
+  FROM bi JOIN wtab USING (b) GROUP BY doc_id)
+SELECT doc_id, n_feats, score_bits,
+       ROUND(CAST(score_bits AS DOUBLE) / CAST(n_feats AS DOUBLE), 6)
+         AS mean_bits,
+       score_bits >= 0 AS keep
+FROM scored ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6603,6 +6723,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o_url_traps": o_url_traps,
     "d_surt_dup": d_surt_dup,
     "p_pld_extract": p_pld_extract,
+    "t_dsir_importance": t_dsir_importance,
 }
 
 ORACLES: dict[str, str] = {
@@ -6695,4 +6816,5 @@ ORACLES: dict[str, str] = {
     "o_url_traps": O_TRAPS_SQL,
     "d_surt_dup": D_SURT_SQL,
     "p_pld_extract": P_PLD_SQL,
+    "t_dsir_importance": T_DSIR_SQL,
 }
