@@ -6629,6 +6629,142 @@ FROM scored ORDER BY doc_id
 """
 
 
+RRF_K = 60      # the canonical RRF constant (Cormack et al. 2009)
+RRF_TOP = 50    # per-ranker shortlist depth
+RRF_QUERY = ("table", "spark", "join")
+
+
+def t_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval by reciprocal rank fusion (Cormack, Clarke &
+    Büttcher 2009 — the standard way to combine a lexical and a dense
+    ranker without score calibration; what Elasticsearch/Vespa call
+    "hybrid search"). Leg 1 (lexical): integer tf·idf-bits over the
+    fixed query terms (idf in exact ilog2 bits — the t_zipf_surprisal
+    discipline). Leg 2 (dense): brute-force cosine against the
+    vec_id=0 query vector (the sim_cosine_topk baseline; doc_id and
+    vec_id share the id space). Each leg contributes its top-50 with
+    ranks broken deterministically by (score, id); fusion is INTEGER
+    micro-RRF — 10^6 div (60+rank), summed — so the fused ordering is
+    bit-identical cross-engine with no float addition anywhere.
+
+    100 TB posture: each leg's shortlist is a TakeOrderedAndProject
+    (never a global sort); the rank window then runs over ≤ 50 rows —
+    bounded, single-task by construction; the fusion join is 50×50.
+    The lexical leg shuffles only the query-term postings (IN-list
+    filter before the explode's aggregates). Reference scope:
+    retrieval over the crawled corpus is what the reference's users
+    build downstream; fusion is the production read path when both
+    an inverted index (t_inverted_index) and an ANN index
+    (sim_ann_*) exist."""
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    n_docs = d.agg(F.count(F.lit(1)).alias("n"))
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("term"),
+    ).where(F.col("term").isin(*RRF_QUERY))
+    df_t = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    lex = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            (F.col("tf") * (F.length(F.bin(F.expr("n div df"))) - F.lit(1)))
+            .cast("long")
+            .alias("part"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("part").alias("score_lex"))
+    )
+    lex_top = lex.orderBy(F.col("score_lex").desc(), "doc_id").limit(RRF_TOP)
+    lex_r = lex_top.select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("score_lex").desc(), "doc_id"))
+        .alias("r_lex"),
+    )
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("q_emb")
+    )
+    v = e.where(F.col("vec_id") != 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    dot = F.aggregate(
+        F.zip_with("emb", "q_emb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    dense = v.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.round(dot / (norm(F.col("emb")) * norm(F.col("q_emb"))), 4).alias(
+            "cos"
+        ),
+    )
+    dense_top = dense.orderBy(F.col("cos").desc(), "vec_id").limit(RRF_TOP)
+    dense_r = dense_top.select(
+        F.col("vec_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cos").desc(), "vec_id"))
+        .alias("r_dense"),
+    )
+    fused = lex_r.join(dense_r, "id", "full_outer").select(
+        "id",
+        "r_lex",
+        "r_dense",
+        (
+            F.coalesce(F.expr(f"1000000 div ({RRF_K} + r_lex)"), F.lit(0))
+            + F.coalesce(F.expr(f"1000000 div ({RRF_K} + r_dense)"), F.lit(0))
+        )
+        .cast("long")
+        .alias("rrf_micro"),
+    )
+    return fused.orderBy(F.col("rrf_micro").desc(), "id").limit(20)
+
+
+T_RRF_SQL = f"""
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+words AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents),
+qw AS (SELECT doc_id, term FROM words
+       WHERE term IN ({", ".join(f"'{t}'" for t in RRF_QUERY)})),
+dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM qw GROUP BY term),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM qw GROUP BY doc_id, term),
+lex AS (
+  SELECT doc_id,
+         SUM(tf * (length(bin(n // df)) - 1)) AS score_lex
+  FROM tf JOIN dft USING (term) CROSS JOIN n GROUP BY doc_id),
+lex_r AS (
+  SELECT doc_id AS id,
+         ROW_NUMBER() OVER (ORDER BY score_lex DESC, doc_id) AS r_lex
+  FROM lex ORDER BY score_lex DESC, doc_id LIMIT {RRF_TOP}),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings
+      WHERE vec_id = 0),
+dense AS (
+  SELECT vec_id,
+         ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), q_emb)
+               / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q_emb, q_emb))), 4) AS cos
+  FROM embeddings, q WHERE vec_id <> 0),
+dense_r AS (
+  SELECT vec_id AS id,
+         ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS r_dense
+  FROM dense ORDER BY cos DESC, vec_id LIMIT {RRF_TOP}),
+fused AS (
+  SELECT COALESCE(l.id, d.id) AS id, l.r_lex, d.r_dense,
+         COALESCE(1000000 // ({RRF_K} + l.r_lex), 0)
+           + COALESCE(1000000 // ({RRF_K} + d.r_dense), 0) AS rrf_micro
+  FROM lex_r l FULL OUTER JOIN dense_r d ON l.id = d.id)
+SELECT id, r_lex, r_dense, rrf_micro
+FROM fused ORDER BY rrf_micro DESC, id LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6724,6 +6860,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_surt_dup": d_surt_dup,
     "p_pld_extract": p_pld_extract,
     "t_dsir_importance": t_dsir_importance,
+    "t_rrf_fusion": t_rrf_fusion,
 }
 
 ORACLES: dict[str, str] = {
@@ -6817,4 +6954,5 @@ ORACLES: dict[str, str] = {
     "d_surt_dup": D_SURT_SQL,
     "p_pld_extract": P_PLD_SQL,
     "t_dsir_importance": T_DSIR_SQL,
+    "t_rrf_fusion": T_RRF_SQL,
 }
