@@ -61,6 +61,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "layout) into this directory",
     )
     ap.add_argument(
+        "--export-wat",
+        help="after the crawl, shard the VISITED pages' outlink graph "
+        "as WAT archives (WARC metadata records with JSON link "
+        "envelopes, Common Crawl layout) into this directory",
+    )
+    ap.add_argument(
         "--export-anchors",
         help="after the crawl, write the per-target anchor-text rollup "
         "(n_refs, n_sources, capped distinct texts) over the VISITED "
@@ -363,6 +369,39 @@ def main(argv=None) -> int:
             "dir": args.export_wet,
             "files": len(wet_manifest),
             "records": sum(m.n_records for m in wet_manifest),
+        }
+    if args.export_wat:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from node_crawler_spark.sources.warc import export_wat
+
+        w = Window.partitionBy("url").orderBy(
+            F.col("warc_ts").desc_nulls_last()
+        )
+        latest_ts = (
+            pages.select("url", "warc_ts")
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        graph = (
+            res.crawled(spark)
+            .select("url", "links")
+            .join(latest_ts, "url", "left")
+            .select(
+                "url",
+                F.coalesce(
+                    "warc_ts", F.to_timestamp(F.lit("1970-01-01"))
+                ).alias("warc_ts"),
+                "links",
+            )
+        )
+        wat_manifest = export_wat(graph, args.export_wat).collect()
+        summary["exported_wat"] = {
+            "dir": args.export_wat,
+            "files": len(wat_manifest),
+            "records": sum(m.n_records for m in wat_manifest),
         }
 
     if args.export_anchors:

@@ -581,3 +581,205 @@ def export_wet(
     return docs.sparkSession.createDataFrame(
         rows or [], "wet_file string, n_records long, n_bytes long"
     )
+
+
+# ---------------------------------------------------------------------------
+# WAT face (Common Crawl metadata archives — the third of the trio:
+# WARC = raw responses, WET = extracted text, WAT = per-page metadata
+# as JSON, most importantly the outlink list. A WAT is the WEB GRAPH
+# without the bodies: ~10× smaller than the WARC it describes, and the
+# input PageRank/HITS/anchor pipelines actually want.)
+# ---------------------------------------------------------------------------
+
+WAT_SCHEMA = (
+    "url string, warc_ts timestamp, links array<string>, title string, "
+    "source_file string"
+)
+_WAT_COLS = ["url", "warc_ts", "links", "title", "source_file"]
+
+
+def warc_metadata_record(
+    url: str, ts: datetime, links: list[str], title: str | None = None
+) -> bytes:
+    """One WARC/1.0 ``metadata`` record in the Common Crawl WAT layout:
+    payload is a JSON envelope whose
+    ``Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata``
+    carries the outlink list (``Links: [{"path": "A@/href", "url": …}]``)
+    and optional ``Head.Title``. Serialization is deterministic
+    (sorted keys, fixed separators) so the export round-trips
+    byte-identically."""
+    import json
+
+    html_meta: dict = {
+        "Links": [{"path": "A@/href", "url": u} for u in links]
+    }
+    if title is not None:
+        html_meta["Head"] = {"Title": title}
+    env = {
+        "Envelope": {
+            "WARC-Header-Metadata": {
+                "WARC-Target-URI": url,
+                "WARC-Date": ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+            },
+            "Payload-Metadata": {
+                "HTTP-Response-Metadata": {"HTML-Metadata": html_meta}
+            },
+        }
+    }
+    payload = json.dumps(env, sort_keys=True, separators=(",", ":")).encode(
+        "utf-8"
+    )
+    date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: metadata\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\n"
+        "Content-Type: application/json\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+    )
+    return head.encode("latin-1") + b"\r\n" + payload + b"\r\n\r\n"
+
+
+def wat_bytes(records: list[dict], per_record_gzip: bool = False) -> bytes:
+    """Serialize (url, ts, links[, title]) dicts to a WAT file image —
+    one gzip member per record when ``per_record_gzip`` (Common Crawl
+    layout)."""
+    import gzip as _gzip
+
+    out = []
+    for r in records:
+        blob = warc_metadata_record(
+            r["url"], r["ts"], r.get("links") or [], r.get("title")
+        )
+        out.append(_gzip.compress(blob) if per_record_gzip else blob)
+    return b"".join(out)
+
+
+def parse_wat_file(name: str, raw: bytes) -> list[tuple]:
+    """One WAT file (plain or gzip) → (_WAT_COLS) rows, ``metadata``
+    records only; non-JSON or linkless payloads yield empty link
+    arrays rather than errors (Common Crawl WATs carry records for
+    robots.txt and non-HTML responses too)."""
+    import json
+
+    if raw[:2] == b"\x1f\x8b":
+        raw = gunzip_members(raw)
+    rows = []
+    for hdrs, payload in iter_warc_records(raw):
+        if hdrs.get("warc-type") != "metadata":
+            continue
+        url = hdrs.get("warc-target-uri")
+        if not url:
+            continue
+        links: list[str] = []
+        title = None
+        try:
+            env = json.loads(payload.decode("utf-8", errors="replace"))
+            hm = (
+                env.get("Envelope", {})
+                .get("Payload-Metadata", {})
+                .get("HTTP-Response-Metadata", {})
+                .get("HTML-Metadata", {})
+            )
+            links = [
+                li["url"]
+                for li in hm.get("Links", [])
+                if isinstance(li, dict) and "url" in li
+            ]
+            title = hm.get("Head", {}).get("Title")
+        except (ValueError, AttributeError):
+            pass  # malformed envelope — keep the record, empty links
+        rows.append(
+            (url, _parse_warc_date(hdrs.get("warc-date", "")), links, title, name)
+        )
+    return rows
+
+
+def read_wat(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """WAT file(s)/glob → DataFrame of metadata records. Same
+    distribution contract as ``read_warc``/``read_wet``: one file per
+    binaryFile task, parsing inside mapInPandas Arrow batches, no
+    driver bytes."""
+    bf = spark.read.format("binaryFile").load(paths).select("path", "content")
+
+    def parse(batches):
+        for pdf in batches:
+            rows: list[tuple] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(parse_wat_file(str(path), bytes(content)))
+            out = pd.DataFrame(rows, columns=_WAT_COLS)
+            if rows:
+                out["warc_ts"] = pd.to_datetime(out["warc_ts"])
+            yield out
+
+    return bf.mapInPandas(parse, WAT_SCHEMA)
+
+
+def wat_edges(wat: DataFrame) -> DataFrame:
+    """Metadata records → the (src, dst) edge list
+    ``operators/linkgraph.py``'s PageRank/HITS consume — the WAT is
+    the web graph without the bodies, so rank jobs read ~10× fewer
+    bytes than off the WARC. Pure posexplode, link order preserved
+    in ``pos``."""
+    return wat.select(
+        F.col("url").alias("src"),
+        F.posexplode_outer("links").alias("pos", "dst"),
+    ).where(F.col("dst").isNotNull())
+
+
+def export_wat(
+    crawled: DataFrame, out_dir: str, per_record_gzip: bool = True
+) -> DataFrame:
+    """Distributed WAT export sink: (url, warc_ts, links[, title])
+    rows → ``part-NNNNN.warc.wat[.gz]`` per partition, written
+    executor-side like ``export_warc``/``export_wet``. Returns the
+    manifest (wat_file, n_records, n_bytes). The crawl→WAT path:
+    ``res.crawled(spark)`` already carries the per-page outlink
+    array the reference's onPageCrawl exposes (crawler.js:93-107) —
+    this archives the link graph alone."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    suffix = ".warc.wat.gz" if per_record_gzip else ".warc.wat"
+    cols = ["url", "warc_ts", "links"] + (
+        ["title"] if "title" in crawled.columns else []
+    )
+    src = crawled.select(*cols)
+
+    def write_part(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        recs: list[dict] = []
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                recs.append(
+                    {
+                        "url": r.url,
+                        "ts": r.warc_ts.to_pydatetime()
+                        if hasattr(r.warc_ts, "to_pydatetime")
+                        else r.warc_ts,
+                        "links": list(r.links) if r.links is not None else [],
+                        "title": getattr(r, "title", None),
+                    }
+                )
+        if not recs:
+            yield pd.DataFrame(columns=["wat_file", "n_records", "n_bytes"])
+            return
+        fname = os.path.join(out_dir, f"part-{pid:05d}{suffix}")
+        blob = wat_bytes(recs, per_record_gzip)
+        with open(fname, "wb") as fh:
+            fh.write(blob)
+        yield pd.DataFrame(
+            [(fname, len(recs), len(blob))],
+            columns=["wat_file", "n_records", "n_bytes"],
+        )
+
+    manifest = src.mapInPandas(
+        write_part, "wat_file string, n_records long, n_bytes long"
+    )
+    rows = manifest.collect()
+    return crawled.sparkSession.createDataFrame(
+        rows or [], "wat_file string, n_records long, n_bytes long"
+    )

@@ -345,3 +345,162 @@ def test_cli_export_wet(spark, tmp_path, capsys):
     for u, t in crawled.items():
         assert back[u].text == t, u
     assert back["http://site.test/"].warc_ts == _TS
+
+
+def test_wat_round_trip_edges_and_export(spark, tmp_path):
+    """WAT (metadata-record) archives — the Common Crawl trio's third
+    face: serialize → read_wat field-identical (plain == gzip); mixed
+    archives keep only metadata records; wat_edges matches the link
+    arrays; export_wat shards executor-side and re-reads identically;
+    the edges drive PageRank directly (the WAT's whole point: rank
+    without the bodies)."""
+    import datetime
+
+    from node_crawler_spark.operators.linkgraph import pagerank
+    from node_crawler_spark.sources.warc import (
+        export_wat,
+        read_wat,
+        warc_bytes,
+        wat_bytes,
+        wat_edges,
+    )
+
+    ts = datetime.datetime(2026, 3, 1, 12, 0, 0)
+    recs = [
+        {
+            "url": "http://a.test/",
+            "ts": ts,
+            "links": ["http://a.test/x", "http://b.test/"],
+            "title": "A — hömé",
+        },
+        {"url": "http://a.test/x", "ts": ts, "links": ["http://b.test/"]},
+        {"url": "http://b.test/", "ts": ts, "links": []},
+    ]
+    plain = tmp_path / "m.warc.wat"
+    gz = tmp_path / "m.warc.wat.gz"
+    plain.write_bytes(wat_bytes(recs, per_record_gzip=False))
+    gz.write_bytes(wat_bytes(recs, per_record_gzip=True))
+
+    wat = read_wat(spark, str(gz))
+    rows = {r.url: r for r in wat.collect()}
+    assert len(rows) == 3
+    assert rows["http://a.test/"].links == [
+        "http://a.test/x",
+        "http://b.test/",
+    ]
+    assert rows["http://a.test/"].title == "A — hömé"
+    assert rows["http://a.test/x"].title is None
+    assert rows["http://b.test/"].links == []
+    assert rows["http://a.test/"].warc_ts == ts
+    rows_plain = {r.url: r for r in read_wat(spark, str(plain)).collect()}
+    assert {u: (r.links, r.title) for u, r in rows_plain.items()} == {
+        u: (r.links, r.title) for u, r in rows.items()
+    }
+
+    # a mixed archive: response records are skipped by the WAT reader
+    mixed = tmp_path / "mixed.warc.gz"
+    mixed.write_bytes(
+        warc_bytes(
+            [{"url": "http://a.test/r", "ts": ts, "body": b"<html></html>"}],
+            per_record_gzip=True,
+        )
+        + wat_bytes(recs[:1], per_record_gzip=True)
+    )
+    assert read_wat(spark, str(mixed)).count() == 1
+
+    # edges face: exactly the link arrays, exploded
+    edges = {(r.src, r.dst) for r in wat_edges(wat).collect()}
+    assert edges == {
+        ("http://a.test/", "http://a.test/x"),
+        ("http://a.test/", "http://b.test/"),
+        ("http://a.test/x", "http://b.test/"),
+    }
+
+    # the rank loop runs straight off the WAT (b.test is the sink and
+    # must out-rank both linkers)
+    ranks = {
+        r.url: r.rank
+        for r in pagerank(wat_edges(wat).distinct(), iters=10).collect()
+    }
+    assert ranks["http://b.test/"] > ranks["http://a.test/x"]
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+    # distributed export → re-read round-trip
+    out = tmp_path / "shards"
+    manifest = export_wat(wat.repartition(2), str(out))
+    m = manifest.collect()
+    assert sum(r.n_records for r in m) == 3
+    back = {
+        r.url: r for r in read_wat(spark, str(out) + "/*.wat.gz").collect()
+    }
+    assert {u: (r.links, r.title) for u, r in back.items()} == {
+        u: (r.links, r.title) for u, r in rows.items()
+    }
+
+
+def test_wat_export_from_crawl_matches_crawled_links(spark, tmp_path):
+    """Crawl → export_wat → read_wat: the archived link graph equals
+    the crawled sink's link arrays exactly (crawler.js:93-107's
+    page.links, archived without bodies)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from node_crawler_spark.sources.fixtures import scenario
+    from node_crawler_spark.sources.warc import export_wat, read_wat, wat_edges
+
+    s = scenario("basic_link_crawl")
+    pages, http = s.dfs(spark)
+    res = run_crawl(spark, s.cfg, pages, http, s.seeds, str(tmp_path / "st"))
+    crawled = res.crawled(spark)
+    ts = datetime.datetime(2026, 3, 1)
+    src = crawled.select(
+        "url", F.lit(ts).cast("timestamp").alias("warc_ts"), "links"
+    )
+    out = tmp_path / "wat"
+    export_wat(src, str(out))
+    back = read_wat(spark, str(out) + "/*.wat.gz")
+    want = {
+        (r.url, tuple(r.links or [])) for r in crawled.collect()
+    }
+    got = {(r.url, tuple(r.links)) for r in back.collect()}
+    assert got == want
+    # edge count equals the sum of link-array lengths (order kept in pos)
+    n_links = sum(len(r.links or []) for r in crawled.collect())
+    assert wat_edges(back).count() == n_links
+
+
+def test_cli_export_wat(spark, tmp_path, capsys):
+    """--export-wat: the visited pages' outlink graph round-trips
+    through WAT shards exactly (links per url, snapshot warc_ts)."""
+    import json
+
+    from node_crawler_spark.cli import main
+    from node_crawler_spark.sources.warc import read_wat
+
+    path = tmp_path / "site.warc.gz"
+    path.write_bytes(warc_bytes(_site_records(), per_record_gzip=True))
+
+    rc = main(
+        [
+            "--seeds", "http://site.test/",
+            "--warc", str(path),
+            "--store", str(tmp_path / "store"),
+            "--export-wat", str(tmp_path / "wat"),
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["exported_wat"]["records"] >= 3
+
+    back = {r.url: r for r in read_wat(spark, str(tmp_path / "wat")).collect()}
+    crawled = {
+        r.url: list(r.links or [])
+        for r in spark.read.parquet(
+            str(tmp_path / "store") + "/rounds/r=*/crawled"
+        ).collect()
+    }
+    assert set(back) == set(crawled)
+    for u, links in crawled.items():
+        assert back[u].links == links, u
+    assert back["http://site.test/"].warc_ts == _TS
