@@ -520,3 +520,80 @@ def test_kmv_distinct_stream_merges_to_batch(spark, tmp_path):
     assert est["a.test"].k_used == 64          # 200 distinct > K
     assert est["b.test"].k_used == 5           # undersaturated group
     assert 80 < est["a.test"].kmv_estimate < 500  # ~200 ± sketch error
+
+
+def test_user_sessions_stream_merges_and_finalizes_once(spark, tmp_path):
+    """Streaming sessionization (streaming/sessions.py — the streaming
+    face of the oracle-checked w_user_sessions): session windows merge
+    as events arrive within the gap; a session is emitted EXACTLY once,
+    when the watermark (persisted in the checkpoint across runs) passes
+    its end; a late event behind the watermark is dropped and cannot
+    reopen or extend an already-finalized session."""
+    import datetime as dt
+
+    from node_crawler_spark.streaming.sessions import user_sessions_stream
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = "user_id long, ts timestamp"
+
+    def ts(h, m):
+        return dt.datetime(2025, 1, 1, h, m)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            user_sessions_stream(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r.user_id, r.sess_start): (r.sess_end, r.n_events)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    # batch 1: u1 has two stubs bridged by a middle event (one merged
+    # session); u2 one event; u3's 11:00 event drives the watermark
+    spark.createDataFrame(
+        [
+            (1, ts(10, 0)),
+            (1, ts(10, 4)),   # bridges 10:00 and 10:08 into ONE session
+            (1, ts(10, 8)),
+            (2, ts(10, 1)),
+            (3, ts(11, 0)),   # max event time → watermark 10:30 next run
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    # availableNow runs a trailing commit batch, so the watermark (10:30)
+    # already finalizes the two sessions it passed; u3's stays open
+    assert run() == {
+        (1, ts(10, 0)): (ts(10, 13), 3),  # [10:00, 10:08+gap) — merged, 3 events
+        (2, ts(10, 1)): (ts(10, 6), 1),
+    }
+
+    # batch 2: a LATE u1 event behind the watermark (dropped — must not
+    # extend or re-emit the finalized session) + a 12:00 event pushing
+    # the watermark past u3's session end
+    spark.createDataFrame(
+        [(1, ts(10, 6)), (4, ts(12, 0))], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    got = run()
+    assert got == {
+        (1, ts(10, 0)): (ts(10, 13), 3),  # unchanged: late event dropped
+        (2, ts(10, 1)): (ts(10, 6), 1),
+        (3, ts(11, 0)): (ts(11, 5), 1),
+    }
+
+    # batch 3: push the watermark past u4's session — emitted exactly once
+    spark.createDataFrame([(5, ts(13, 0))], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    got = run()
+    assert got[(4, ts(12, 0))] == (ts(12, 5), 1)
+    assert len(got) == 4
