@@ -6765,6 +6765,87 @@ FROM fused ORDER BY rrf_micro DESC, id LIMIT 20
 """
 
 
+QLF_BUCKETS = 512       # hashing-trick feature space
+QLF_W_RANGE = 2001      # weights uniform in [-1000, 1000] micro-units
+
+
+def t_quality_classifier(spark, sf_dir):
+    """Linear quality-classifier INFERENCE via the hashing trick
+    (the fasttext-shaped stage GPT-3/RefinedWeb run over Common Crawl:
+    a pretrained Wikipedia-vs-CC classifier scores every document,
+    map-side, at full corpus width; Weinberger et al. 2009 for the
+    feature hashing). The model here is a fixed literal: bucket b's
+    weight is derived from the portable md5 family —
+    pmod(hash(b),2001)−1000 micro-units — standing in for shipped
+    coefficients exactly as a broadcast model file would; the score is
+    the exact BIGINT sum Σ count(b)·w(b) (a linear logit in
+    micro-units — no sigmoid, which is monotone anyway and not
+    bit-stable cross-engine), keep = nonnegative logit. Distinct from
+    t_dsir_importance: DSIR LEARNS its weights from target/raw counts
+    (two corpus aggregates), this DEPLOYS fixed weights — the
+    inference-only read path, and the weight is computed INLINE from
+    the bucket id, so there is no weight table at all, not even a
+    broadcast.
+
+    100 TB posture: explode → bucket → weight → per-doc sum is one
+    map-side codegen pass plus ONE hash(doc_id) aggregate — the
+    theoretical minimum for a per-doc score; nothing else shuffles.
+    Reference scope: crawler.js gathers the corpus; this is the first
+    model-inference pass a training pipeline runs over it."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("term"),
+    )
+    b = F.pmod(_phash(F.col("term"), "qlf"), F.lit(QLF_BUCKETS))
+    w = F.pmod(
+        _phash(b.cast("string"), "qlfw"), F.lit(QLF_W_RANGE)
+    ) - F.lit(1000)
+    scored = (
+        words.select("doc_id", w.cast("long").alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("w").alias("logit_micro"),
+        )
+    )
+    mean = F.round(
+        F.col("logit_micro").cast("double") / F.col("n_terms").cast("double"),
+        6,
+    )
+    return scored.select(
+        "doc_id",
+        "n_terms",
+        "logit_micro",
+        mean.alias("mean_w_micro"),
+        (F.col("logit_micro") >= 0).alias("keep"),
+    ).orderBy("doc_id")
+
+
+T_QCLF_SQL = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents),
+scored AS (
+  SELECT doc_id,
+         {_phash_sql("term", "qlf")} % {QLF_BUCKETS} AS b
+  FROM words),
+weighted AS (
+  SELECT doc_id,
+         {_phash_sql("CAST(b AS VARCHAR)", "qlfw")} % {QLF_W_RANGE} - 1000
+           AS w
+  FROM scored),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_terms, SUM(w) AS logit_micro
+  FROM weighted GROUP BY doc_id)
+SELECT doc_id, n_terms, CAST(logit_micro AS BIGINT) AS logit_micro,
+       ROUND(CAST(logit_micro AS DOUBLE) / CAST(n_terms AS DOUBLE), 6)
+         AS mean_w_micro,
+       logit_micro >= 0 AS keep
+FROM agg ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6861,6 +6942,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p_pld_extract": p_pld_extract,
     "t_dsir_importance": t_dsir_importance,
     "t_rrf_fusion": t_rrf_fusion,
+    "t_quality_classifier": t_quality_classifier,
 }
 
 ORACLES: dict[str, str] = {
@@ -6955,4 +7037,5 @@ ORACLES: dict[str, str] = {
     "p_pld_extract": P_PLD_SQL,
     "t_dsir_importance": T_DSIR_SQL,
     "t_rrf_fusion": T_RRF_SQL,
+    "t_quality_classifier": T_QCLF_SQL,
 }
