@@ -6846,6 +6846,165 @@ FROM agg ORDER BY doc_id
 """
 
 
+def t_bpe_encode(spark, sf_dir):
+    """BPE ENCODING at corpus width (the deployment half of
+    t_bpe_merges — Sennrich et al. 2016 §3: learn merges on the
+    vocabulary, then tokenize every document with them; the actual
+    "tokenized shards" step after t_pack_sequences planned the
+    layout). The same {BPE_STEPS}-merge chain is learned (identical
+    counts/ties/application convention, so the merge table is the
+    oracle-verified one), then applied to the WORD VOCABULARY once;
+    documents are encoded by joining their words to the encoded
+    vocab — never by re-running merges over the corpus. Output per
+    doc: word count, char-symbol count, BPE token count, the realized
+    compression ratio, and the md5 of the full encoded symbol stream
+    IN DOCUMENT ORDER — the tokenization itself is hash-checked
+    cross-engine, not just the counts.
+
+    100 TB posture: merge learning touches only the vocab table
+    (corpus-independent size); encoding is a BROADCAST join of the
+    encoded vocab onto the word stream plus ONE hash(doc_id)
+    aggregate (the stream is never shuffled for the lookup); the
+    per-doc stream rebuild sorts inside the agg buffer. The 1-row
+    top-pair collects are the bucket-prune bounded-driver class."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), "\\s+")).alias(
+            "pos", "w"
+        ),
+    ).where(F.length("w") > 0)
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    cur = wf.select(
+        "w",
+        F.concat(
+            F.regexp_replace(F.col("w"), "(.)", " $1"), F.lit(" ")
+        ).alias("repr"),
+        "n",
+    ).localCheckpoint()
+    for _ in range(BPE_STEPS):
+        s = F.split(F.trim(F.col("repr")), " ")
+        pairs = (
+            cur.where(F.size(s) >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(split(trim(repr), ' ')) - 2), "
+                        "i -> concat(split(trim(repr), ' ')[i], '\t', "
+                        "split(trim(repr), ' ')[i+1]))"
+                    )
+                ).alias("pair"),
+                "n",
+            )
+            .groupBy("pair")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        top = pairs.orderBy(F.col("cnt").desc(), "pair").limit(1).collect()[0]
+        a, b = top.pair.split("\t")
+        cur = cur.select(
+            "w",
+            _bpe_apply(F.col("repr"), F.lit(a), F.lit(b)).alias("repr"),
+            "n",
+        ).localCheckpoint()
+    enc = cur.select(
+        "w",
+        F.trim("repr").alias("toks"),
+        F.size(F.split(F.trim("repr"), " ")).cast("long").alias("n_toks"),
+        F.length("w").cast("long").alias("n_syms"),
+    )
+    agg = (
+        words.join(F.broadcast(enc), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").alias("n_char_syms"),
+            F.sum("n_toks").alias("n_bpe_tokens"),
+            F.array_sort(F.collect_list(F.struct("pos", "toks"))).alias("_tl"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "n_char_syms",
+        "n_bpe_tokens",
+        F.round(
+            F.col("n_bpe_tokens").cast("double")
+            / F.col("n_char_syms").cast("double"),
+            6,
+        ).alias("compression"),
+        F.md5(
+            F.array_join(F.transform("_tl", lambda s: s["toks"]), " ")
+        ).alias("encoded_fp"),
+    ).orderBy("doc_id")
+
+
+def _bpe_encode_sql() -> str:
+    def apply_sql(r, t):
+        out = f"{r}.repr"
+        for _ in range(3):
+            out = (
+                f"replace({out}, ' ' || {t}.a || ' ' || {t}.b || ' ', "
+                f"' ' || {t}.a || {t}.b || ' ')"
+            )
+        return out
+
+    pair_cte = (
+        "SELECT unnest(list_transform(generate_series(1, len(s) - 1), "
+        "i -> s[i] || chr(9) || s[i+1])) AS pair, n "
+        "FROM (SELECT string_split(trim(repr), ' ') AS s, n FROM {src}) "
+        "WHERE len(s) >= 2"
+    )
+    ctes = [
+        "docw AS MATERIALIZED (SELECT doc_id, s.w AS w, s.pos AS pos FROM ("
+        "SELECT doc_id, unnest(list_transform(range(len(ws)), "
+        "i -> {'pos': i, 'w': ws[i+1]})) AS s FROM ("
+        "SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws "
+        "FROM documents)) WHERE length(s.w) > 0)",
+        "wf AS MATERIALIZED (SELECT w, COUNT(*) AS n FROM docw GROUP BY w)",
+        "e0 AS MATERIALIZED (SELECT w, regexp_replace(w, '(.)', ' \\1', 'g') "
+        "|| ' ' AS repr, n FROM wf)",
+    ]
+    prev = "e0"
+    for i in range(1, BPE_STEPS + 1):
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT pair, SUM(n) AS cnt FROM "
+            f"({pair_cte.format(src=prev)}) GROUP BY pair)"
+        )
+        ctes.append(
+            f"t{i} AS MATERIALIZED (SELECT string_split(pair, chr(9))[1] AS a, "
+            f"string_split(pair, chr(9))[2] AS b, cnt FROM p{i} "
+            f"ORDER BY cnt DESC, pair LIMIT 1)"
+        )
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT w, {apply_sql(prev, f't{i}')} AS repr, "
+            f"n FROM {prev}, t{i})"
+        )
+        prev = f"e{i}"
+    ctes.append(
+        f"enc AS MATERIALIZED (SELECT w, trim(repr) AS toks, "
+        f"len(string_split(trim(repr), ' ')) AS n_toks, "
+        f"length(w) AS n_syms FROM {prev})"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(n_syms) AS BIGINT) AS n_char_syms,
+       CAST(SUM(n_toks) AS BIGINT) AS n_bpe_tokens,
+       ROUND(CAST(SUM(n_toks) AS DOUBLE) / CAST(SUM(n_syms) AS DOUBLE), 6)
+         AS compression,
+       md5(string_agg(toks, ' ' ORDER BY pos)) AS encoded_fp
+FROM docw JOIN enc USING (w)
+GROUP BY doc_id ORDER BY doc_id
+"""
+    )
+
+
+T_BPE_ENCODE_SQL = _bpe_encode_sql()
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6943,6 +7102,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_dsir_importance": t_dsir_importance,
     "t_rrf_fusion": t_rrf_fusion,
     "t_quality_classifier": t_quality_classifier,
+    "t_bpe_encode": t_bpe_encode,
 }
 
 ORACLES: dict[str, str] = {
@@ -7038,4 +7198,5 @@ ORACLES: dict[str, str] = {
     "t_dsir_importance": T_DSIR_SQL,
     "t_rrf_fusion": T_RRF_SQL,
     "t_quality_classifier": T_QCLF_SQL,
+    "t_bpe_encode": T_BPE_ENCODE_SQL,
 }
