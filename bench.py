@@ -80,6 +80,17 @@ BENCH_QUERIES = [
     "sk_hist_quantiles",
     "o_key_skew",
     "t_inverted_index",
+    # round-3g: line dedup, crawl hygiene (traps/SURT/PLD), data
+    # selection (DSIR/classifier), hybrid retrieval, BPE encoding
+    "t_line_dedup",
+    "o_url_traps",
+    "d_surt_dup",
+    "p_pld_extract",
+    "t_dsir_importance",
+    "t_quality_classifier",
+    "t_rrf_fusion",
+    "t_bpe_encode",
+    "d_prefix_filter_pairs",
 ]
 
 CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "30000"))

@@ -7005,6 +7005,98 @@ GROUP BY doc_id ORDER BY doc_id
 T_BPE_ENCODE_SQL = _bpe_encode_sql()
 
 
+def d_prefix_filter_pairs(spark, sf_dir):
+    """All-pairs similarity join with PREFIX FILTERING (Chaudhuri,
+    Ganti & Kaushik's SSJoin / Bayardo-Ma-Srikant "All-Pairs" / Xiao
+    et al.'s PPJoin prefix principle, 2006-2008): for Jaccard ≥ t, two
+    sets MUST share a token among each one's first
+    L = n − ⌈t·n⌉ + 1 tokens in a global rarity order — so only those
+    prefix tokens are indexed, and hot boilerplate shingles (which
+    sort LAST by rarity) never enter the candidate join at all. This
+    is the LOSSLESS scale technique the df-capped inverted-index joins
+    (SHINGLE_DF_CAP) approximate: the cap drops hot shingles and may
+    miss pairs; the prefix filter provably misses none at the
+    threshold (t = 0.5, the MinHash rerank threshold, so all three
+    near-dup candidate generators — bands, cap, prefix — are
+    comparable). Same shingle sets and rerank as minhash_near_dup:
+    its output is therefore a superset of what any candidate
+    generator can admit, and tests/test_ppjoin.py pins it equal to
+    the brute-force all-pairs truth.
+
+    100 TB posture: the rarity order is one hash(shingle) df
+    aggregate; prefix selection is a per-doc window (partitioned by
+    doc — no global sort); the candidate join is over the PREFIX
+    postings only (≈ half the tokens, and by construction the rare
+    half — max posting length shrinks from df_max to the prefix df,
+    which is what kills the df² blowup); the rerank inherits
+    _exact_jaccard's candidate-bounded joins. The shingle set is
+    localCheckpointed once — the plan reads it six times (df, sizes,
+    ranking, both rerank sides), and each re-read would otherwise
+    re-run the explode+distinct shuffle."""
+    sh = _doc_shingles(spark, sf_dir).localCheckpoint()
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    wnd = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .select("doc_id", "shingle", F.row_number().over(wnd).alias("r"))
+        .join(sizes, "doc_id")
+    )
+    pref = ranked.where(
+        F.col("r") <= F.col("n_sh") - F.expr("(n_sh + 1) div 2") + 1
+    ).select("doc_id", "shingle")
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return (
+        _exact_jaccard(sh, cand)
+        .where(F.col("jaccard") >= MH_JACCARD)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+D_PPJOIN_SQL = f"""
+WITH {_SHINGLES_CTE},
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY shingle),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+ranked AS (
+  SELECT s.doc_id, s.shingle, z.n_sh,
+         ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                            ORDER BY d.df, s.shingle) AS r
+  FROM shingles s JOIN dfreq d USING (shingle) JOIN sizes z USING (doc_id)),
+pref AS (
+  SELECT doc_id, shingle FROM ranked
+  WHERE r <= n_sh - ((n_sh + 1) // 2) + 1),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM pref a JOIN pref b
+           ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+          FROM cand p
+          JOIN shingles sa ON sa.doc_id = p.doc_a
+          JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+          GROUP BY p.doc_a, p.doc_b)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6)
+         AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6)
+        >= {MH_JACCARD}
+ORDER BY doc_a, doc_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7103,6 +7195,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_rrf_fusion": t_rrf_fusion,
     "t_quality_classifier": t_quality_classifier,
     "t_bpe_encode": t_bpe_encode,
+    "d_prefix_filter_pairs": d_prefix_filter_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -7199,4 +7292,5 @@ ORACLES: dict[str, str] = {
     "t_rrf_fusion": T_RRF_SQL,
     "t_quality_classifier": T_QCLF_SQL,
     "t_bpe_encode": T_BPE_ENCODE_SQL,
+    "d_prefix_filter_pairs": D_PPJOIN_SQL,
 }
