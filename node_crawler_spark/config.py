@@ -86,6 +86,14 @@ class CrawlConfig:
     # buckets pushed down as partition filters) instead of the
     # in-memory checkpointed state — the cold-probe / huge-seen path
     probe_from_store: bool = False
+    # adaptive per-domain backoff: a domain with ≥1 error event in the
+    # PREVIOUS round runs this round at half its configured budget
+    # (min 1); a clean round restores it. Binary one-round memory —
+    # stateless beyond the last committed round's errors table, so a
+    # resumed crawl reconstructs the exact schedule (no decay counters
+    # to checkpoint). Applies only to budgeted domains: an unlimited
+    # domain has no number to halve.
+    error_backoff: bool = False
 
     # convenience -----------------------------------------------------
     def politeness_rows(self) -> list[tuple[str, int, int]]:

@@ -52,6 +52,7 @@ def apply_domain_budget(
     salt_shards: int = 32,
     round_idx: int = 0,
     ranks: DataFrame | None = None,
+    backoff: DataFrame | None = None,
 ):
     """Split the frontier into (scheduled, deferred) under per-domain
     budgets + crawl-delay caps. No politeness config ⇒ everything
@@ -62,7 +63,13 @@ def apply_domain_budget(
     re-crawl — feed a previous crawl's PageRank from
     operators/linkgraph.py). Unranked urls order after ranked ones by
     seq. Like "dfs", priority only matters under a budget — without
-    one the whole frontier fetches this round anyway."""
+    one the whole frontier fetches this round anyway.
+
+    ``backoff`` (one ``_domain`` column — the domains that errored
+    last round, cfg.error_backoff): each listed BUDGETED domain runs
+    this round at max(1, budget div 2); unlimited domains are
+    unaffected. The set is tiny by nature (erroring domains), so it
+    broadcasts."""
     if not cfg.politeness and cfg.default_domain_budget <= 0:
         return frontier, frontier.limit(0)
 
@@ -86,6 +93,23 @@ def apply_domain_budget(
         f = f.withColumn("_budget", F.lit(cfg.default_domain_budget)).withColumn(
             "_delay", F.lit(None).cast("int")
         )
+
+    if backoff is not None:
+        f = f.join(
+            F.broadcast(
+                backoff.select("_domain").distinct().withColumn(
+                    "_bo", F.lit(1)
+                )
+            ),
+            "_domain",
+            "left",
+        ).withColumn(
+            "_budget",
+            F.when(
+                (F.col("_bo") == 1) & F.col("_budget").isNotNull(),
+                F.greatest(F.lit(1), F.expr("_budget div 2")).cast("int"),
+            ).otherwise(F.col("_budget")),
+        ).drop("_bo")
 
     # crawl-delay cap for this round (null = no delay configured)
     delay_cap = (

@@ -276,6 +276,21 @@ def run_crawl(
 
     rounds_run = start_round - 1
     prev_inserts = max_seq  # round-size hint for the O1 rank strategy
+    # adaptive backoff state: domains that errored in the PREVIOUS
+    # round (cfg.error_backoff). One-round binary memory, so resume
+    # reconstructs it exactly from the last committed errors table.
+    backoff_state = None
+    if cfg.error_backoff and last is not None:
+        from node_crawler_spark.operators.politeness import domain_of
+
+        prev_err = store.read_table(spark, last, "errors")
+        if prev_err is not None:
+            bd = (
+                prev_err.select(domain_of(F.col("url")).alias("_domain"))
+                .distinct()
+                .localCheckpoint()
+            )
+            backoff_state = bd if bd.count() > 0 else None
     # D1 bloom sidecar: seeded with the current seen set, fed each
     # round's delta; probes engage once the seen set is big enough that
     # skipping the exact-join shuffle pays for the filter pass
@@ -352,7 +367,7 @@ def run_crawl(
 
         scheduled, deferred = apply_domain_budget(
             frontier, cfg, salt_shards=cfg.seen_salt_buckets, round_idx=r,
-            ranks=priority_ranks,
+            ranks=priority_ranks, backoff=backoff_state,
         )
         # without politeness rules `scheduled` IS the (nonempty) frontier
         # — only a budget/delay config can produce an empty schedule, so
@@ -539,6 +554,15 @@ def run_crawl(
         n_frontier = manifest["tables"]["next_frontier"]["rows"]
         tm.mark("commit")
         prev_inserts = n_inserts
+        if cfg.error_backoff:
+            from node_crawler_spark.operators.politeness import domain_of
+
+            bd = (
+                errors.select(domain_of(F.col("url")).alias("_domain"))
+                .distinct()
+                .localCheckpoint()
+            )
+            backoff_state = bd if bd.count() > 0 else None
         # extras entered seen_state (and the bloom) at injection time —
         # only the round's own inserts feed the in-memory state here
         delta_ckpt = inserts.select(
