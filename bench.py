@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "t_rrf_fusion",
     "t_bpe_encode",
     "d_prefix_filter_pairs",
+    # round-3h: freshness-driven recrawl scheduling
+    "o_recrawl_priority",
 ]
 
 CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "30000"))

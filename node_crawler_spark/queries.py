@@ -7097,6 +7097,93 @@ ORDER BY doc_a, doc_b
 """
 
 
+def o_recrawl_priority(spark, sf_dir):
+    """Change-rate-aware recrawl scheduling (Cho & Garcia-Molina 2003,
+    "Effective page refresh policies for Web crawlers" — the operator
+    that decides which ALREADY-SEEN page a continuous crawler fetches
+    again; the reference crawls once and stops (crawler.js drain), so
+    this is the freshness layer a production deployment adds on top).
+    Each user_id's event stream stands for one page's snapshot history
+    (ts = warc_ts, event_type = content fingerprint): per page, count
+    the changes between consecutive snapshots (lag window), estimate
+    the change rate as exact BIGINT changes-per-observation ppm, age
+    it by time-since-last-snapshot vs the corpus horizon (max ts —
+    NOT wall clock, so the result is replay-deterministic), and rank
+    the recrawl queue by staleness = change_ppm * age_s. All integer
+    arithmetic end-to-end: epoch microseconds via the portable
+    timestampdiff/epoch_us pair (same idiom as j_range_bucketed),
+    floor divisions, no float anywhere.
+
+    Scale: one lag window + one groupBy, both partitioned by the page
+    key — at 10^10 urls this is a single shuffle on the natural key;
+    the 1-row horizon is a broadcast. No driver data path."""
+    epoch = "TIMESTAMP_NTZ'1970-01-01 00:00:00'"
+    us = F.expr(f"timestampdiff(MICROSECOND, {epoch}, ts)")
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", us.alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    obs = e.withColumn("prev_type", F.lag("event_type").over(w))
+    per = (
+        obs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(
+                F.when(
+                    F.col("prev_type").isNotNull()
+                    & (F.col("prev_type") != F.col("event_type")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_changes"),
+            F.max("us").alias("last_us"),
+        )
+        .where(F.col("n_obs") >= 2)
+    )
+    horizon = e.agg(F.max("us").alias("horizon_us"))
+    return (
+        per.join(F.broadcast(horizon))
+        .select(
+            F.col("user_id").alias("page_id"),
+            "n_obs",
+            "n_changes",
+            F.expr("n_changes * 1000000L div (n_obs - 1)").alias(
+                "change_ppm"
+            ),
+            F.expr("(horizon_us - last_us) div 1000000L").alias("age_s"),
+            F.expr(
+                "(n_changes * 1000000L div (n_obs - 1))"
+                " * ((horizon_us - last_us) div 1000000L)"
+            ).alias("staleness"),
+        )
+        .orderBy(F.desc("staleness"), "page_id")
+    )
+
+
+O_RECRAWL_SQL = """
+WITH obs AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev_type
+  FROM events),
+per AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_obs,
+         CAST(SUM(CASE WHEN prev_type IS NOT NULL
+                        AND prev_type <> event_type
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+         MAX(us) AS last_us
+  FROM obs GROUP BY user_id),
+h AS (SELECT MAX(epoch_us(ts)) AS horizon_us FROM events)
+SELECT user_id AS page_id, n_obs, n_changes,
+       n_changes * 1000000 // (n_obs - 1) AS change_ppm,
+       (horizon_us - last_us) // 1000000 AS age_s,
+       (n_changes * 1000000 // (n_obs - 1))
+         * ((horizon_us - last_us) // 1000000) AS staleness
+FROM per, h
+WHERE n_obs >= 2
+ORDER BY staleness DESC, page_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7196,6 +7283,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_quality_classifier": t_quality_classifier,
     "t_bpe_encode": t_bpe_encode,
     "d_prefix_filter_pairs": d_prefix_filter_pairs,
+    "o_recrawl_priority": o_recrawl_priority,
 }
 
 ORACLES: dict[str, str] = {
@@ -7293,4 +7381,5 @@ ORACLES: dict[str, str] = {
     "t_quality_classifier": T_QCLF_SQL,
     "t_bpe_encode": T_BPE_ENCODE_SQL,
     "d_prefix_filter_pairs": D_PPJOIN_SQL,
+    "o_recrawl_priority": O_RECRAWL_SQL,
 }
