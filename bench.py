@@ -91,8 +91,9 @@ BENCH_QUERIES = [
     "t_rrf_fusion",
     "t_bpe_encode",
     "d_prefix_filter_pairs",
-    # round-3h: freshness-driven recrawl scheduling
+    # round-3h: freshness-driven recrawl scheduling + containment dedup
     "o_recrawl_priority",
+    "d_containment_pairs",
 ]
 
 CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "30000"))

@@ -7097,6 +7097,84 @@ ORDER BY doc_a, doc_b
 """
 
 
+CONTAIN_T = 0.8
+
+
+def d_containment_pairs(spark, sf_dir):
+    """Asymmetric containment dedup (Broder 1997's second resemblance
+    measure: C(A→B) = |A∩B| / |A| — "how much of A is inside B").
+    Jaccard misses the quote/embedding case: a short page wholly
+    reproduced inside a long aggregator page has tiny Jaccard (the
+    union is dominated by the long side) but containment 1.0 — the
+    pattern press-release mirrors, quote farms, and scraped-snippet
+    SEO pages produce at corpus width. Emits DIRECTED pairs with
+    containment ≥ 0.8 plus the symmetric Jaccard for contrast.
+
+    Same scale posture as ngram_jaccard_pairs: candidates from the
+    df-capped inverted-index self-join (SHINGLE_DF_CAP — one hot
+    boilerplate shingle can't make df² pairs), intersection counted
+    over FULL shingle sets so every reported value is exact."""
+    # the plan reads the shingle set 5× (df cap, both candidate sides,
+    # both intersection sides) — materialize it once, same as
+    # d_prefix_filter_pairs
+    sh = _doc_shingles(spark, sf_dir).localCheckpoint()
+    j = _exact_jaccard(sh, None, df_cap=SHINGLE_DF_CAP)
+    fwd = j.select(
+        F.col("doc_a").alias("doc_src"),
+        F.col("doc_b").alias("doc_dst"),
+        F.round(F.col("n_common").cast("double") / F.col("sh_a"), 6).alias(
+            "containment"
+        ),
+        "jaccard",
+    )
+    rev = j.select(
+        F.col("doc_b").alias("doc_src"),
+        F.col("doc_a").alias("doc_dst"),
+        F.round(F.col("n_common").cast("double") / F.col("sh_b"), 6).alias(
+            "containment"
+        ),
+        "jaccard",
+    )
+    return (
+        fwd.union(rev)
+        .where(F.col("containment") >= CONTAIN_T)
+        .orderBy("doc_src", "doc_dst")
+    )
+
+
+D_CONTAIN_SQL = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+sh_low AS (SELECT * FROM shingles WHERE shingle IN
+           (SELECT shingle FROM shingles GROUP BY shingle
+            HAVING COUNT(*) <= {SHINGLE_DF_CAP})),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM sh_low a JOIN sh_low b
+           ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+          FROM cand p
+          JOIN shingles sa ON sa.doc_id = p.doc_a
+          JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+          GROUP BY 1, 2),
+scored AS (SELECT doc_a, doc_b, n_common, sa.n_sh AS sh_a, sb.n_sh AS sh_b,
+                  ROUND(CAST(n_common AS DOUBLE)
+                        / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+           FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+                      JOIN sizes sb ON sb.doc_id = doc_b),
+dirs AS (
+  SELECT doc_a AS doc_src, doc_b AS doc_dst,
+         ROUND(CAST(n_common AS DOUBLE) / sh_a, 6) AS containment, jaccard
+  FROM scored
+  UNION ALL
+  SELECT doc_b AS doc_src, doc_a AS doc_dst,
+         ROUND(CAST(n_common AS DOUBLE) / sh_b, 6) AS containment, jaccard
+  FROM scored)
+SELECT doc_src, doc_dst, containment, jaccard
+FROM dirs WHERE containment >= {CONTAIN_T}
+ORDER BY doc_src, doc_dst
+"""
+
+
 def o_recrawl_priority(spark, sf_dir):
     """Change-rate-aware recrawl scheduling (Cho & Garcia-Molina 2003,
     "Effective page refresh policies for Web crawlers" — the operator
@@ -7284,6 +7362,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_bpe_encode": t_bpe_encode,
     "d_prefix_filter_pairs": d_prefix_filter_pairs,
     "o_recrawl_priority": o_recrawl_priority,
+    "d_containment_pairs": d_containment_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -7382,4 +7461,5 @@ ORACLES: dict[str, str] = {
     "t_bpe_encode": T_BPE_ENCODE_SQL,
     "d_prefix_filter_pairs": D_PPJOIN_SQL,
     "o_recrawl_priority": O_RECRAWL_SQL,
+    "d_containment_pairs": D_CONTAIN_SQL,
 }
