@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     # round-3h: freshness-driven recrawl scheduling + containment dedup
     "o_recrawl_priority",
     "d_containment_pairs",
+    "d_incremental_minhash",
 ]
 
 CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "30000"))

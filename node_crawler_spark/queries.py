@@ -7097,6 +7097,79 @@ ORDER BY doc_a, doc_b
 """
 
 
+INCR_NEW_SOURCE = "src0"  # the "arriving batch" slice of documents
+
+
+def d_incremental_minhash(spark, sf_dir):
+    """Incremental near-dup dedup of an ARRIVING BATCH against the
+    standing corpus — the continuous-crawl ingestion shape: each new
+    Common-Crawl-style snapshot is deduped against everything already
+    ingested, never corpus×corpus from scratch. 'New' = documents with
+    source = src0, 'old' = the rest (the role the source column plays
+    here: batch id).
+
+    Same portable MinHash family + 4×4 banding as minhash_near_dup,
+    but the band-bucket join is ASYMMETRIC (new×old only) — candidate
+    work is proportional to the BATCH's collisions, not the corpus's
+    pair count, which is what keeps continuous ingestion O(batch) at
+    100 TB: the old side's band table is the persisted index a real
+    deployment appends to per snapshot (the localCheckpoint stands for
+    that stored table). Exact-Jaccard rerank over full shingle sets;
+    emits each new doc's standing duplicate — the drop list for the
+    batch."""
+    sh = _doc_shingles(spark, sf_dir).localCheckpoint()
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    bands = _minhash_bands(sh).join(src, "doc_id").localCheckpoint()
+    new_b = bands.where(F.col("source") == INCR_NEW_SOURCE)
+    old_b = bands.where(F.col("source") != INCR_NEW_SOURCE)
+    pairs = (
+        new_b.alias("a")
+        .join(
+            old_b.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return (
+        _exact_jaccard(sh, pairs)
+        .where(F.col("jaccard") >= MH_JACCARD)
+        .select(
+            F.col("doc_a").alias("doc_new"),
+            F.col("doc_b").alias("doc_old"),
+            "jaccard",
+        )
+        .orderBy("doc_new", "doc_old")
+    )
+
+
+D_INCR_MINHASH_SQL = f"""
+WITH {_SHINGLES_CTE},
+{_minhash_bands_sql()},
+srcb AS (SELECT b.doc_id, b.band, b.bucket, d.source
+         FROM bands b JOIN documents d ON d.doc_id = b.doc_id),
+pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM srcb a JOIN srcb b
+            ON a.band = b.band AND a.bucket = b.bucket
+          WHERE a.source = '{INCR_NEW_SOURCE}'
+            AND b.source <> '{INCR_NEW_SOURCE}'),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+          FROM pairs p
+          JOIN shingles sa ON sa.doc_id = p.doc_a
+          JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+          GROUP BY p.doc_a, p.doc_b)
+SELECT doc_a AS doc_new, doc_b AS doc_old,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= {MH_JACCARD}
+ORDER BY doc_new, doc_old
+"""
+
+
 CONTAIN_T = 0.8
 
 
@@ -7363,6 +7436,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_prefix_filter_pairs": d_prefix_filter_pairs,
     "o_recrawl_priority": o_recrawl_priority,
     "d_containment_pairs": d_containment_pairs,
+    "d_incremental_minhash": d_incremental_minhash,
 }
 
 ORACLES: dict[str, str] = {
@@ -7462,4 +7536,5 @@ ORACLES: dict[str, str] = {
     "d_prefix_filter_pairs": D_PPJOIN_SQL,
     "o_recrawl_priority": O_RECRAWL_SQL,
     "d_containment_pairs": D_CONTAIN_SQL,
+    "d_incremental_minhash": D_INCR_MINHASH_SQL,
 }
