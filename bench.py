@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "o_recrawl_priority",
     "d_containment_pairs",
     "d_incremental_minhash",
+    "g_trustrank",
 ]
 
 CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "30000"))

@@ -7097,6 +7097,161 @@ ORDER BY doc_a, doc_b
 """
 
 
+TR_TRUST_MOD = 5  # suppliers with key % 5 == 0 are the trusted seed set
+
+
+def g_trustrank(spark, sf_dir):
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004) — the
+    biased-PageRank crawl-prioritization / spam-demotion operator:
+    teleport mass lands ONLY on a hand-vetted trusted seed set, so
+    trust flows out from known-good hosts and pages reachable only
+    through spam farms score ~0 (spam mass = PR − TrustRank). Same
+    supplier→customer graph, same ORDER-INDEPENDENT fixed-point
+    BIGINT micro-unit arithmetic as g_pagerank_fixedpoint (float
+    contribution sums can't hash-match across engines); the two
+    deltas vs uniform PageRank: rank is initialized and teleported to
+    the trusted set only (PR_SCALE // n_trusted each), and dangling
+    mass is redistributed to the trusted set (the paper's convention),
+    not uniformly. Per iteration: one equi-join on src + one hash
+    aggregate on dst — the linkgraph shuffle shape; the dangling total
+    is a one-scalar collect. This is also the personalized-PageRank
+    shape a focused crawler ranks its frontier with (teleport = topic
+    seeds)."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn(
+            "trusted",
+            F.when(
+                (F.substring("node", 1, 1) == "s")
+                & (
+                    F.expr("CAST(substring(node, 2, 20) AS BIGINT)")
+                    % TR_TRUST_MOD
+                    == 0
+                ),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        .persist()
+    )
+    n_t = nodes.where(F.col("trusted") == 1).count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    base_t = PR_SCALE // n_t
+    tele = PR_D_DEN - PR_D_NUM
+
+    r = nodes.withColumn(
+        "rank",
+        F.when(F.col("trusted") == 1, F.lit(base_t))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    for _ in range(PR_ITERS):
+        rd = r.join(deg, r["node"] == deg["src"], "left").select(
+            "node", "trusted", "rank", "deg"
+        )
+        dangling = int(
+            rd.where(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)))
+            .collect()[0][0]
+        )
+        contrib = (
+            e.join(rd.where(F.col("deg").isNotNull()), e["src"] == rd["node"])
+            .select("dst", F.expr("rank DIV deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        new_rank = (
+            F.when(
+                F.col("trusted") == 1, F.lit((tele * base_t) // PR_D_DEN)
+            ).otherwise(F.lit(0))
+            + F.expr(
+                f"((coalesce(c, 0L) + (CASE WHEN trusted = 1 THEN "
+                f"{dangling // n_t}L ELSE 0L END)) * {PR_D_NUM}L) "
+                f"DIV {PR_D_DEN}L"
+            )
+        ).cast("long")
+        r = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select("node", "trusted", new_rank.alias("rank"))
+            .localCheckpoint()
+        )
+    e.unpersist()
+    nodes.unpersist()
+    return r.select("node", "trusted", "rank").orderBy(
+        F.col("rank").desc(), "node"
+    ).limit(20)
+
+
+def _tr_sql() -> str:
+    tele = PR_D_DEN - PR_D_NUM
+    base_t = f"({PR_SCALE} // n_t)"
+    ctes = [
+        """e AS MATERIALIZED (
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                  'c' || CAST(o_custkey AS VARCHAR) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""",
+        f"""tn AS MATERIALIZED (
+  SELECT node,
+         CASE WHEN node LIKE 's%'
+               AND CAST(substr(node, 2) AS BIGINT) % {TR_TRUST_MOD} = 0
+              THEN 1 ELSE 0 END AS trusted
+  FROM (SELECT DISTINCT src AS node FROM e
+        UNION SELECT DISTINCT dst FROM e))""",
+        "nt AS (SELECT COUNT(*) AS n_t FROM tn WHERE trusted = 1)",
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)",
+        f"""r0 AS MATERIALIZED (
+  SELECT node, trusted,
+         CASE WHEN trusted = 1 THEN {base_t} ELSE 0 END AS rank
+  FROM tn, nt)""",
+    ]
+    prev = "r0"
+    for it in range(1, PR_ITERS + 1):
+        ctes.append(
+            f"""dang{it} AS (SELECT COALESCE(SUM(rank), 0) AS dangling
+  FROM {prev} r LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL)"""
+        )
+        ctes.append(
+            f"""c{it} AS MATERIALIZED (
+  SELECT e.dst, SUM(r.rank // deg.deg) AS c
+  FROM e JOIN {prev} r ON e.src = r.node JOIN deg ON e.src = deg.src
+  GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""r{it} AS MATERIALIZED (
+  SELECT t.node, t.trusted,
+         (CASE WHEN t.trusted = 1 THEN ({tele} * {base_t}) // {PR_D_DEN}
+               ELSE 0 END)
+         + ((COALESCE(c{it}.c, 0)
+             + CASE WHEN t.trusted = 1 THEN dangling // n_t ELSE 0 END)
+            * {PR_D_NUM}) // {PR_D_DEN} AS rank
+  FROM tn t CROSS JOIN nt CROSS JOIN dang{it}
+  LEFT JOIN c{it} ON t.node = c{it}.dst)"""
+        )
+        prev = f"r{it}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, trusted, rank FROM {prev} "
+        "ORDER BY rank DESC, node LIMIT 20"
+    )
+
+
+G_TRUSTRANK_SQL = _tr_sql()
+
+
 INCR_NEW_SOURCE = "src0"  # the "arriving batch" slice of documents
 
 
@@ -7437,6 +7592,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o_recrawl_priority": o_recrawl_priority,
     "d_containment_pairs": d_containment_pairs,
     "d_incremental_minhash": d_incremental_minhash,
+    "g_trustrank": g_trustrank,
 }
 
 ORACLES: dict[str, str] = {
@@ -7537,4 +7693,5 @@ ORACLES: dict[str, str] = {
     "o_recrawl_priority": O_RECRAWL_SQL,
     "d_containment_pairs": D_CONTAIN_SQL,
     "d_incremental_minhash": D_INCR_MINHASH_SQL,
+    "g_trustrank": G_TRUSTRANK_SQL,
 }
