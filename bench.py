@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "d_containment_pairs",
     "d_incremental_minhash",
     "g_trustrank",
+    "g_harmonic_hyperball",
 ]
 
 CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "30000"))

@@ -7097,6 +7097,195 @@ ORDER BY doc_a, doc_b
 """
 
 
+HB_M = 16          # HyperBall registers per node (state = 16 BIGINT cols)
+HB_CAP = 40        # rho clamp, same convention as sk_hll_distinct
+HB_ITERS = 3       # ball radii 1..3 (harmonic centrality truncated at 3)
+HB_NUM = 0.673 * (HB_M**2) * float(1 << HB_CAP)  # alpha_16 · m² · 2^cap
+
+
+def g_harmonic_hyperball(spark, sf_dir):
+    """HyperBall harmonic centrality (Boldi & Vigna, WWW 2013 "In-core
+    computation of geometric centralities with HyperBall" — the
+    algorithm behind Common Crawl's published host-level harmonic
+    centrality ranking). Exact per-node neighborhood functions need
+    O(n) state per node; HyperBall keeps ONE mergeable HLL counter per
+    node (here m=16 registers = 16 BIGINT columns) and grows balls by
+    radius: regs_r(v) = elementwise-max(regs_{r-1}(v), regs_{r-1}(u)
+    ∀ u ~ v) — per radius one equi-join + one 16-way MAX aggregate,
+    the linkgraph shuffle shape, state O(m) per node at any graph
+    size. Ball sizes |B(v,r)| come from the raw HLL estimator (exact
+    BIGINT harmonic sum S = Σ 2^(40−reg), ONE IEEE division — the
+    sk_hll_distinct discipline), and harmonic centrality is the
+    truncated sum Σ_{r=1..3} (N_r − N_{r−1})/r folded in a fixed
+    written order, so even the doubles agree bit-exactly across
+    engines. Undirected supplier↔customer edges (balls grow both
+    ways); register max is order-independent, so no part of the
+    pipeline exposes reduction order."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    ue = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    cols = [f"b{i}" for i in range(HB_M)]
+    hv = (
+        ue.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", _phash(F.col("node"), "hb").alias("hv"))
+        .select(
+            "node",
+            (F.col("hv") % HB_M).alias("bucket"),
+            F.expr(
+                f"least(CASE WHEN hv DIV {HB_M} = 0 THEN 57 "
+                f"ELSE 57 - length(bin(hv DIV {HB_M})) END, {HB_CAP})"
+            ).alias("rho"),
+        )
+    )
+    r = hv.select(
+        "node",
+        *[
+            F.when(F.col("bucket") == i, F.col("rho"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias(c)
+            for i, c in enumerate(cols)
+        ],
+    ).localCheckpoint()
+    s_expr = "+".join(f"shiftleft(1L, {HB_CAP} - {c})" for c in cols)
+    snaps = [r.select("node", (F.lit(HB_NUM) / F.expr(s_expr).cast("double")).alias("n0"))]
+    for it in range(1, HB_ITERS + 1):
+        nb = (
+            ue.join(r, ue["src"] == r["node"])
+            .groupBy(ue["dst"].alias("node"))
+            .agg(*[F.max(c).alias(f"m_{c}") for c in cols])
+        )
+        r = (
+            r.join(nb, "node", "left")
+            .select(
+                "node",
+                *[
+                    F.greatest(
+                        F.col(c), F.coalesce(F.col(f"m_{c}"), F.lit(0))
+                    ).alias(c)
+                    for c in cols
+                ],
+            )
+            .localCheckpoint()
+        )
+        snaps.append(
+            r.select(
+                "node",
+                (F.lit(HB_NUM) / F.expr(s_expr).cast("double")).alias(f"n{it}"),
+            )
+        )
+    ue.unpersist()
+    est = snaps[0]
+    for s in snaps[1:]:
+        est = est.join(s, "node")
+    harmonic = (
+        (F.col("n1") - F.col("n0")) / F.lit(1.0)
+        + (F.col("n2") - F.col("n1")) / F.lit(2.0)
+        + (F.col("n3") - F.col("n2")) / F.lit(3.0)
+    )
+    return (
+        est.select(
+            "node",
+            F.round("n1", 2).alias("ball_r1"),
+            F.round("n2", 2).alias("ball_r2"),
+            F.round("n3", 2).alias("ball_r3"),
+            F.round(harmonic, 4).alias("harmonic"),
+        )
+        .orderBy(F.col("harmonic").desc(), "node")
+        .limit(20)
+    )
+
+
+def _hb_sql() -> str:
+    m, cap = HB_M, HB_CAP
+    init_cols = ",\n         ".join(
+        f"CASE WHEN bucket = {i} THEN rho ELSE 0 END AS b{i}" for i in range(m)
+    )
+    max_cols = ",\n         ".join(
+        f"MAX(r.b{i}) AS m_b{i}" for i in range(m)
+    )
+    merge_cols = ",\n         ".join(
+        f"GREATEST(r.b{i}, COALESCE(n.m_b{i}, 0)) AS b{i}" for i in range(m)
+    )
+
+    def s_of(alias: str) -> str:
+        return " + ".join(
+            f"(1::BIGINT << ({cap} - {alias}.b{i}))" for i in range(m)
+        )
+
+    ctes = [
+        """e AS MATERIALIZED (
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                  'c' || CAST(o_custkey AS VARCHAR) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""",
+        "ue AS MATERIALIZED (SELECT src, dst FROM e "
+        "UNION ALL SELECT dst AS src, src AS dst FROM e)",
+        f"""hv AS (
+  SELECT node, hv % {m} AS bucket,
+         LEAST(CASE WHEN hv // {m} = 0 THEN 57
+               ELSE 57 - length(bin(hv // {m})) END, {cap}) AS rho
+  FROM (SELECT node, {_phash_sql('node', 'hb')} AS hv
+        FROM (SELECT DISTINCT src AS node FROM ue)))""",
+        f"""r0 AS MATERIALIZED (
+  SELECT node,
+         {init_cols}
+  FROM hv)""",
+    ]
+    prev = "r0"
+    for it in range(1, HB_ITERS + 1):
+        ctes.append(
+            f"""nb{it} AS (
+  SELECT ue.dst AS node,
+         {max_cols}
+  FROM ue JOIN {prev} r ON ue.src = r.node GROUP BY ue.dst)"""
+        )
+        ctes.append(
+            f"""r{it} AS MATERIALIZED (
+  SELECT r.node,
+         {merge_cols}
+  FROM {prev} r LEFT JOIN nb{it} n USING (node))"""
+        )
+        prev = f"r{it}"
+    est_cols = ",\n       ".join(
+        f"{HB_NUM!r} / CAST({s_of(f'r{k}')} AS DOUBLE) AS n{k}"
+        for k in range(HB_ITERS + 1)
+    )
+    joins = " ".join(
+        f"JOIN r{k} ON r0.node = r{k}.node" for k in range(1, HB_ITERS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+est AS (
+  SELECT r0.node,
+       {est_cols}
+  FROM r0 {joins})
+SELECT node, ROUND(n1, 2) AS ball_r1, ROUND(n2, 2) AS ball_r2,
+       ROUND(n3, 2) AS ball_r3,
+       ROUND((n1 - n0) / 1.0 + (n2 - n1) / 2.0 + (n3 - n2) / 3.0, 4)
+         AS harmonic
+FROM est
+ORDER BY ROUND((n1 - n0) / 1.0 + (n2 - n1) / 2.0 + (n3 - n2) / 3.0, 4) DESC,
+         node
+LIMIT 20"""
+    )
+
+
+G_HYPERBALL_SQL = _hb_sql()
+
+
 TR_TRUST_MOD = 5  # suppliers with key % 5 == 0 are the trusted seed set
 
 
@@ -7593,6 +7782,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_containment_pairs": d_containment_pairs,
     "d_incremental_minhash": d_incremental_minhash,
     "g_trustrank": g_trustrank,
+    "g_harmonic_hyperball": g_harmonic_hyperball,
 }
 
 ORACLES: dict[str, str] = {
@@ -7694,4 +7884,5 @@ ORACLES: dict[str, str] = {
     "d_containment_pairs": D_CONTAIN_SQL,
     "d_incremental_minhash": D_INCR_MINHASH_SQL,
     "g_trustrank": G_TRUSTRANK_SQL,
+    "g_harmonic_hyperball": G_HYPERBALL_SQL,
 }
