@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "d_incremental_minhash",
     "g_trustrank",
     "g_harmonic_hyperball",
+    "d_param_wash",
 ]
 
 CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "30000"))

@@ -7097,6 +7097,108 @@ ORDER BY doc_a, doc_b
 """
 
 
+def d_param_wash(spark, sf_dir):
+    """Query-parameter canonicalization — the OTHER url-dedup axis
+    beside d_surt_dup: strip tracking/session parameters (utm_*,
+    gclid, fbclid, sessionid & co. — Heritrix ships this as its
+    canonicalization-rule chain, e.g. StripSessionIDs; every archive
+    crawler needs it because analytics params mint unbounded distinct
+    urls for one resource) and SORT the surviving params so order
+    doesn't split the key. The synthetic corpus has no urls, so each
+    3-doc group mints 3 variants of its resource's url on BOTH
+    engines: clean / reordered+utm / per-doc gclid+fbclid noise —
+    every group must collapse to ONE canonical key with 3 distinct
+    raws.
+
+    100 TB posture: split/filter/sort/rejoin are all higher-order
+    array functions in the scan's codegen Project — no UDF, no
+    explode; the one shuffle is the hash aggregate on the canonical
+    key (the D1 exact-dedup shape on a computed key)."""
+    d = _t(spark, sf_dir, "documents")
+    g = F.expr("doc_id div 3")
+    base = F.concat(
+        F.lit("http://site-"), (g % 5).cast("string"), F.lit(".test/p/"),
+        g.cast("string"),
+    )
+    v = F.col("doc_id") % 3
+    url = (
+        F.when(v == 0, F.concat(base, F.lit("?id="), g.cast("string"),
+                                F.lit("&ref=home")))
+        .when(
+            v == 1,
+            F.concat(base, F.lit("?ref=home&utm_source=feed&id="),
+                     g.cast("string"), F.lit("&utm_campaign=x")),
+        )
+        .otherwise(
+            F.concat(base, F.lit("?gclid=g"), F.col("doc_id").cast("string"),
+                     F.lit("&id="), g.cast("string"),
+                     F.lit("&ref=home&fbclid=f"),
+                     F.col("doc_id").cast("string")),
+        )
+    )
+    u = d.select("doc_id", url.alias("url"))
+    path = F.regexp_replace("url", "\\?.*$", "")
+    kept = F.expr(
+        "array_join(array_sort(filter(split("
+        "regexp_extract(url, '\\\\?(.*)$', 1), '&'), "
+        "p -> NOT (p LIKE 'utm\\\\_%' OR split(p, '=')[0] IN "
+        "('gclid', 'fbclid', 'sessionid', 'sid', 'phpsessid')))), '&')"
+    )
+    canon = F.when(kept == "", path).otherwise(
+        F.concat(path, F.lit("?"), kept)
+    )
+    return (
+        u.select("doc_id", "url", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.countDistinct("url").alias("n_distinct_raw"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .orderBy("canon_url")
+    )
+
+
+D_PARAM_WASH_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         CASE doc_id % 3
+           WHEN 0 THEN 'http://site-' || CAST((doc_id // 3) % 5 AS VARCHAR)
+                || '.test/p/' || CAST(doc_id // 3 AS VARCHAR)
+                || '?id=' || CAST(doc_id // 3 AS VARCHAR) || '&ref=home'
+           WHEN 1 THEN 'http://site-' || CAST((doc_id // 3) % 5 AS VARCHAR)
+                || '.test/p/' || CAST(doc_id // 3 AS VARCHAR)
+                || '?ref=home&utm_source=feed&id='
+                || CAST(doc_id // 3 AS VARCHAR) || '&utm_campaign=x'
+           ELSE 'http://site-' || CAST((doc_id // 3) % 5 AS VARCHAR)
+                || '.test/p/' || CAST(doc_id // 3 AS VARCHAR)
+                || '?gclid=g' || CAST(doc_id AS VARCHAR)
+                || '&id=' || CAST(doc_id // 3 AS VARCHAR)
+                || '&ref=home&fbclid=f' || CAST(doc_id AS VARCHAR)
+         END AS url
+  FROM documents),
+c AS (
+  SELECT doc_id, url,
+         CASE WHEN kept = '' THEN path ELSE path || '?' || kept END
+           AS canon_url
+  FROM (
+    SELECT doc_id, url,
+           regexp_replace(url, '\\?.*$', '') AS path,
+           array_to_string(list_sort(list_filter(
+             string_split(regexp_extract(url, '\\?(.*)$', 1), '&'),
+             p -> NOT (p LIKE 'utm\\_%' ESCAPE '\\'
+                       OR string_split(p, '=')[1] IN
+                          ('gclid', 'fbclid', 'sessionid', 'sid',
+                           'phpsessid')))), '&') AS kept
+    FROM u))
+SELECT canon_url, COUNT(*) AS n_raw,
+       COUNT(DISTINCT url) AS n_distinct_raw,
+       MIN(doc_id) AS keeper_doc
+FROM c GROUP BY canon_url
+ORDER BY canon_url
+"""
+
+
 HB_M = 16          # HyperBall registers per node (state = 16 BIGINT cols)
 HB_CAP = 40        # rho clamp, same convention as sk_hll_distinct
 HB_ITERS = 3       # ball radii 1..3 (harmonic centrality truncated at 3)
@@ -7783,6 +7885,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_incremental_minhash": d_incremental_minhash,
     "g_trustrank": g_trustrank,
     "g_harmonic_hyperball": g_harmonic_hyperball,
+    "d_param_wash": d_param_wash,
 }
 
 ORACLES: dict[str, str] = {
@@ -7885,4 +7988,5 @@ ORACLES: dict[str, str] = {
     "d_incremental_minhash": D_INCR_MINHASH_SQL,
     "g_trustrank": G_TRUSTRANK_SQL,
     "g_harmonic_hyperball": G_HYPERBALL_SQL,
+    "d_param_wash": D_PARAM_WASH_SQL,
 }
