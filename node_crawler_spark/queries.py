@@ -7097,6 +7097,127 @@ ORDER BY doc_a, doc_b
 """
 
 
+def t_ccnet_perplexity(spark, sf_dir):
+    """CCNet's LM-perplexity filtering stage (Wenzek et al. 2020 §3.3:
+    score every paragraph with a language-model perplexity and split
+    the corpus into head/middle/tail terciles — the quality gate that
+    made CCNet the template for CC-derived training sets). KenLM isn't
+    reproducible cross-engine, so the falsifiable twin trains a
+    corpus-wide BIGRAM model with add-1 smoothing and scores docs in
+    EXACT INTEGER BITS (the t_dsir_importance discipline):
+    −log2 p(w_i|w_{i−1}) ≈ ilog2(ctx_count + V) − ilog2(bigram_count
+    + 1) with ilog2(x) = length(bin(x)) − 1 — no log(), no float
+    accumulation; per-doc score is milli-bits per bigram by BIGINT
+    floor division. Terciles come from ntile(3) over the total order
+    (score, doc_id) — a rank op; the O1 two-phase rank substitutes at
+    open-web cardinality, same note as o_key_skew's top-k.
+
+    Scale shape: the bigram-count and context-count tables are
+    corpus-wide aggregates joined back onto the per-doc bigram
+    multiset (one shuffle each on the natural key); V is a 1-row
+    scalar crossJoin."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.trim("text")), "\\s+").alias("w")
+    ).where(F.size("w") >= 2)
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 2), "
+                "i -> concat(w[i], ' ', w[i+1]))"
+            )
+        ).alias("bigram"),
+    )
+    bgm = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("m"))
+    corpus = bgm.groupBy("bigram").agg(F.sum("m").alias("cb"))
+    ctx = (
+        corpus.select(
+            F.expr("split(bigram, ' ')[0]").alias("w1"), "cb"
+        )
+        .groupBy("w1")
+        .agg(F.sum("cb").alias("cc"))
+    )
+    vocab = (
+        d.select(F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("g"))
+        .where(F.length("g") > 0)
+        .agg(F.countDistinct("g").alias("v"))
+    )
+    scored = (
+        bgm.join(corpus, "bigram")
+        .withColumn("w1", F.expr("split(bigram, ' ')[0]"))
+        .join(ctx, "w1")
+        .join(F.broadcast(vocab))
+        .withColumn(
+            "bits",
+            F.expr(
+                "(length(bin(cc + v)) - 1) - (length(bin(cb + 1)) - 1)"
+            ).cast("long"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("m").alias("n_bigrams"),
+        F.sum(F.col("m") * F.col("bits")).alias("total_bits"),
+    )
+    mbits = F.expr("total_bits * 1000L div n_bigrams")
+    w = Window.orderBy(mbits, F.col("doc_id"))
+    return (
+        per_doc.withColumn("mbits_per_bg", mbits)
+        .withColumn("nt", F.ntile(3).over(w))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "total_bits",
+            "mbits_per_bg",
+            F.expr(
+                "CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' "
+                "ELSE 'tail' END"
+            ).alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T_CCNET_PPL_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                i -> w[i] || ' ' || w[i+1])) AS bigram
+  FROM toks WHERE len(w) >= 2),
+bgm AS (SELECT doc_id, bigram, COUNT(*) AS m FROM bg GROUP BY 1, 2),
+corpus AS (SELECT bigram, CAST(SUM(m) AS BIGINT) AS cb
+           FROM bgm GROUP BY 1),
+ctx AS (SELECT string_split(bigram, ' ')[1] AS w1,
+               CAST(SUM(cb) AS BIGINT) AS cc
+        FROM corpus GROUP BY 1),
+vocab AS (
+  SELECT COUNT(DISTINCT g) AS v FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS g
+    FROM documents) WHERE length(g) > 0),
+scored AS (
+  SELECT bgm.doc_id, bgm.m,
+         (length(bin(ctx.cc + vocab.v)) - 1)
+           - (length(bin(corpus.cb + 1)) - 1) AS bits
+  FROM bgm
+  JOIN corpus USING (bigram)
+  JOIN ctx ON ctx.w1 = string_split(bgm.bigram, ' ')[1]
+  CROSS JOIN vocab),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+         CAST(SUM(m * bits) AS BIGINT) AS total_bits
+  FROM scored GROUP BY doc_id)
+SELECT doc_id, n_bigrams, total_bits,
+       total_bits * 1000 // n_bigrams AS mbits_per_bg,
+       CASE NTILE(3) OVER (ORDER BY total_bits * 1000 // n_bigrams, doc_id)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
 def d_param_wash(spark, sf_dir):
     """Query-parameter canonicalization — the OTHER url-dedup axis
     beside d_surt_dup: strip tracking/session parameters (utm_*,
@@ -7637,7 +7758,10 @@ def d_containment_pairs(spark, sf_dir):
     # both intersection sides) — materialize it once, same as
     # d_prefix_filter_pairs
     sh = _doc_shingles(spark, sf_dir).localCheckpoint()
-    j = _exact_jaccard(sh, None, df_cap=SHINGLE_DF_CAP)
+    # the directed union below projects the SAME scored pair table
+    # twice — without a checkpoint each union branch re-executes the
+    # whole candidate+rerank tree (measured 40 s → 19 s at sf0.1)
+    j = _exact_jaccard(sh, None, df_cap=SHINGLE_DF_CAP).localCheckpoint()
     fwd = j.select(
         F.col("doc_a").alias("doc_src"),
         F.col("doc_b").alias("doc_dst"),
