@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "g_trustrank",
     "g_harmonic_hyperball",
     "d_param_wash",
+    "t_ccnet_perplexity",
 ]
 
 CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "30000"))

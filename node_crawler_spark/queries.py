@@ -8010,6 +8010,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_trustrank": g_trustrank,
     "g_harmonic_hyperball": g_harmonic_hyperball,
     "d_param_wash": d_param_wash,
+    "t_ccnet_perplexity": t_ccnet_perplexity,
 }
 
 ORACLES: dict[str, str] = {
@@ -8113,4 +8114,5 @@ ORACLES: dict[str, str] = {
     "g_trustrank": G_TRUSTRANK_SQL,
     "g_harmonic_hyperball": G_HYPERBALL_SQL,
     "d_param_wash": D_PARAM_WASH_SQL,
+    "t_ccnet_perplexity": T_CCNET_PPL_SQL,
 }
