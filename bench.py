@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "g_harmonic_hyperball",
     "d_param_wash",
     "t_ccnet_perplexity",
+    "d_edit_distance_pairs",
 ]
 
 CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "30000"))

@@ -7097,6 +7097,82 @@ ORDER BY doc_a, doc_b
 """
 
 
+ED_PREFIX = 512      # char cap per side — bounds the O(n·m) DP per pair
+ED_MAX_PPM = 200_000  # keep pairs with normalized edit distance ≤ 0.2
+
+
+def d_edit_distance_pairs(spark, sf_dir):
+    """Character-level near-dup rerank by edit distance — the THIRD
+    similarity axis beside token-set Jaccard (minhash_near_dup) and
+    bit-sketch Hamming (simhash_near_dup): Levenshtein catches small
+    in-place edits (typo fixes, template slot changes, date bumps)
+    that reorder nothing, the short-text dedup standard. Candidates
+    come from the SAME MinHash band join (never n²); the rerank runs
+    each engine's built-in Levenshtein DP over ED_PREFIX-char
+    prefixes — the cap bounds the per-pair O(n·m) cost at corpus
+    width and is applied identically on both sides. Normalized
+    distance is exact BIGINT ppm (lev·10⁶ div max(len)); keep ≤ 0.2.
+    Spark's levenshtein() and DuckDB's are the same unit-cost DP, so
+    the oracle checks the distances themselves."""
+    sh = _doc_shingles(spark, sf_dir)
+    bands = _minhash_bands(sh)
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    txt = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, ED_PREFIX).alias("t")
+    )
+    return (
+        pairs.join(txt.select(F.col("doc_id").alias("doc_a"),
+                              F.col("t").alias("ta")), "doc_a")
+        .join(txt.select(F.col("doc_id").alias("doc_b"),
+                         F.col("t").alias("tb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ta", "tb").cast("long").alias("lev"),
+            F.expr(
+                "CAST(levenshtein(ta, tb) AS BIGINT) * 1000000L "
+                "div greatest(length(ta), length(tb))"
+            ).alias("ned_ppm"),
+        )
+        .where(F.col("ned_ppm") <= ED_MAX_PPM)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+D_EDIT_SQL = f"""
+WITH {_SHINGLES_CTE},
+{_minhash_bands_sql()},
+pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket
+           AND a.doc_id < b.doc_id),
+txt AS (SELECT doc_id, substr(text, 1, {ED_PREFIX}) AS t FROM documents),
+scored AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(levenshtein(ta.t, tb.t) AS BIGINT) AS lev,
+         CAST(levenshtein(ta.t, tb.t) AS BIGINT) * 1000000
+           // GREATEST(length(ta.t), length(tb.t)) AS ned_ppm
+  FROM pairs p
+  JOIN txt ta ON ta.doc_id = p.doc_a
+  JOIN txt tb ON tb.doc_id = p.doc_b)
+SELECT doc_a, doc_b, lev, ned_ppm
+FROM scored WHERE ned_ppm <= {ED_MAX_PPM}
+ORDER BY doc_a, doc_b
+"""
+
+
 def t_ccnet_perplexity(spark, sf_dir):
     """CCNet's LM-perplexity filtering stage (Wenzek et al. 2020 §3.3:
     score every paragraph with a language-model perplexity and split
@@ -8011,6 +8087,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_harmonic_hyperball": g_harmonic_hyperball,
     "d_param_wash": d_param_wash,
     "t_ccnet_perplexity": t_ccnet_perplexity,
+    "d_edit_distance_pairs": d_edit_distance_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -8115,4 +8192,5 @@ ORACLES: dict[str, str] = {
     "g_harmonic_hyperball": G_HYPERBALL_SQL,
     "d_param_wash": D_PARAM_WASH_SQL,
     "t_ccnet_perplexity": T_CCNET_PPL_SQL,
+    "d_edit_distance_pairs": D_EDIT_SQL,
 }
