@@ -2001,11 +2001,11 @@ SHINGLE_WORDS = 3                         # word 3-grams
 SHINGLE_DF_CAP = 50
 
 
-def _doc_shingles(spark, sf_dir):
-    """Distinct word-3-gram shingles per document (lowercased,
-    whitespace-tokenized) — shared by MinHash, recall, and the exact
-    Jaccard path."""
-    d = _t(spark, sf_dir, "documents")
+def _shingles_from(d: DataFrame) -> DataFrame:
+    """Distinct word-3-gram shingles per (doc_id, text) DataFrame —
+    the kernel behind _doc_shingles, reused by the streaming
+    incremental near-dup face (streaming/neardup.py) so batch and
+    stream shingle identically."""
     w = d.select(
         "doc_id", F.split(F.lower(F.trim("text")), "\\s+").alias("w")
     ).where(F.size("w") >= SHINGLE_WORDS)
@@ -2018,6 +2018,13 @@ def _doc_shingles(spark, sf_dir):
             )
         ).alias("shingle"),
     ).distinct()
+
+
+def _doc_shingles(spark, sf_dir):
+    """Distinct word-3-gram shingles per document (lowercased,
+    whitespace-tokenized) — shared by MinHash, recall, and the exact
+    Jaccard path."""
+    return _shingles_from(_t(spark, sf_dir, "documents"))
 
 
 _SHINGLES_CTE = """

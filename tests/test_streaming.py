@@ -597,3 +597,102 @@ def test_user_sessions_stream_merges_and_finalizes_once(spark, tmp_path):
     got = run()
     assert got[(4, ts(12, 0))] == (ts(12, 5), 1)
     assert len(got) == 4
+
+
+def test_incremental_neardup_stream_equals_single_shot(spark, tmp_path):
+    """Streaming incremental near-dup (streaming/neardup.py): two
+    document micro-batches folded against a growing band+shingle index.
+    The union of per-batch flags must equal the single-shot near-dup
+    over the WHOLE corpus pair-for-pair (batch1-internal + cross +
+    batch2-internal = all pairs), and a replayed fold must change
+    nothing (state and sink rows are pure functions of the text)."""
+    from node_crawler_spark.queries import (
+        MH_JACCARD,
+        _exact_jaccard,
+        _minhash_bands,
+        _shingles_from,
+    )
+    from node_crawler_spark.streaming.neardup import (
+        neardup_flagged,
+        neardup_fold,
+        start_neardup_query,
+    )
+    import pyspark.sql.functions as F
+
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "river bank today")
+    uniq1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    uniq2 = "one two three four five six seven eight nine ten eleven"
+    uniq3 = "red orange yellow green blue indigo violet colors of light"
+    b1 = [(1, base), (2, base + " again"), (3, uniq1), (4, uniq2)]
+    b2 = [(5, uniq1 + " extra"), (6, uniq2 + " more"),
+          (7, uniq2 + " more words"), (8, uniq3)]
+    schema = "doc_id long, text string"
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    dups = str(tmp_path / "dups")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(name, rows):
+        import json
+
+        (src / f"{name}.json").write_text(
+            "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+            + "\n"
+        )
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = start_neardup_query(stream, state, dups, ckpt)
+        q.awaitTermination(120)
+
+    run("b1", b1)
+    run("b2", b2)
+
+    streamed = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in neardup_flagged(spark, dups).collect()
+    )
+
+    # single-shot truth over the union, same machinery
+    union = spark.createDataFrame(b1 + b2, schema)
+    sh = _shingles_from(union).localCheckpoint()
+    bands = _minhash_bands(sh)
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    single = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in _exact_jaccard(sh, pairs)
+        .where(F.col("jaccard") >= MH_JACCARD)
+        .select("doc_a", "doc_b", "jaccard")
+        .collect()
+    )
+    assert streamed == single
+    # the fixture must exercise both a cross-batch and a within-batch
+    # flag (collisions are deterministic functions of the text)
+    flagged_pairs = {(a, b) for a, b, _ in streamed}
+    assert (1, 2) in flagged_pairs            # within batch 1
+    assert (3, 5) in flagged_pairs            # cross batch
+    assert (6, 7) in flagged_pairs            # within batch 2
+    assert (4, 8) not in flagged_pairs        # unrelated texts stay apart
+
+    # replayed fold: state and sink rows are byte-identical → absorbed
+    n_state = spark.read.parquet(f"{state}/shingles").distinct().count()
+    neardup_fold(spark.createDataFrame(b2, schema), 99, state, dups)
+    assert sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in neardup_flagged(spark, dups).collect()
+    ) == single
+    assert (
+        spark.read.parquet(f"{state}/shingles").distinct().count() == n_state
+    )
