@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "d_param_wash",
     "t_ccnet_perplexity",
     "d_edit_distance_pairs",
+    "sim_jl_projection",
 ]
 
 CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "30000"))

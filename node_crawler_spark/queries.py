@@ -7104,6 +7104,107 @@ ORDER BY doc_a, doc_b
 """
 
 
+JL_K = 16    # target dimension of the random projection
+JL_DIM = 64  # source embedding dimension
+
+
+def _jl_signs() -> list[list[int]]:
+    """Deterministic Achlioptas ±1 projection matrix: sign(j,i) from
+    md5 of the literal coordinate string — computed in PYTHON at plan
+    build time and embedded as ±1.0 literals, so both engines evaluate
+    the identical expression tree (no engine hash involved at all)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"jl:{j}:{i}".encode()).hexdigest()[:15], 16)
+            % 2
+            == 0
+            else -1
+            for i in range(JL_DIM)
+        ]
+        for j in range(JL_K)
+    ]
+
+
+def sim_jl_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection (Achlioptas 2001's
+    database-friendly ±1 matrix — the dimensionality-reduction stage
+    an embedding pipeline runs before indexing: 64-d → 16-d here, with
+    distances preserved within 1±ε whp). The projection y = Rx/√k is
+    16 fixed-order ±embedding[i] folds per vector — pure codegen, one
+    map pass, NO shuffle until the final top-k — and the query audits
+    the JL guarantee itself: per-vector norm ratio ‖y‖/‖x‖, reporting
+    the 20 WORST-distorted vectors (the empirical ε). Every fold is
+    written in the same left-assoc order on both engines, so even the
+    doubles agree bit-exactly (the _dot_sql discipline); ±1 products
+    are exact in IEEE, so the only roundings are the shared fold adds,
+    sqrt (correctly rounded), and one division."""
+    signs = _jl_signs()
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+    def proj_expr(j: int, idx) -> str:
+        return " + ".join(
+            f"({s}.0 * e[{idx(i)}])" for i, s in enumerate(signs[j])
+        )
+
+    spark_projs = [
+        F.expr(proj_expr(j, lambda i: i)).alias(f"p{j}") for j in range(JL_K)
+    ]
+    orig_sq = " + ".join(f"(e[{i}] * e[{i}])" for i in range(JL_DIM))
+    p = e.select("vec_id", F.expr(orig_sq).alias("s_orig"), *spark_projs)
+    proj_sq = " + ".join(f"(p{j} * p{j})" for j in range(JL_K))
+    return (
+        p.select(
+            "vec_id",
+            F.round(F.sqrt("s_orig"), 4).alias("orig_norm"),
+            F.round(
+                F.expr(f"sqrt(({proj_sq}) / {JL_K}.0) / sqrt(s_orig)"), 6
+            ).alias("norm_ratio"),
+            F.round(
+                F.expr(
+                    f"abs(sqrt(({proj_sq}) / {JL_K}.0) / sqrt(s_orig) - 1.0)"
+                ),
+                6,
+            ).alias("distortion"),
+        )
+        .orderBy(F.col("distortion").desc(), "vec_id")
+        .limit(20)
+    )
+
+
+def _jl_sql() -> str:
+    signs = _jl_signs()
+    projs = ",\n         ".join(
+        "("
+        + " + ".join(f"({s}.0 * e[{i + 1}])" for i, s in enumerate(signs[j]))
+        + f") AS p{j}"
+        for j in range(JL_K)
+    )
+    orig_sq = " + ".join(f"(e[{i + 1}] * e[{i + 1}])" for i in range(JL_DIM))
+    proj_sq = " + ".join(f"(p{j} * p{j})" for j in range(JL_K))
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+p AS (
+  SELECT vec_id, ({orig_sq}) AS s_orig,
+         {projs}
+  FROM v)
+SELECT vec_id, ROUND(sqrt(s_orig), 4) AS orig_norm,
+       ROUND(sqrt(({proj_sq}) / {JL_K}.0) / sqrt(s_orig), 6) AS norm_ratio,
+       ROUND(abs(sqrt(({proj_sq}) / {JL_K}.0) / sqrt(s_orig) - 1.0), 6)
+         AS distortion
+FROM p
+ORDER BY ROUND(abs(sqrt(({proj_sq}) / {JL_K}.0) / sqrt(s_orig) - 1.0), 6)
+           DESC, vec_id
+LIMIT 20"""
+
+
+SIM_JL_SQL = _jl_sql()
+
+
 ED_PREFIX = 512      # char cap per side — bounds the O(n·m) DP per pair
 ED_MAX_PPM = 200_000  # keep pairs with normalized edit distance ≤ 0.2
 
@@ -8095,6 +8196,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_param_wash": d_param_wash,
     "t_ccnet_perplexity": t_ccnet_perplexity,
     "d_edit_distance_pairs": d_edit_distance_pairs,
+    "sim_jl_projection": sim_jl_projection,
 }
 
 ORACLES: dict[str, str] = {
@@ -8200,4 +8302,5 @@ ORACLES: dict[str, str] = {
     "d_param_wash": D_PARAM_WASH_SQL,
     "t_ccnet_perplexity": T_CCNET_PPL_SQL,
     "d_edit_distance_pairs": D_EDIT_SQL,
+    "sim_jl_projection": SIM_JL_SQL,
 }
