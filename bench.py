@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "t_ccnet_perplexity",
     "d_edit_distance_pairs",
     "sim_jl_projection",
+    "dedup_keeper_policy",
 ]
 
 CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "30000"))

@@ -2226,6 +2226,17 @@ def dedup_clusters(spark, sf_dir):
     few hops mean the threshold is mis-set). The DuckDB oracle computes
     the same labels independently via WITH RECURSIVE transitive
     closure, so convergence itself is gate-checked."""
+    return _cc_labels(spark, sf_dir).select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    ).orderBy("doc_id")
+
+
+def _cc_labels(spark, sf_dir) -> DataFrame:
+    """(doc_id, cluster_id) via min-label propagation over the MinHash
+    near-dup pair graph — the loop behind dedup_clusters, shared with
+    dedup_keeper_policy."""
     pairs = minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     edges = (
@@ -2271,9 +2282,61 @@ def dedup_clusters(spark, sf_dir):
         labels = new_labels
         if not changed:
             break
-    return labels.select(
-        "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper")
-    ).orderBy("doc_id")
+    return labels.select("doc_id", "cluster_id")
+
+
+def dedup_keeper_policy(spark, sf_dir):
+    """Keeper SELECTION policy for near-dup clusters — dedup_clusters
+    answers "which docs are together"; this answers the production
+    question "which copy do we keep": the LONGEST version (max
+    n_chars, doc_id tiebreak) per multi-doc cluster — the
+    keep-most-complete rule real pipelines apply to mirrored/truncated
+    page families (min-doc_id keeps whichever copy happened to be
+    crawled first, including the truncated one). One join of the
+    labels onto documents + one partitioned window; clusters are tiny
+    by construction so the window never sees a hot partition."""
+    labels = _cc_labels(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster_id")
+    rk = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        labels.join(d, "doc_id")
+        .withColumn("n_docs", F.count(F.lit(1)).over(w))
+        .withColumn("rk", F.row_number().over(rk))
+        .where((F.col("rk") == 1) & (F.col("n_docs") >= 2))
+        .select(
+            "cluster_id",
+            "n_docs",
+            F.col("doc_id").alias("keeper_doc"),
+            F.col("n_chars").alias("keeper_chars"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# formatted below, after _minhash_near_ctes is defined
+_DEDUP_KEEPER_TEMPLATE = """
+WITH RECURSIVE {near_ctes},
+cedges AS (SELECT doc_a AS src, doc_b AS dst FROM near
+           UNION ALL SELECT doc_b, doc_a FROM near),
+reach(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN cedges e ON e.src = r.doc_id
+),
+labels AS (SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc_id),
+sized AS (
+  SELECT l.cluster_id, l.doc_id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                            ORDER BY d.n_chars DESC, l.doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY l.cluster_id) AS n_docs
+  FROM labels l JOIN documents d USING (doc_id))
+SELECT cluster_id, n_docs, doc_id AS keeper_doc, n_chars AS keeper_chars
+FROM sized WHERE rk = 1 AND n_docs >= 2
+ORDER BY cluster_id
+"""
 
 
 def _minhash_near_ctes() -> str:
@@ -2307,6 +2370,11 @@ reach(doc_id, lbl) AS (
 SELECT doc_id, MIN(lbl) AS cluster_id, doc_id = MIN(lbl) AS is_keeper
 FROM reach GROUP BY doc_id ORDER BY doc_id
 """
+
+
+DEDUP_KEEPER_SQL = _DEDUP_KEEPER_TEMPLATE.format(
+    near_ctes=_minhash_near_ctes()
+)
 
 
 CURATE_MIN_TOKENS = 5  # drop near-empty documents from the training set
@@ -8197,6 +8265,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_ccnet_perplexity": t_ccnet_perplexity,
     "d_edit_distance_pairs": d_edit_distance_pairs,
     "sim_jl_projection": sim_jl_projection,
+    "dedup_keeper_policy": dedup_keeper_policy,
 }
 
 ORACLES: dict[str, str] = {
@@ -8303,4 +8372,5 @@ ORACLES: dict[str, str] = {
     "t_ccnet_perplexity": T_CCNET_PPL_SQL,
     "d_edit_distance_pairs": D_EDIT_SQL,
     "sim_jl_projection": SIM_JL_SQL,
+    "dedup_keeper_policy": DEDUP_KEEPER_SQL,
 }
