@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "d_edit_distance_pairs",
     "sim_jl_projection",
     "dedup_keeper_policy",
+    "w_watermark_lag",
 ]
 
 CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "30000"))

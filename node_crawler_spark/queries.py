@@ -7172,6 +7172,118 @@ ORDER BY doc_a, doc_b
 """
 
 
+WM_BUCKET = 1000  # arrival-order bucket width for the two-phase running max
+
+
+def w_watermark_lag(spark, sf_dir):
+    """Event-time out-of-orderness profile — the measurement that
+    tunes every withWatermark() horizon in streaming/: for each event
+    in ARRIVAL order (event_id), lateness = how far the event-time
+    watermark (max event time seen so far) had already passed its own
+    timestamp. Reported per event_type: late share in exact BIGINT ppm
+    and the worst lateness — exactly the numbers that pick a watermark
+    that drops <x ppm of events.
+
+    The synthetic stream arrives in timestamp order (zero lateness
+    everywhere), so the profile perturbs arrival DETERMINISTICALLY on
+    both engines — every 17th event is delayed 5 arrival slots (the
+    d_surt_dup convention: mint the interesting case identically on
+    both sides, then measure it).
+
+    Scale shape: the running max is TWO-PHASE, not a global window —
+    per-bucket maxes (one hash aggregate), an exclusive prefix max
+    over the tiny bucket table, and a within-bucket exclusive running
+    max partitioned by bucket (bounded WM_BUCKET rows per partition) —
+    the O1-rank trick applied to max; no single-partition pass over
+    the events themselves at any size."""
+    epoch = "TIMESTAMP_NTZ'1970-01-01 00:00:00'"
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr(f"timestampdiff(MICROSECOND, {epoch}, ts)").alias("us"),
+        F.expr(
+            "event_id + CASE WHEN event_id % 17 = 0 THEN 5 ELSE 0 END"
+        ).alias("arr"),
+    ).withColumn("b", F.expr(f"arr div {WM_BUCKET}"))
+    bmax = e.groupBy("b").agg(F.max("us").alias("bmax"))
+    wprefix = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = bmax.withColumn("carry", F.max("bmax").over(wprefix)).select(
+        "b", "carry"
+    )
+    win = (
+        Window.partitionBy("b")
+        .orderBy("arr", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lagged = (
+        e.join(F.broadcast(carry), "b")
+        .withColumn("inb", F.max("us").over(win))
+        .withColumn(
+            "wm",
+            F.greatest(
+                F.coalesce("carry", F.lit(-1).cast("long")),
+                F.coalesce("inb", F.lit(-1).cast("long")),
+            ),
+        )
+        .withColumn(
+            "late_us", F.greatest(F.lit(0).cast("long"), F.col("wm") - F.col("us"))
+        )
+    )
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0)).alias(
+                "n_late"
+            ),
+            F.max("late_us").alias("max_late_us"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_late",
+            F.expr("n_late * 1000000L div n_events").alias("late_ppm"),
+            "max_late_us",
+        )
+        .orderBy("event_type")
+    )
+
+
+W_WATERMARK_SQL = f"""
+WITH e AS (
+  SELECT event_id, event_type, epoch_us(ts) AS us, arr,
+         arr // {WM_BUCKET} AS b
+  FROM (SELECT *, event_id + CASE WHEN event_id % 17 = 0 THEN 5 ELSE 0 END
+          AS arr FROM events)),
+bmax AS (SELECT b, MAX(us) AS bmax FROM e GROUP BY b),
+carry AS (
+  SELECT b, MAX(bmax) OVER (ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS carry
+  FROM bmax),
+lagged AS (
+  SELECT e.event_type,
+         GREATEST(0, GREATEST(COALESCE(c.carry, -1),
+                              COALESCE(MAX(e.us) OVER (PARTITION BY e.b
+                                ORDER BY e.arr, e.event_id ROWS BETWEEN
+                                UNBOUNDED PRECEDING AND 1 PRECEDING), -1))
+                     - e.us)
+           AS late_us
+  FROM e JOIN carry c USING (b)),
+agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_late,
+         MAX(late_us) AS max_late_us
+  FROM lagged GROUP BY event_type)
+SELECT event_type, n_events, n_late,
+       n_late * 1000000 // n_events AS late_ppm, max_late_us
+FROM agg
+ORDER BY event_type
+"""
+
+
 JL_K = 16    # target dimension of the random projection
 JL_DIM = 64  # source embedding dimension
 
@@ -8266,6 +8378,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_edit_distance_pairs": d_edit_distance_pairs,
     "sim_jl_projection": sim_jl_projection,
     "dedup_keeper_policy": dedup_keeper_policy,
+    "w_watermark_lag": w_watermark_lag,
 }
 
 ORACLES: dict[str, str] = {
@@ -8373,4 +8486,5 @@ ORACLES: dict[str, str] = {
     "d_edit_distance_pairs": D_EDIT_SQL,
     "sim_jl_projection": SIM_JL_SQL,
     "dedup_keeper_policy": DEDUP_KEEPER_SQL,
+    "w_watermark_lag": W_WATERMARK_SQL,
 }
