@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "sim_jl_projection",
     "dedup_keeper_policy",
     "w_watermark_lag",
+    "sim_matryoshka_overlap",
 ]
 
 CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "30000"))

@@ -7172,6 +7172,87 @@ ORDER BY doc_a, doc_b
 """
 
 
+MRL_DIMS = 16  # truncation width for the Matryoshka retrieval audit
+
+
+def sim_matryoshka_overlap(spark, sf_dir):
+    """Matryoshka-style truncation audit (Kusupati et al. 2022 — MRL
+    embeddings let a deployment serve the FIRST d' dims as a cheap
+    index tier; before adopting that, you measure what truncation does
+    to retrieval). Top-10 cosine retrieval for the vec_id=0 query is
+    run twice — full 64 dims and the first MRL_DIMS dims — and the
+    audit reports the top-k overlap and both top-1 ids. Same rounded-
+    cosine + vec_id tiebreak ordering as sim_cosine_topk (both
+    TakeOrdered top-k selections, never a global sort); dot products
+    are the shared left-fold == list_dot_product association."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("q_emb")
+    )
+    v = e.where(F.col("vec_id") != 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+
+    def topk(a_expr: str, b_expr: str):
+        cos = F.expr(
+            f"round(aggregate(zip_with({a_expr}, {b_expr}, (a, b) -> a * b), "
+            f"0.0D, (acc, x) -> acc + x) "
+            f"/ (sqrt(aggregate({a_expr}, 0.0D, (acc, x) -> acc + x * x)) "
+            f"* sqrt(aggregate({b_expr}, 0.0D, (acc, x) -> acc + x * x))), 4)"
+        )
+        return (
+            v.crossJoin(F.broadcast(q))
+            .select("vec_id", cos.alias("c"))
+            .orderBy(F.col("c").desc(), "vec_id")
+        )
+
+    full = topk("emb", "q_emb").limit(10).localCheckpoint()
+    trunc = topk(
+        f"slice(emb, 1, {MRL_DIMS})", f"slice(q_emb, 1, {MRL_DIMS})"
+    ).limit(10).localCheckpoint()
+    overlap = full.join(trunc, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    t1f = full.orderBy(F.col("c").desc(), "vec_id").limit(1).select(
+        F.col("vec_id").alias("top1_full")
+    )
+    t1t = trunc.orderBy(F.col("c").desc(), "vec_id").limit(1).select(
+        F.col("vec_id").alias("top1_trunc")
+    )
+    return (
+        overlap.crossJoin(t1f)
+        .crossJoin(t1t)
+        .select(F.lit(10).alias("k"), "n_overlap", "top1_full", "top1_trunc")
+    )
+
+
+SIM_MRL_SQL = f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings
+           WHERE vec_id = 0),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      WHERE vec_id <> 0),
+fullk AS (
+  SELECT vec_id,
+         ROUND(list_dot_product(emb, q_emb)
+               / (sqrt(list_dot_product(emb, emb))
+                  * sqrt(list_dot_product(q_emb, q_emb))), 4) AS c
+  FROM v, q ORDER BY c DESC, vec_id LIMIT 10),
+trunck AS (
+  SELECT vec_id,
+         ROUND(list_dot_product(emb[1:{MRL_DIMS}], q_emb[1:{MRL_DIMS}])
+               / (sqrt(list_dot_product(emb[1:{MRL_DIMS}], emb[1:{MRL_DIMS}]))
+                  * sqrt(list_dot_product(q_emb[1:{MRL_DIMS}],
+                                          q_emb[1:{MRL_DIMS}]))), 4) AS c
+  FROM v, q ORDER BY c DESC, vec_id LIMIT 10)
+SELECT 10 AS k,
+       (SELECT COUNT(*) FROM fullk JOIN trunck USING (vec_id)) AS n_overlap,
+       (SELECT vec_id FROM fullk ORDER BY c DESC, vec_id LIMIT 1)
+         AS top1_full,
+       (SELECT vec_id FROM trunck ORDER BY c DESC, vec_id LIMIT 1)
+         AS top1_trunc
+"""
+
+
 WM_BUCKET = 1000  # arrival-order bucket width for the two-phase running max
 
 
@@ -8379,6 +8460,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_jl_projection": sim_jl_projection,
     "dedup_keeper_policy": dedup_keeper_policy,
     "w_watermark_lag": w_watermark_lag,
+    "sim_matryoshka_overlap": sim_matryoshka_overlap,
 }
 
 ORACLES: dict[str, str] = {
@@ -8487,4 +8569,5 @@ ORACLES: dict[str, str] = {
     "sim_jl_projection": SIM_JL_SQL,
     "dedup_keeper_policy": DEDUP_KEEPER_SQL,
     "w_watermark_lag": W_WATERMARK_SQL,
+    "sim_matryoshka_overlap": SIM_MRL_SQL,
 }
