@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "dedup_keeper_policy",
     "w_watermark_lag",
     "sim_matryoshka_overlap",
+    "o_corpus_drift",
 ]
 
 CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "30000"))

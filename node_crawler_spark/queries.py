@@ -7172,6 +7172,98 @@ ORDER BY doc_a, doc_b
 """
 
 
+def o_corpus_drift(spark, sf_dir):
+    """Corpus drift detection between crawl batches — the monitoring
+    op a continuous-ingestion pipeline runs on every snapshot (a CC
+    dump whose length/quality distribution shifts against the standing
+    corpus signals an extraction regression or a web-level change
+    before any model sees the data). Old = sources src0-9, new =
+    src10-19 (source as batch id, the d_incremental_minhash
+    convention); feature = log2 doc-length bucket (length(bin(x)) —
+    integer, no log()); per-bucket Pearson χ² contribution of the new
+    batch against Laplace-smoothed old expectations. All counts exact
+    BIGINT; each expectation and contribution is an independent
+    fixed-shape float expression per bucket row (one cast-divide, one
+    square — no cross-row float accumulation anywhere, which is why
+    no χ² TOTAL column: a float sum over buckets would expose
+    reduction order; readers sum the 6-decimal contributions).
+
+    Scale: one hash(bucket) aggregate + a 1-row totals crossJoin —
+    the o_key_skew shape."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.expr("length(bin(CAST(n_chars AS BIGINT)))").alias("bucket"),
+        F.expr(
+            "CASE WHEN CAST(substring(source, 4, 10) AS INT) < 10 "
+            "THEN 1 ELSE 0 END"
+        ).alias("is_old"),
+    )
+    per = d.groupBy("bucket").agg(
+        F.sum("is_old").alias("n_old"),
+        F.sum(F.expr("1 - is_old")).alias("n_new"),
+    )
+    tot = per.agg(
+        F.sum("n_old").alias("t_old"),
+        F.sum("n_new").alias("t_new"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_old",
+            "n_new",
+            F.round(
+                F.expr(
+                    "CAST(t_new * (n_old + 1) AS DOUBLE) "
+                    "/ (t_old + n_buckets)"
+                ),
+                4,
+            ).alias("exp_new"),
+            F.round(
+                F.expr(
+                    "(n_new - CAST(t_new * (n_old + 1) AS DOUBLE) "
+                    "/ (t_old + n_buckets)) "
+                    "* (n_new - CAST(t_new * (n_old + 1) AS DOUBLE) "
+                    "/ (t_old + n_buckets)) "
+                    "/ (CAST(t_new * (n_old + 1) AS DOUBLE) "
+                    "/ (t_old + n_buckets))"
+                ),
+                6,
+            ).alias("chi2_contrib"),
+        )
+        .orderBy("bucket")
+    )
+
+
+O_DRIFT_SQL = """
+WITH d AS (
+  SELECT length(bin(CAST(n_chars AS BIGINT))) AS bucket,
+         CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 1 ELSE 0 END
+           AS is_old
+  FROM documents),
+per AS (
+  SELECT bucket, CAST(SUM(is_old) AS BIGINT) AS n_old,
+         CAST(SUM(1 - is_old) AS BIGINT) AS n_new
+  FROM d GROUP BY bucket),
+tot AS (
+  SELECT CAST(SUM(n_old) AS BIGINT) AS t_old,
+         CAST(SUM(n_new) AS BIGINT) AS t_new,
+         COUNT(*) AS n_buckets
+  FROM per)
+SELECT bucket, n_old, n_new,
+       ROUND(CAST(t_new * (n_old + 1) AS DOUBLE) / (t_old + n_buckets), 4)
+         AS exp_new,
+       ROUND((n_new - CAST(t_new * (n_old + 1) AS DOUBLE)
+                / (t_old + n_buckets))
+             * (n_new - CAST(t_new * (n_old + 1) AS DOUBLE)
+                / (t_old + n_buckets))
+             / (CAST(t_new * (n_old + 1) AS DOUBLE) / (t_old + n_buckets)),
+             6) AS chi2_contrib
+FROM per, tot
+ORDER BY bucket
+"""
+
+
 MRL_DIMS = 16  # truncation width for the Matryoshka retrieval audit
 
 
@@ -8461,6 +8553,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keeper_policy": dedup_keeper_policy,
     "w_watermark_lag": w_watermark_lag,
     "sim_matryoshka_overlap": sim_matryoshka_overlap,
+    "o_corpus_drift": o_corpus_drift,
 }
 
 ORACLES: dict[str, str] = {
@@ -8570,4 +8663,5 @@ ORACLES: dict[str, str] = {
     "dedup_keeper_policy": DEDUP_KEEPER_SQL,
     "w_watermark_lag": W_WATERMARK_SQL,
     "sim_matryoshka_overlap": SIM_MRL_SQL,
+    "o_corpus_drift": O_DRIFT_SQL,
 }
