@@ -102,6 +102,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     help="honor Crawl-delay from robots.txt snapshots in "
                          "the page store (delay-only politeness rules; "
                          "explicit --budget rules win)")
+    ap.add_argument("--error-backoff", action="store_true",
+                    help="a domain with errors last round runs this "
+                         "round at half its budget (min 1); a clean "
+                         "round restores it")
     ap.add_argument("--priority", choices=["fifo", "dfs"], default="fifo",
                     help="within-domain scheduling priority (O4)")
     ap.add_argument("--compact-every", type=int, default=0,
@@ -163,6 +167,7 @@ def config_from_args(args) -> CrawlConfig:
         politeness=tuple(politeness),
         robots=tuple(robots),
         priority=args.priority,
+        error_backoff=args.error_backoff,
         compact_every=args.compact_every,
         probe_from_store=args.probe_from_store,
         use_bloom_prefilter=not args.no_bloom,

@@ -22,9 +22,11 @@ def test_config_from_args_parses_new_knobs():
             "--priority", "dfs",
             "--compact-every", "4",
             "--probe-from-store",
+            "--error-backoff",
         ]
     )
     cfg = config_from_args(args)
+    assert cfg.error_backoff
     assert cfg.politeness[0].budget == 3
     assert cfg.politeness[0].crawl_delay_ms == 1500
     assert cfg.politeness[1].budget == 0  # delay-only rule
