@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "w_watermark_lag",
     "sim_matryoshka_overlap",
     "o_corpus_drift",
+    "o_crawl_makespan",
 ]
 
 CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "30000"))

@@ -7172,6 +7172,61 @@ ORDER BY doc_a, doc_b
 """
 
 
+def o_crawl_makespan(spark, sf_dir):
+    """Crawl completion forecasting under per-host politeness budgets —
+    the capacity-planning twin of J6's scheduler: given each host's
+    pending-url count and budget, rounds_to_drain = ⌈n/budget⌉, and the
+    crawl's makespan is the slowest host (the politeness tail every
+    large crawl is bounded by — adding executors can't speed up a
+    budget-capped host, only adding HOSTS in flight can). Hosts ≙
+    suppliers, pending urls ≙ lineitems, budget synthesized
+    deterministically from the host key (1 + key % 4, both engines).
+    All BIGINT: ceil division as (n + b − 1) div b; is_critical marks
+    the makespan host(s) via a 1-row max crossJoin."""
+    l = _t(spark, sf_dir, "lineitem").select("l_suppkey")
+    per = (
+        l.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+        .withColumn("budget", F.expr("CAST(1 + l_suppkey % 4 AS BIGINT)"))
+        .withColumn(
+            "rounds_to_drain",
+            F.expr("(n_urls + budget - 1) div budget"),
+        )
+    )
+    mk = per.agg(F.max("rounds_to_drain").alias("makespan"))
+    return (
+        per.join(F.broadcast(mk))
+        .select(
+            "l_suppkey",
+            "n_urls",
+            "budget",
+            "rounds_to_drain",
+            F.expr(
+                "CAST(CASE WHEN rounds_to_drain = makespan THEN 1 "
+                "ELSE 0 END AS INT)"
+            ).alias("is_critical"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+O_MAKESPAN_SQL = """
+WITH per AS (
+  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_urls,
+         CAST(1 + l_suppkey % 4 AS BIGINT) AS budget
+  FROM lineitem GROUP BY l_suppkey),
+r AS (SELECT l_suppkey, n_urls, budget,
+             (n_urls + budget - 1) // budget AS rounds_to_drain
+      FROM per),
+mk AS (SELECT MAX(rounds_to_drain) AS makespan FROM r)
+SELECT l_suppkey, n_urls, budget, rounds_to_drain,
+       CAST(CASE WHEN rounds_to_drain = makespan THEN 1 ELSE 0 END AS INT)
+         AS is_critical
+FROM r, mk
+ORDER BY l_suppkey
+"""
+
+
 def o_corpus_drift(spark, sf_dir):
     """Corpus drift detection between crawl batches — the monitoring
     op a continuous-ingestion pipeline runs on every snapshot (a CC
@@ -8554,6 +8609,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_watermark_lag": w_watermark_lag,
     "sim_matryoshka_overlap": sim_matryoshka_overlap,
     "o_corpus_drift": o_corpus_drift,
+    "o_crawl_makespan": o_crawl_makespan,
 }
 
 ORACLES: dict[str, str] = {
@@ -8664,4 +8720,5 @@ ORACLES: dict[str, str] = {
     "w_watermark_lag": W_WATERMARK_SQL,
     "sim_matryoshka_overlap": SIM_MRL_SQL,
     "o_corpus_drift": O_DRIFT_SQL,
+    "o_crawl_makespan": O_MAKESPAN_SQL,
 }
