@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "sim_matryoshka_overlap",
     "o_corpus_drift",
     "o_crawl_makespan",
+    "t_winnowing",
 ]
 
 CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "30000"))

@@ -7172,6 +7172,92 @@ ORDER BY doc_a, doc_b
 """
 
 
+WN_K = 3  # winnowing k-gram width (words)
+WN_W = 4  # winnowing window (k-gram hashes per window)
+
+
+def t_winnowing(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting algorithm: hash every
+    k-gram, slide a w-window over the hash sequence, keep each
+    window's minimum; guarantees any shared run ≥ w+k−1 tokens yields
+    a shared fingerprint, with ~2/(w+1) density — position-robust
+    partial-overlap detection, where shingle-set Jaccard only sees
+    whole-document similarity). Per doc: window count, distinct
+    fingerprint count, density in BIGINT ppm, and the md5 of the FULL
+    selected-min sequence in positional order — the fingerprint stream
+    itself is hash-checked, not just counted.
+
+    Scale: everything (k-gram hashing, sliding min, density, digest)
+    is array codegen inside the scan's Project — ZERO shuffles before
+    the final ORDER BY; the portable per-gram hash is _phash's
+    md5-conv form inlined into the lambda."""
+    d = _t(spark, sf_dir, "documents")
+    expr = f"""
+      transform(
+        transform(sequence(1, size(hs) - {WN_W - 1}),
+                  i -> array_min(slice(hs, i, {WN_W}))),
+        x -> CAST(x AS STRING))
+    """
+    out = (
+        d.select(
+            "doc_id",
+            F.expr("split(lower(trim(text)), '\\\\s+')").alias("w"),
+        )
+        .where(F.size("w") >= WN_K + WN_W - 1)
+        .withColumn(
+            "hs",
+            F.expr(
+                f"transform(transform(sequence(0, size(w) - {WN_K}), "
+                "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])), "
+                "g -> CAST(conv(substring(md5(concat('wn:', g)), 1, 15), "
+                "16, 10) AS BIGINT))"
+            ),
+        )
+        .withColumn("sel", F.expr(expr))
+    )
+    return out.select(
+        "doc_id",
+        F.size("sel").alias("n_windows"),
+        F.size(F.array_distinct("sel")).alias("n_fp"),
+        F.expr(
+            "CAST(size(array_distinct(sel)) AS BIGINT) * 1000000L "
+            "div size(sel)"
+        ).alias("density_ppm"),
+        F.md5(F.concat_ws(",", "sel")).alias("fp_md5"),
+    ).orderBy("doc_id")
+
+
+T_WINNOW_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents),
+hashed AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(range(1, len(w) - {WN_K - 2}),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+           g -> CAST('0x' || substr(md5('wn:' || g), 1, 15) AS BIGINT))
+           AS hs
+  FROM base WHERE len(w) >= {WN_K + WN_W - 1}),
+sel AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(range(1, len(hs) - {WN_W - 2}),
+                          i -> list_min(hs[i:i+{WN_W - 1}])),
+           x -> CAST(x AS VARCHAR)) AS sel
+  FROM hashed)
+SELECT doc_id,
+       len(sel) AS n_windows,
+       len(list_distinct(sel)) AS n_fp,
+       CAST(len(list_distinct(sel)) AS BIGINT) * 1000000 // len(sel)
+         AS density_ppm,
+       md5(array_to_string(sel, ',')) AS fp_md5
+FROM sel
+ORDER BY doc_id
+"""
+
+
 def o_crawl_makespan(spark, sf_dir):
     """Crawl completion forecasting under per-host politeness budgets —
     the capacity-planning twin of J6's scheduler: given each host's
@@ -8610,6 +8696,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_matryoshka_overlap": sim_matryoshka_overlap,
     "o_corpus_drift": o_corpus_drift,
     "o_crawl_makespan": o_crawl_makespan,
+    "t_winnowing": t_winnowing,
 }
 
 ORACLES: dict[str, str] = {
@@ -8721,4 +8808,5 @@ ORACLES: dict[str, str] = {
     "sim_matryoshka_overlap": SIM_MRL_SQL,
     "o_corpus_drift": O_DRIFT_SQL,
     "o_crawl_makespan": O_MAKESPAN_SQL,
+    "t_winnowing": T_WINNOW_SQL,
 }
