@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "o_corpus_drift",
     "o_crawl_makespan",
     "t_winnowing",
+    "sk_bloom_fp_audit",
 ]
 
 CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "30000"))

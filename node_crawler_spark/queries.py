@@ -7172,6 +7172,132 @@ ORDER BY doc_a, doc_b
 """
 
 
+BF_M = 1 << 16  # bloom bits
+BF_K = 3        # hash functions
+
+
+def sk_bloom_fp_audit(spark, sf_dir):
+    """Bloom-filter false-positive audit — the falsifiable relational
+    twin of the engine's D1 bloom sidecar (operators/seenset.py): the
+    whole point of a Bloom prefilter is a QUANTIFIED false-positive
+    rate, so this builds one (m=2^16 bits, k=3 portable hashes) over
+    the standing corpus' vocabulary (sources src0-9), probes every
+    distinct word of the arriving batch (src10-19), and reports
+    claimed-present vs actually-present vs false positives, with the
+    FP rate over TRUE NEGATIVES in exact BIGINT ppm — the number that
+    sizes the filter (seenset.py doubles capacity when it drifts).
+
+    The key domain is word-3-gram shingles, not words — the synthetic
+    corpus' ~30-word vocabulary would make every probe a true positive;
+    shingles have real cardinality (the same reason D1 keys on whole
+    urls, not tokens).
+
+    Scale shape: the bit set is ≤ m rows (broadcast); probes explode
+    each key into k bit rows, join the bit set, and reduce — one
+    aggregate keyed by shingle, one scalar fold; nothing n²."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "is_old",
+        F.expr(
+            "CASE WHEN CAST(substring(source, 4, 10) AS INT) < 10 "
+            "THEN 1 ELSE 0 END"
+        ),
+    )
+    old_w = (
+        _shingles_from(d.where(F.col("is_old") == 1))
+        .select(F.col("shingle").alias("g"))
+        .distinct()
+    )
+    new_w = (
+        _shingles_from(d.where(F.col("is_old") == 0))
+        .select(F.col("shingle").alias("g"))
+        .distinct()
+    )
+    bit_exprs = [
+        (_phash(F.col("g"), f"bf{h}") % BF_M).alias("bit")
+        for h in range(BF_K)
+    ]
+    bits = old_w.select(
+        F.explode(F.array(*[e for e in bit_exprs])).alias("bit")
+    ).distinct()
+    probe = (
+        new_w.select("g", F.explode(F.array(*bit_exprs)).alias("bit"))
+        .join(F.broadcast(bits.withColumn("_hit", F.lit(1))), "bit", "left")
+        .groupBy("g")
+        .agg(
+            (F.sum(F.coalesce("_hit", F.lit(0))) == BF_K).cast("int").alias(
+                "claimed"
+            )
+        )
+    )
+    actual = new_w.join(
+        old_w.select(F.col("g"), F.lit(1).alias("present")), "g", "left"
+    ).select("g", F.coalesce("present", F.lit(0)).alias("present"))
+    per = probe.join(actual, "g")
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum("claimed").alias("n_claimed"),
+        F.sum("present").alias("n_present"),
+        F.sum(
+            F.when((F.col("claimed") == 1) & (F.col("present") == 0), 1)
+            .otherwise(0)
+        ).alias("n_fp"),
+    )
+    nbits = bits.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    return agg.join(F.broadcast(nbits)).select(
+        "n_probes",
+        "n_claimed",
+        "n_present",
+        "n_fp",
+        F.expr("n_fp * 1000000L div (n_probes - n_present)").alias("fp_ppm"),
+        "n_bits_set",
+    )
+
+
+def _bf_bits_sql(col: str) -> str:
+    return ", ".join(
+        f"({_phash_sql(col, f'bf{h}')}) % {BF_M}" for h in range(BF_K)
+    )
+
+
+SK_BLOOM_SQL = f"""
+WITH src AS (
+  SELECT string_split_regex(lower(trim(text)), '\\s+') AS w,
+         CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 1 ELSE 0 END
+           AS is_old
+  FROM documents),
+sh AS (
+  SELECT DISTINCT is_old,
+         unnest(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+  FROM src WHERE len(w) >= 3),
+old_w AS (SELECT DISTINCT g FROM sh WHERE is_old = 1),
+new_w AS (SELECT DISTINCT g FROM sh WHERE is_old = 0),
+bits AS (SELECT DISTINCT bit FROM (
+  SELECT unnest([{_bf_bits_sql('g')}]) AS bit FROM old_w)),
+probe AS (
+  SELECT p.g,
+         CASE WHEN SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END)
+                   = {BF_K} THEN 1 ELSE 0 END AS claimed
+  FROM (SELECT g, unnest([{_bf_bits_sql('g')}]) AS bit FROM new_w) p
+  LEFT JOIN bits b USING (bit)
+  GROUP BY p.g),
+actual AS (
+  SELECT n.g, CASE WHEN o.g IS NOT NULL THEN 1 ELSE 0 END AS present
+  FROM new_w n LEFT JOIN old_w o USING (g)),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+         CAST(SUM(claimed) AS BIGINT) AS n_claimed,
+         CAST(SUM(present) AS BIGINT) AS n_present,
+         CAST(SUM(CASE WHEN claimed = 1 AND present = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_fp
+  FROM probe JOIN actual USING (g)),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bits_set FROM bits)
+SELECT n_probes, n_claimed, n_present, n_fp,
+       n_fp * 1000000 // (n_probes - n_present) AS fp_ppm, n_bits_set
+FROM agg, nb
+"""
+
+
 WN_K = 3  # winnowing k-gram width (words)
 WN_W = 4  # winnowing window (k-gram hashes per window)
 
@@ -8697,6 +8823,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o_corpus_drift": o_corpus_drift,
     "o_crawl_makespan": o_crawl_makespan,
     "t_winnowing": t_winnowing,
+    "sk_bloom_fp_audit": sk_bloom_fp_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -8809,4 +8936,5 @@ ORACLES: dict[str, str] = {
     "o_corpus_drift": O_DRIFT_SQL,
     "o_crawl_makespan": O_MAKESPAN_SQL,
     "t_winnowing": T_WINNOW_SQL,
+    "sk_bloom_fp_audit": SK_BLOOM_SQL,
 }
