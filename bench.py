@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "o_crawl_makespan",
     "t_winnowing",
     "sk_bloom_fp_audit",
+    "t_vocab_growth",
 ]
 
 CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "30000"))

@@ -7172,6 +7172,70 @@ ORDER BY doc_a, doc_b
 """
 
 
+def t_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth curve (V(n) ∝ n^β — the corpus
+    statistic that says whether a crawl is still DISCOVERING language
+    or re-reading the same pages: a flattening curve at constant crawl
+    rate means marginal novelty is collapsing, the signal to widen
+    seeds or raise recrawl priority). Checkpointed at log2 prefixes of
+    the corpus in doc_id order: each word's FIRST document (one min
+    aggregate), banded by length(bin(first_doc+1)), new-word counts
+    per band, and the cumulative vocabulary via a running sum over the
+    ≤ 20-row band table. All exact integers; the only window is over
+    bands, never rows.
+
+    Scale: one distinct + one min aggregate on the word key — at
+    10^10 docs this is the same one-shuffle shape as exact dedup."""
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("g"),
+        )
+        .where(F.length("g") > 0)
+        .distinct()
+    )
+    first = words.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    bands = (
+        first.select(
+            F.expr("length(bin(first_doc + 1))").alias("band")
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("new_words"))
+    )
+    w = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        bands.withColumn("cum_vocab", F.sum("new_words").over(w))
+        .select(
+            "band",
+            F.expr("shiftleft(1L, band) - 1").alias("prefix_docs"),
+            "new_words",
+            "cum_vocab",
+        )
+        .orderBy("band")
+    )
+
+
+T_VOCAB_SQL = """
+WITH words AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS g
+    FROM documents) WHERE length(g) > 0),
+first AS (SELECT g, MIN(doc_id) AS first_doc FROM words GROUP BY g),
+bands AS (
+  SELECT length(bin(first_doc + 1)) AS band,
+         CAST(COUNT(*) AS BIGINT) AS new_words
+  FROM first GROUP BY 1)
+SELECT band, (1::BIGINT << band) - 1 AS prefix_docs, new_words,
+       CAST(SUM(new_words) OVER (ORDER BY band
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_vocab
+FROM bands
+ORDER BY band
+"""
+
+
 BF_M = 1 << 16  # bloom bits
 BF_K = 3        # hash functions
 
@@ -8824,6 +8888,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o_crawl_makespan": o_crawl_makespan,
     "t_winnowing": t_winnowing,
     "sk_bloom_fp_audit": sk_bloom_fp_audit,
+    "t_vocab_growth": t_vocab_growth,
 }
 
 ORACLES: dict[str, str] = {
@@ -8937,4 +9002,5 @@ ORACLES: dict[str, str] = {
     "o_crawl_makespan": O_MAKESPAN_SQL,
     "t_winnowing": T_WINNOW_SQL,
     "sk_bloom_fp_audit": SK_BLOOM_SQL,
+    "t_vocab_growth": T_VOCAB_SQL,
 }
