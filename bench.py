@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "t_winnowing",
     "sk_bloom_fp_audit",
     "t_vocab_growth",
+    "u_snapshot_diff",
 ]
 
 CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "30000"))

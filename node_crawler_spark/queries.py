@@ -7172,6 +7172,60 @@ ORDER BY doc_a, doc_b
 """
 
 
+def u_snapshot_diff(spark, sf_dir):
+    """Snapshot diff between crawl batches — the INTERSECT/EXCEPT half
+    of the set-ops family (u_union_frontier covers UNION): what a
+    content-addressed store asks after every ingestion round — how
+    much of the standing corpus RECURRED in the new batch, what
+    ARRIVED, what VANISHED. Keys are the exact-dedup content
+    fingerprint (md5 of whitespace-normalized text, the d_exact_dedup
+    key) so the diff is by content, not doc identity; old/new = the
+    source-batch convention. Spark's intersect/exceptAll compile to
+    the same aggregate-based set operators any engine uses — counts
+    reduce to scalars, so the output is one row regardless of corpus
+    size."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "is_old",
+        F.expr(
+            "CASE WHEN CAST(substring(source, 4, 10) AS INT) < 10 "
+            "THEN 1 ELSE 0 END"
+        ),
+    )
+    key = F.md5(F.lower(F.regexp_replace("text", "\\s+", " "))).alias("fp")
+    old = d.where(F.col("is_old") == 1).select(key).distinct()
+    new = d.where(F.col("is_old") == 0).select(key).distinct()
+    counts = [
+        old.agg(F.count(F.lit(1)).alias("n_old")),
+        new.agg(F.count(F.lit(1)).alias("n_new")),
+        old.intersect(new).agg(F.count(F.lit(1)).alias("n_retained")),
+        new.exceptAll(old).agg(F.count(F.lit(1)).alias("n_arrived")),
+        old.exceptAll(new).agg(F.count(F.lit(1)).alias("n_vanished")),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(F.broadcast(c))
+    return out
+
+
+U_SNAPSHOT_SQL = """
+WITH d AS (
+  SELECT MD5(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS fp,
+         CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 1 ELSE 0 END
+           AS is_old
+  FROM documents),
+old AS (SELECT DISTINCT fp FROM d WHERE is_old = 1),
+new AS (SELECT DISTINCT fp FROM d WHERE is_old = 0)
+SELECT (SELECT COUNT(*) FROM old) AS n_old,
+       (SELECT COUNT(*) FROM new) AS n_new,
+       (SELECT COUNT(*) FROM (SELECT fp FROM old INTERSECT
+                              SELECT fp FROM new)) AS n_retained,
+       (SELECT COUNT(*) FROM (SELECT fp FROM new EXCEPT
+                              SELECT fp FROM old)) AS n_arrived,
+       (SELECT COUNT(*) FROM (SELECT fp FROM old EXCEPT
+                              SELECT fp FROM new)) AS n_vanished
+"""
+
+
 def t_vocab_growth(spark, sf_dir):
     """Heaps'-law vocabulary growth curve (V(n) ∝ n^β — the corpus
     statistic that says whether a crawl is still DISCOVERING language
@@ -8889,6 +8943,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_winnowing": t_winnowing,
     "sk_bloom_fp_audit": sk_bloom_fp_audit,
     "t_vocab_growth": t_vocab_growth,
+    "u_snapshot_diff": u_snapshot_diff,
 }
 
 ORACLES: dict[str, str] = {
@@ -9003,4 +9058,5 @@ ORACLES: dict[str, str] = {
     "t_winnowing": T_WINNOW_SQL,
     "sk_bloom_fp_audit": SK_BLOOM_SQL,
     "t_vocab_growth": T_VOCAB_SQL,
+    "u_snapshot_diff": U_SNAPSHOT_SQL,
 }
