@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "sk_bloom_fp_audit",
     "t_vocab_growth",
     "u_snapshot_diff",
+    "d_cdc_chunks",
 ]
 
 CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "30000"))

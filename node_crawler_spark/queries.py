@@ -7172,6 +7172,106 @@ ORDER BY doc_a, doc_b
 """
 
 
+CDC_K = 3    # gram width of the rolling window (words)
+CDC_DIV = 8  # boundary divisor: ~1 boundary per 8 gram hashes
+
+
+def d_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking dedup (the Rabin-fingerprint / LBFS /
+    FastCDC boundary principle: cut where hash(local window) ≡ 0 mod D,
+    so chunk boundaries move WITH the content — an insertion early in
+    a page shifts every fixed-window chunk but leaves all CDC chunks
+    after the next boundary identical; the storage-dedup standard, and
+    the long-document analog of line dedup's fixed windows). Word-3-
+    gram hashes are the rolling window; boundaries where h % 8 == 0;
+    each chunk's fingerprint is the md5 of its hash run; corpus-wide
+    chunk table reports every chunk shared by ≥ 2 documents.
+
+    Scale: chunking is nested array codegen inside the scan (zero
+    pre-shuffle); the only Exchange is the hash(chunk) aggregate —
+    exact-dedup shape on chunk granularity."""
+    d = _t(spark, sf_dir, "documents")
+    chunks = (
+        d.select(
+            "doc_id",
+            F.expr("split(lower(trim(text)), '\\\\s+')").alias("w"),
+        )
+        .where(F.size("w") >= CDC_K)
+        .withColumn(
+            "hs",
+            F.expr(
+                f"transform(transform(sequence(0, size(w) - {CDC_K}), "
+                "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])), "
+                "g -> CAST(conv(substring(md5(concat('cdc:', g)), 1, 15), "
+                "16, 10) AS BIGINT))"
+            ),
+        )
+        .withColumn(
+            "bounds",
+            # array_sort: DuckDB's list_distinct does not preserve
+            # order, so BOTH engines sort the boundary list explicitly
+            F.expr(
+                f"array_sort(array_distinct(concat(array(0), "
+                f"filter(sequence(1, size(hs)), i -> hs[i-1] % {CDC_DIV} = 0), "
+                "array(size(hs)))))"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(bounds) - 1), j -> "
+                    "md5(array_join(transform("
+                    "slice(hs, bounds[j-1] + 1, bounds[j] - bounds[j-1]), "
+                    "x -> CAST(x AS STRING)), ',')))"
+                )
+            ).alias("chunk"),
+        )
+    )
+    return (
+        chunks.groupBy("chunk")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy("chunk")
+    )
+
+
+D_CDC_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents),
+hashed AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(range(1, len(w) - {CDC_K - 2}),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+           g -> CAST('0x' || substr(md5('cdc:' || g), 1, 15) AS BIGINT))
+           AS hs
+  FROM base WHERE len(w) >= {CDC_K}),
+bounded AS (
+  SELECT doc_id, hs,
+         list_sort(list_distinct(flatten([[0],
+           list_filter(range(1, len(hs) + 1), i -> hs[i] % {CDC_DIV} = 0),
+           [len(hs)]]))) AS bounds
+  FROM hashed),
+chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(bounds)), j ->
+           md5(array_to_string(
+             list_transform(hs[bounds[j] + 1:bounds[j+1]],
+                            x -> CAST(x AS VARCHAR)), ',')))) AS chunk
+  FROM bounded)
+SELECT chunk, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occ
+FROM chunks GROUP BY chunk
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY chunk
+"""
+
+
 def u_snapshot_diff(spark, sf_dir):
     """Snapshot diff between crawl batches — the INTERSECT/EXCEPT half
     of the set-ops family (u_union_frontier covers UNION): what a
@@ -8944,6 +9044,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sk_bloom_fp_audit": sk_bloom_fp_audit,
     "t_vocab_growth": t_vocab_growth,
     "u_snapshot_diff": u_snapshot_diff,
+    "d_cdc_chunks": d_cdc_chunks,
 }
 
 ORACLES: dict[str, str] = {
@@ -9059,4 +9160,5 @@ ORACLES: dict[str, str] = {
     "sk_bloom_fp_audit": SK_BLOOM_SQL,
     "t_vocab_growth": T_VOCAB_SQL,
     "u_snapshot_diff": U_SNAPSHOT_SQL,
+    "d_cdc_chunks": D_CDC_SQL,
 }
