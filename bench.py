@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "t_vocab_growth",
     "u_snapshot_diff",
     "d_cdc_chunks",
+    "g_bowtie_classes",
 ]
 
 CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "30000"))

@@ -7172,6 +7172,118 @@ ORDER BY doc_a, doc_b
 """
 
 
+BT_R = 4          # bow-tie reachability radius (both directions)
+BT_PIVOT = "s1"   # the SCC probe node
+
+
+def g_bowtie_classes(spark, sf_dir):
+    """Bow-tie decomposition of the web graph (Broder et al., WWW
+    2000 "Graph structure in the Web" — the IN/SCC/OUT map every
+    crawl-coverage analysis starts from: pages in IN can reach the
+    core but aren't reachable FROM it, so seed lists must sample IN
+    or the crawl never sees it). Radius-capped variant: CORE' =
+    nodes both forward- and backward-reachable from the pivot within
+    BT_R hops, OUT' = forward-only, IN' = backward-only, OTHER =
+    neither (radius-capping is what a bounded crawl actually
+    measures; exact bow-tie needs full closures). The supplier→
+    customer digraph is a depth-1 DAG (every customer a sink — the
+    bow-tie is vacuous), so edge DIRECTION is minted deterministically
+    from key parity on both engines (the d_surt_dup convention),
+    giving a cyclic digraph. Two bounded BFS loops (the g_bfs_depth
+    shuffle shape: edge equi-join + distinct + anti-join per hop),
+    one 4-row class count."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+        ((F.col("l_suppkey") + F.col("o_custkey")) % 2).alias("par"),
+    ).distinct()
+    e = (
+        pairs.select(
+            F.when(F.col("par") == 0, F.col("s")).otherwise(F.col("c")).alias("src"),
+            F.when(F.col("par") == 0, F.col("c")).otherwise(F.col("s")).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def reach(edges):
+        seen = spark.createDataFrame([(BT_PIVOT,)], "node string").localCheckpoint()
+        frontier = seen
+        for _ in range(BT_R):
+            nxt = (
+                edges.join(frontier, edges["src"] == frontier["node"])
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(seen, "node", "left_anti")
+                .localCheckpoint()
+            )
+            if nxt.isEmpty():
+                break
+            seen = seen.unionByName(nxt).localCheckpoint()
+            frontier = nxt
+        return seen
+
+    fwd = reach(e)
+    bwd = reach(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nodes = e.select(F.col("src").alias("node")).unionByName(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    tagged = (
+        nodes.join(fwd.withColumn("_f", F.lit(1)), "node", "left")
+        .join(bwd.withColumn("_b", F.lit(1)), "node", "left")
+        .select(
+            F.expr(
+                "CASE WHEN _f = 1 AND _b = 1 THEN 'core' "
+                "WHEN _f = 1 THEN 'out' "
+                "WHEN _b = 1 THEN 'in' ELSE 'other' END"
+            ).alias("class")
+        )
+    )
+    return (
+        tagged.groupBy("class")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("class")
+    )
+
+
+G_BOWTIE_SQL = f"""
+WITH RECURSIVE
+pairs AS MATERIALIZED (
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS s,
+                  'c' || CAST(o_custkey AS VARCHAR) AS c,
+                  (l_suppkey + o_custkey) % 2 AS par
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+e AS MATERIALIZED (
+  SELECT DISTINCT CASE WHEN par = 0 THEN s ELSE c END AS src,
+                  CASE WHEN par = 0 THEN c ELSE s END AS dst
+  FROM pairs),
+fwd(node, d) AS (
+  SELECT '{BT_PIVOT}', 0
+  UNION
+  SELECT e.dst, w.d + 1 FROM fwd w JOIN e ON e.src = w.node
+  WHERE w.d < {BT_R}),
+bwd(node, d) AS (
+  SELECT '{BT_PIVOT}', 0
+  UNION
+  SELECT e.src, w.d + 1 FROM bwd w JOIN e ON e.dst = w.node
+  WHERE w.d < {BT_R}),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+tagged AS (
+  SELECT CASE WHEN f.node IS NOT NULL AND b.node IS NOT NULL THEN 'core'
+              WHEN f.node IS NOT NULL THEN 'out'
+              WHEN b.node IS NOT NULL THEN 'in' ELSE 'other' END AS class
+  FROM nodes n
+  LEFT JOIN (SELECT DISTINCT node FROM fwd) f ON f.node = n.node
+  LEFT JOIN (SELECT DISTINCT node FROM bwd) b ON b.node = n.node)
+SELECT class, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM tagged GROUP BY class
+ORDER BY class
+"""
+
+
 CDC_K = 3    # gram width of the rolling window (words)
 CDC_DIV = 8  # boundary divisor: ~1 boundary per 8 gram hashes
 
@@ -9045,6 +9157,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_vocab_growth": t_vocab_growth,
     "u_snapshot_diff": u_snapshot_diff,
     "d_cdc_chunks": d_cdc_chunks,
+    "g_bowtie_classes": g_bowtie_classes,
 }
 
 ORACLES: dict[str, str] = {
@@ -9161,4 +9274,5 @@ ORACLES: dict[str, str] = {
     "t_vocab_growth": T_VOCAB_SQL,
     "u_snapshot_diff": U_SNAPSHOT_SQL,
     "d_cdc_chunks": D_CDC_SQL,
+    "g_bowtie_classes": G_BOWTIE_SQL,
 }
