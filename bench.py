@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "u_snapshot_diff",
     "d_cdc_chunks",
     "g_bowtie_classes",
+    "sim_centroid_drift",
 ]
 
 CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "30000"))

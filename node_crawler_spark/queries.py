@@ -9039,6 +9039,119 @@ ORDER BY staleness DESC, page_id
 """
 
 
+SIM_DRIFT_ROUND = 6
+
+
+def sim_centroid_drift(spark, sf_dir):
+    """Embedding-centroid drift between crawl batches (the dense-space
+    twin of o_corpus_drift's length-histogram chi-square: split the
+    corpus into two deterministic halves — vec_id parity stands in for
+    old/new crawl batch — and measure, per label cluster, how far each
+    batch centroid MOVED; a drifting centroid says the newer crawl is
+    pulling that topic's embedding mass somewhere else — the
+    re-embed / retrain signal a 100 TB pipeline watches between
+    snapshots). Per-(label, batch) centroids via decimal(24,10)
+    per-dimension sums (exact, reduction-order-independent →
+    bit-identical doubles in any engine), then per-label L2 drift and
+    centroid cosine with the shared left-fold association.
+
+    Scale: ONE pass, ONE hash(label) aggregate carrying 2×64
+    conditional decimal sums (map-side partial combine — the shuffle
+    moves K centroid rows, never vectors) and NO join: both batch
+    centroids pivot out of the same aggregate row. Same shape at
+    10^10 rows."""
+    v = _ivf_v(spark, sf_dir).withColumn(
+        "batch", F.pmod(F.col("vec_id"), F.lit(2)).cast("int")
+    )
+    dim = LSH_DIM
+    is_old, is_new = F.col("batch") == 0, F.col("batch") == 1
+    sums = v.groupBy("label").agg(
+        F.count(F.when(is_old, F.lit(1))).alias("n_old"),
+        F.count(F.when(is_new, F.lit(1))).alias("n_new"),
+        *[
+            F.sum(
+                F.when(is_old, F.col("emb").getItem(i)).cast("decimal(24,10)")
+            ).alias(f"a{i}")
+            for i in range(dim)
+        ],
+        *[
+            F.sum(
+                F.when(is_new, F.col("emb").getItem(i)).cast("decimal(24,10)")
+            ).alias(f"b{i}")
+            for i in range(dim)
+        ],
+    )
+    j = sums.where((F.col("n_old") > 0) & (F.col("n_new") > 0)).select(
+        "label",
+        "n_old",
+        "n_new",
+        F.array(
+            *[(F.col(f"a{i}").cast("double") / F.col("n_old")) for i in range(dim)]
+        ).alias("c0"),
+        F.array(
+            *[(F.col(f"b{i}").cast("double") / F.col("n_new")) for i in range(dim)]
+        ).alias("c1"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("c0", "c1", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cosine = _arr_dot(F.col("c0"), F.col("c1")) / (
+        _arr_norm(F.col("c0")) * _arr_norm(F.col("c1"))
+    )
+    return (
+        j.select(
+            "label",
+            "n_old",
+            "n_new",
+            F.round(F.sqrt(d2), SIM_DRIFT_ROUND).alias("drift_l2"),
+            F.round(cosine, SIM_DRIFT_ROUND).alias("cent_cosine"),
+        )
+        .orderBy("label")
+    )
+
+
+def _drift_sql() -> str:
+    def csum(cond: str, i: int) -> str:
+        return (
+            f"CAST(SUM(CASE WHEN {cond} THEN "
+            f"CAST(emb[{i + 1}] AS DECIMAL(24,10)) END) AS DOUBLE)"
+            f" / COUNT(CASE WHEN {cond} THEN 1 END)"
+        )
+
+    a = ", ".join(csum("batch = 0", i) for i in range(LSH_DIM))
+    b = ", ".join(csum("batch = 1", i) for i in range(LSH_DIM))
+    d2 = " + ".join(
+        f"(c0[{i + 1}]-c1[{i + 1}])*(c0[{i + 1}]-c1[{i + 1}])"
+        for i in range(LSH_DIM)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, label, vec_id % 2 AS batch,
+         CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings),
+cents AS (
+  SELECT label,
+         COUNT(CASE WHEN batch = 0 THEN 1 END) AS n_old,
+         COUNT(CASE WHEN batch = 1 THEN 1 END) AS n_new,
+         [{a}] AS c0, [{b}] AS c1
+  FROM v GROUP BY label)
+SELECT label, n_old, n_new,
+       ROUND(sqrt({d2}), {SIM_DRIFT_ROUND}) AS drift_l2,
+       ROUND(({_dot_sql('c0', 'c1')})
+             / (sqrt({_dot_sql('c0', 'c0')})
+                * sqrt({_dot_sql('c1', 'c1')})),
+             {SIM_DRIFT_ROUND}) AS cent_cosine
+FROM cents
+WHERE n_old > 0 AND n_new > 0
+ORDER BY label
+"""
+
+
+SIM_DRIFT_SQL = _drift_sql()
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -9158,6 +9271,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "u_snapshot_diff": u_snapshot_diff,
     "d_cdc_chunks": d_cdc_chunks,
     "g_bowtie_classes": g_bowtie_classes,
+    "sim_centroid_drift": sim_centroid_drift,
 }
 
 ORACLES: dict[str, str] = {
@@ -9275,4 +9389,5 @@ ORACLES: dict[str, str] = {
     "u_snapshot_diff": U_SNAPSHOT_SQL,
     "d_cdc_chunks": D_CDC_SQL,
     "g_bowtie_classes": G_BOWTIE_SQL,
+    "sim_centroid_drift": SIM_DRIFT_SQL,
 }
