@@ -9039,6 +9039,86 @@ ORDER BY staleness DESC, page_id
 """
 
 
+def g_degree_powerlaw(spark, sf_dir):
+    """In/out-degree power-law profile (Broder et al. WWW 2000 §3: web
+    in-degree follows p(d) ∝ d^-2.1, out-degree d^-2.72 — the FIRST
+    thing measured on any new crawl graph, because a frontier
+    prioritizer and a politeness budget are both sized by the hub
+    tail). Per-direction log2 degree bands (length(bin(deg)) — the
+    t_vocab_growth idiom) with node counts and the band-to-band decay
+    ratio in integer ppm: for a power law the decay is constant and
+    α ≈ 1 − log2(decay_ppm/10^6), so a non-flat decay column IS the
+    deviation-from-power-law evidence. All exact integers — no float
+    slope fit to drift across engines.
+
+    Scale: two hash aggregates (degree per endpoint — the linkgraph
+    shuffle shape) + one aggregate on the ≤ 2×40-row band table; the
+    lag window runs over bands, never nodes. Same cost profile at
+    10^10 edges."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    ends = e.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("out").alias("direction"), F.col("src").alias("node")
+                ),
+                F.struct(
+                    F.lit("in").alias("direction"), F.col("dst").alias("node")
+                ),
+            )
+        ).alias("x")
+    ).select("x.direction", "x.node")
+    deg = ends.groupBy("direction", "node").agg(F.count(F.lit(1)).alias("deg"))
+    bands = (
+        deg.select("direction", F.expr("length(bin(deg))").alias("band"))
+        .groupBy("direction", "band")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    w = Window.partitionBy("direction").orderBy("band")
+    return (
+        bands.withColumn("prev", F.lag("n_nodes").over(w))
+        .select(
+            "direction",
+            "band",
+            F.expr("shiftleft(1L, band - 1)").alias("min_deg"),
+            "n_nodes",
+            F.expr("n_nodes * 1000000L div prev").alias("decay_ppm"),
+        )
+        .orderBy("direction", "band")
+    )
+
+
+G_DEGREE_SQL = """
+WITH e AS (
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                  'c' || CAST(o_custkey AS VARCHAR) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+deg AS (
+  SELECT 'out' AS direction, COUNT(*) AS deg FROM e GROUP BY src
+  UNION ALL
+  SELECT 'in' AS direction, COUNT(*) AS deg FROM e GROUP BY dst),
+bands AS (
+  SELECT direction, length(bin(deg)) AS band,
+         CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM deg GROUP BY direction, band)
+SELECT direction, band, (1::BIGINT << (band - 1)) AS min_deg, n_nodes,
+       n_nodes * 1000000
+         // LAG(n_nodes) OVER (PARTITION BY direction ORDER BY band)
+         AS decay_ppm
+FROM bands
+ORDER BY direction, band
+"""
+
+
 SIM_DRIFT_ROUND = 6
 
 
@@ -9272,6 +9352,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_cdc_chunks": d_cdc_chunks,
     "g_bowtie_classes": g_bowtie_classes,
     "sim_centroid_drift": sim_centroid_drift,
+    "g_degree_powerlaw": g_degree_powerlaw,
 }
 
 ORACLES: dict[str, str] = {
@@ -9390,4 +9471,5 @@ ORACLES: dict[str, str] = {
     "d_cdc_chunks": D_CDC_SQL,
     "g_bowtie_classes": G_BOWTIE_SQL,
     "sim_centroid_drift": SIM_DRIFT_SQL,
+    "g_degree_powerlaw": G_DEGREE_SQL,
 }
