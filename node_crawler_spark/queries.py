@@ -9119,6 +9119,295 @@ ORDER BY direction, band
 """
 
 
+SHARD_N = 8
+
+
+def o_shard_balance(spark, sf_dir):
+    """Seen-set shard-balance audit — the falsifiable relational twin
+    of operators/seenset.py's hot-domain spreading design (shard =
+    hash(domain,url), not hash(domain): seenset.py:22 documents that a
+    99% single-domain frontier must still spread uniformly over all
+    shards, tests/test_seenset.py::test_hot_domain_skew pins it; the
+    reference keeps ONE in-process array, crawler.js:22, so sharding
+    is the first genuinely new decision the distributed engine makes).
+    The synthetic frontier is deliberately hot: 2/3 of urls land on
+    one host (doc_id % 3 != 0), the rest spread over the 20 sources.
+    Both candidate policies are scored side by side over SHARD_N=8
+    shards: `domain_hash` (naive — the hot domain's urls collapse
+    into ONE shard) vs `domain_url_hash` (deployed). Output per
+    policy: shards hit, max/min shard occupancy, and max-shard skew
+    vs the ideal total/N in exact BIGINT ppm — 1e6 = perfectly
+    balanced, the naive policy reads ~5.3e6 (one shard owns 5.3× its
+    fair share, which at 1000 executors means 999 idle probes).
+
+    100 TB posture: one codegen Project mints (host, url), one
+    map-side explode emits both policy rows, ONE hash(policy, shard)
+    aggregate — output cardinality ≤ 2×SHARD_N at any frontier size;
+    the summary aggregate runs on ≤ 16 rows. All integers (portable
+    60-bit md5 hash both engines)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    host = F.when(
+        F.expr("doc_id % 3 != 0"), F.lit("hot.example.test")
+    ).otherwise(F.concat(F.col("source"), F.lit(".example.test")))
+    urls = d.select(
+        host.alias("host"),
+        F.concat(
+            host, F.lit("/page/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+    )
+    both = urls.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("domain_hash").alias("policy"),
+                    F.pmod(
+                        _phash(F.col("host"), "shard"), F.lit(SHARD_N)
+                    ).alias("shard"),
+                ),
+                F.struct(
+                    F.lit("domain_url_hash").alias("policy"),
+                    F.pmod(
+                        _phash(
+                            F.concat(F.col("host"), F.lit("|"), F.col("url")),
+                            "shard",
+                        ),
+                        F.lit(SHARD_N),
+                    ).alias("shard"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.policy", "x.shard")
+    per = both.groupBy("policy", "shard").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per.groupBy("policy")
+        .agg(
+            F.count(F.lit(1)).alias("shards_hit"),
+            F.sum("n").alias("total"),
+            F.max("n").alias("max_shard"),
+            F.min("n").alias("min_shard"),
+        )
+        .select(
+            "policy",
+            "shards_hit",
+            "total",
+            "max_shard",
+            "min_shard",
+            F.expr(
+                f"max_shard * 1000000L div (total div {SHARD_N})"
+            ).alias("skew_ppm"),
+        )
+        .orderBy("policy")
+    )
+
+
+O_SHARD_SQL = f"""
+WITH u AS (
+  SELECT CASE WHEN doc_id % 3 <> 0 THEN 'hot.example.test'
+              ELSE source || '.example.test' END AS host,
+         CASE WHEN doc_id % 3 <> 0 THEN 'hot.example.test'
+              ELSE source || '.example.test' END
+           || '/page/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+b AS (
+  SELECT 'domain_hash' AS policy,
+         {_phash_sql("host", "shard")} % {SHARD_N} AS shard FROM u
+  UNION ALL
+  SELECT 'domain_url_hash',
+         {_phash_sql("host || '|' || url", "shard")} % {SHARD_N} FROM u),
+per AS (
+  SELECT policy, shard, CAST(COUNT(*) AS BIGINT) AS n
+  FROM b GROUP BY policy, shard)
+SELECT policy, CAST(COUNT(*) AS BIGINT) AS shards_hit,
+       CAST(SUM(n) AS BIGINT) AS total,
+       MAX(n) AS max_shard, MIN(n) AS min_shard,
+       MAX(n) * 1000000 // (CAST(SUM(n) AS BIGINT) // {SHARD_N}) AS skew_ppm
+FROM per GROUP BY policy ORDER BY policy
+"""
+
+
+POLITE_DELAY_S = 600  # audited min inter-fetch gap per host
+POLITE_TOP_K = 15
+
+
+def o_politeness_audit(spark, sf_dir):
+    """Politeness-compliance audit over a fetch log — the offline
+    verifier for what politeness.py:84-109's crawl_delay scheduler
+    promises at plan time (the reference throttles only by worker
+    count, crawler.js:23 `workers`; a per-host minimum gap is the
+    distributed engine's addition, so it needs an after-the-fact
+    audit a crawl operator can run on the emitted schedule). Events
+    stand in as the fetch log (host = user_id % 25, ts = fetch time):
+    per host, consecutive inter-fetch gaps via one lag window ordered
+    (ts, event_id), a violation is any gap < POLITE_DELAY_S, and the
+    report ranks the top-K worst hosts by violation count with the
+    observed minimum gap and the violation rate in exact BIGINT ppm.
+
+    100 TB posture: ONE hash(host) Exchange serves both the lag
+    window and the per-host aggregate (partitioning reuse — the
+    o_recrawl_priority shape); gap math is integer epoch-microseconds
+    (portable timestampdiff/epoch_us pair), top-K is
+    TakeOrderedAndProject. No float, no wall clock."""
+    epoch = "TIMESTAMP_NTZ'1970-01-01 00:00:00'"
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("h"), (F.col("user_id") % 25).cast("string")).alias(
+            "host"
+        ),
+        F.expr(f"timestampdiff(MICROSECOND, {epoch}, ts)").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("host").orderBy("us", "event_id")
+    gaps = ev.withColumn("prev_us", F.lag("us").over(w)).withColumn(
+        "gap_us", F.expr("us - prev_us")
+    )
+    return (
+        gaps.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_fetches"),
+            F.count("gap_us").alias("n_gaps"),
+            F.sum(
+                F.when(
+                    F.col("gap_us") < POLITE_DELAY_S * 1_000_000, 1
+                ).otherwise(0)
+            ).alias("n_violations"),
+            F.min(F.expr("gap_us div 1000000")).alias("min_gap_s"),
+        )
+        .select(
+            "host",
+            "n_fetches",
+            "n_violations",
+            "min_gap_s",
+            F.expr("n_violations * 1000000L div n_gaps").alias(
+                "violation_ppm"
+            ),
+        )
+        .orderBy(F.col("n_violations").desc(), "host")
+        .limit(POLITE_TOP_K)
+    )
+
+
+O_POLITE_SQL = f"""
+WITH ev AS (
+  SELECT 'h' || CAST(user_id % 25 AS VARCHAR) AS host,
+         epoch_us(ts) AS us, event_id
+  FROM events),
+gaps AS (
+  SELECT host,
+         us - LAG(us) OVER (PARTITION BY host ORDER BY us, event_id)
+           AS gap_us
+  FROM ev)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_fetches,
+       CAST(SUM(CASE WHEN gap_us < {POLITE_DELAY_S * 1_000_000}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       MIN(gap_us // 1000000) AS min_gap_s,
+       CAST(SUM(CASE WHEN gap_us < {POLITE_DELAY_S * 1_000_000}
+                     THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+         // CAST(COUNT(gap_us) AS BIGINT) AS violation_ppm
+FROM gaps GROUP BY host
+ORDER BY n_violations DESC, host
+LIMIT {POLITE_TOP_K}
+"""
+
+
+COCITE_DF_CAP = 15  # drop hub targets with in-degree above this
+COCITE_TOP_K = 20
+
+
+def g_cocitation(spark, sf_dir):
+    """Co-citation related-page discovery (Small 1973; Dean &
+    Henzinger WWW 1999's Cocitation algorithm — "find pages that
+    share many in-link sources with the seed": the classic link-based
+    seed-expansion step a crawl planner runs between rounds, and the
+    graph-side complement of the content-side d_mirror_sources).
+    Two sources are related when they cite the same targets; the
+    candidate generator is the inverted-index self-join on the shared
+    TARGET key — exactly the shape whose blowup SHINGLE_DF_CAP tames
+    for shingles, so the same document-frequency discipline applies
+    to the link graph: hub targets with in-degree > COCITE_DF_CAP are
+    dropped before the join (a target cited by everyone carries no
+    relatedness signal — the stop-shingle of the link world — and is
+    the df² key that makes 10^10 pairs at crawl scale). Degrees for
+    normalization are counted on the KEPT edge set so the score is
+    exact over the capped universe: sq_cosine_ppm =
+    n_shared² × 10⁶ div (deg_a × deg_b) — the integer square of the
+    cosine similarity between in-link indicator vectors, 10⁶ = the
+    pair cites identical target sets.
+
+    100 TB posture: one distinct + one hash(dst) in-degree aggregate,
+    a broadcast of nothing (the cap is a semi-join filter), candidate
+    pairs bounded by cap²/2 per kept target, one hash(pair) count
+    aggregate, TakeOrderedAndProject top-K. Reference scope: the
+    crawl loop itself never ranks relatedness (crawler.js keeps a
+    flat _urlsCrawled list, crawler.js:22); this is the analytics
+    layer a seed curator runs on the crawl's output."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    kept = (
+        e.groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("in_deg"))
+        .where(F.col("in_deg") <= COCITE_DF_CAP)
+        .select("dst")
+    )
+    ek = e.join(F.broadcast(kept), "dst").localCheckpoint()
+    deg = ek.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    a = ek.select(F.col("src").alias("src_a"), "dst")
+    b = ek.select(F.col("src").alias("src_b"), "dst")
+    pairs = (
+        a.join(b, "dst")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    da = deg.select(F.col("src").alias("src_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("src").alias("src_b"), F.col("deg").alias("deg_b"))
+    return (
+        pairs.join(F.broadcast(da), "src_a")
+        .join(F.broadcast(db), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "deg_a",
+            "deg_b",
+            F.expr(
+                "n_shared * n_shared * 1000000L div (deg_a * deg_b)"
+            ).alias("sq_cosine_ppm"),
+        )
+        .orderBy(F.col("n_shared").desc(), "src_a", "src_b")
+        .limit(COCITE_TOP_K)
+    )
+
+
+G_COCITE_SQL = f"""
+WITH e AS (
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                  'c' || CAST(o_custkey AS VARCHAR) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+kept AS (
+  SELECT dst FROM e GROUP BY dst HAVING COUNT(*) <= {COCITE_DF_CAP}),
+ek AS (SELECT e.src, e.dst FROM e JOIN kept ON e.dst = kept.dst),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM ek GROUP BY src),
+pairs AS (
+  SELECT a.src AS src_a, b.src AS src_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM ek a JOIN ek b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY a.src, b.src)
+SELECT src_a, src_b, n_shared, da.deg AS deg_a, db.deg AS deg_b,
+       n_shared * n_shared * 1000000 // (da.deg * db.deg) AS sq_cosine_ppm
+FROM pairs
+JOIN deg da ON pairs.src_a = da.src
+JOIN deg db ON pairs.src_b = db.src
+ORDER BY n_shared DESC, src_a, src_b
+LIMIT {COCITE_TOP_K}
+"""
+
+
 SIM_DRIFT_ROUND = 6
 
 
@@ -9353,6 +9642,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_bowtie_classes": g_bowtie_classes,
     "sim_centroid_drift": sim_centroid_drift,
     "g_degree_powerlaw": g_degree_powerlaw,
+    "o_shard_balance": o_shard_balance,
+    "g_cocitation": g_cocitation,
+    "o_politeness_audit": o_politeness_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -9472,4 +9764,7 @@ ORACLES: dict[str, str] = {
     "g_bowtie_classes": G_BOWTIE_SQL,
     "sim_centroid_drift": SIM_DRIFT_SQL,
     "g_degree_powerlaw": G_DEGREE_SQL,
+    "o_shard_balance": O_SHARD_SQL,
+    "g_cocitation": G_COCITE_SQL,
+    "o_politeness_audit": O_POLITE_SQL,
 }
