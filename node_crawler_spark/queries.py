@@ -9225,6 +9225,290 @@ FROM per GROUP BY policy ORDER BY policy
 """
 
 
+OPIC_SCALE = 1_000_000_000_000  # fixed-point cash units
+OPIC_ITERS = 3
+OPIC_TOP_K = 20
+
+
+def g_opic(spark, sf_dir):
+    """OPIC frontier prioritization (Abiteboul, Preda & Cobena WWW
+    2003, "Adaptive On-Line Page Importance Computation" — THE crawl
+    -ordering algorithm: unlike PageRank it needs no convergence
+    before it is useful, because each node carries CASH (current
+    flow) and HISTORY (accumulated flow) and `history + cash` is an
+    unbiased importance estimate at ANY point of the crawl — the
+    scheduler reads it mid-flight to decide what to fetch next, which
+    is exactly the gap the reference's FIFO queue leaves open,
+    crawler.js:607). Synchronous batch variant: per round every node
+    banks its cash into history, distributes cash div out-degree
+    along out-edges, and dangling cash is recycled uniformly (the
+    virtual-root convention from the paper). All BIGINT micro-units —
+    sums order-independent, division floor, both engines bit-exact
+    (the g_pagerank_fixedpoint discipline). Output: top-K by
+    history + cash after OPIC_ITERS rounds.
+
+    100 TB posture: per round exactly one equi-join on src + one
+    hash(dst) aggregate + a one-scalar dangling collect — the
+    linkgraph shuffle shape; snapshots localCheckpointed per round so
+    the lineage stays flat."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    base = OPIC_SCALE // n
+
+    st = nodes.select(
+        "node",
+        F.lit(base).cast("long").alias("cash"),
+        F.lit(0).cast("long").alias("hist"),
+    )
+    for _ in range(OPIC_ITERS):
+        sd = st.join(deg, st["node"] == deg["src"], "left").select(
+            "node", "cash", "hist", "deg"
+        )
+        dangling = int(
+            sd.where(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("cash"), F.lit(0)))
+            .collect()[0][0]
+        )
+        contrib = (
+            e.join(sd.where(F.col("deg").isNotNull()), e["src"] == sd["node"])
+            .select("dst", F.expr("cash DIV deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        st = (
+            st.join(contrib, st["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                F.expr(f"coalesce(c, 0L) + {dangling // n}L").alias("cash"),
+                F.expr("hist + cash").alias("hist"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    nodes.unpersist()
+    return (
+        st.select(
+            "node", "cash", "hist", F.expr("hist + cash").alias("importance")
+        )
+        .orderBy(F.col("importance").desc(), "node")
+        .limit(OPIC_TOP_K)
+    )
+
+
+def _opic_sql() -> str:
+    base = f"({OPIC_SCALE} // n)"
+    ctes = [
+        """e AS MATERIALIZED (
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                  'c' || CAST(o_custkey AS VARCHAR) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e "
+        "UNION SELECT DISTINCT dst FROM e)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)",
+        f"s0 AS MATERIALIZED (SELECT node, {base} AS cash, 0 AS hist "
+        "FROM nodes, nn)",
+    ]
+    prev = "s0"
+    for it in range(1, OPIC_ITERS + 1):
+        ctes.append(
+            f"""dang{it} AS (SELECT COALESCE(SUM(cash), 0) AS dangling
+  FROM {prev} s LEFT JOIN deg ON s.node = deg.src WHERE deg.src IS NULL)"""
+        )
+        ctes.append(
+            f"""c{it} AS MATERIALIZED (
+  SELECT e.dst, SUM(s.cash // deg.deg) AS c
+  FROM e JOIN {prev} s ON e.src = s.node JOIN deg ON e.src = deg.src
+  GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""s{it} AS MATERIALIZED (
+  SELECT {prev}.node,
+         COALESCE(c{it}.c, 0) + dangling // n AS cash,
+         {prev}.hist + {prev}.cash AS hist
+  FROM {prev} CROSS JOIN nn CROSS JOIN dang{it}
+  LEFT JOIN c{it} ON {prev}.node = c{it}.dst)"""
+        )
+        prev = f"s{it}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT node, cash, hist, hist + cash AS importance
+FROM {prev}
+ORDER BY importance DESC, node LIMIT {OPIC_TOP_K}"""
+    )
+
+
+G_OPIC_SQL = _opic_sql()
+
+
+def p_robots_decision(spark, sf_dir):
+    """RFC 9309 robots decision as a relational fold — the
+    falsifiable twin of operators/robots.py's codegen gate
+    (robots_gate: longest matching pattern wins, allow wins length
+    ties, no match = allowed; the reference queues anything,
+    crawler.js has no robots support — robots is the cluster-side
+    extension the north star names). Urls are the o_url_traps minting
+    (host from source, calendar/session/page paths); every host
+    carries Disallow /cal/ + the longer Allow /cal/202 (the
+    longest-match override: 2020s calendars re-allowed), and
+    even-numbered hosts also Disallow /s/. Patterns here are pure
+    prefixes (the RFC core case), so the match is startswith — no
+    regex dialect in the cross-engine surface. The per-url verdict is
+    an integer argmax: score = 2×len(pattern) + allow, max score's
+    low bit IS the decision (allow beats disallow at equal length,
+    longer always beats shorter) — no struct comparison semantics to
+    align across engines. Output: per host, urls / blocked /
+    blocked-share in exact BIGINT ppm.
+
+    100 TB posture: the rule table is O(hosts × 3) and joins the url
+    stream on the host key (broadcast in deployment — robots_gate
+    ships it as one array cell per domain); candidate matches ≤ 3 per
+    url; one hash(doc_id) argmax aggregate + one hash(host) rollup."""
+    d = _t(spark, sf_dir, "documents")
+    branch = F.expr("(doc_id div 20) % 5")
+    path = (
+        F.when(
+            branch == 0,
+            F.concat(
+                F.lit("/cal/"),
+                (F.col("doc_id") % 40 + 2000).cast("string"),
+                F.lit("/"),
+                (F.col("doc_id") % 12 + 1).cast("string"),
+            ),
+        )
+        .when(
+            branch == 1,
+            F.concat(
+                F.lit("/s/"),
+                F.substring(
+                    F.md5(F.concat(F.lit("sid:"), F.col("doc_id").cast("string"))),
+                    1,
+                    12,
+                ),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("/page/"), (F.col("doc_id") % 97).cast("string"))
+        )
+    )
+    urls = d.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".example.test")).alias("host"),
+        path.alias("path"),
+    )
+    hosts = urls.select("host").distinct()
+    rules = (
+        hosts.select(
+            "host",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("/cal/").alias("pattern"),
+                        F.lit(False).alias("allow"),
+                    ),
+                    F.struct(
+                        F.lit("/cal/202").alias("pattern"),
+                        F.lit(True).alias("allow"),
+                    ),
+                    F.struct(
+                        F.lit("/s/").alias("pattern"),
+                        F.lit(False).alias("allow"),
+                    ),
+                )
+            ).alias("r"),
+        )
+        .select("host", "r.pattern", "r.allow")
+        .where(
+            (F.col("pattern") != "/s/")
+            | (
+                F.regexp_extract("host", "src([0-9]+)", 1).cast("int") % 2
+                == 0
+            )
+        )
+    )
+    matches = urls.join(F.broadcast(rules), "host").where(
+        F.expr("substr(path, 1, length(pattern)) = pattern")
+    )
+    best = matches.groupBy("doc_id").agg(
+        F.max(
+            F.expr("2 * length(pattern) + if(allow, 1, 0)")
+        ).alias("score")
+    )
+    verdict = urls.join(best, "doc_id", "left").select(
+        "host",
+        F.expr("coalesce(score % 2 = 1, true)").alias("allowed"),
+    )
+    return (
+        verdict.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.sum(F.when(~F.col("allowed"), 1).otherwise(0)).alias(
+                "n_blocked"
+            ),
+        )
+        .select(
+            "host",
+            "n_urls",
+            "n_blocked",
+            F.expr("n_blocked * 1000000L div n_urls").alias("blocked_ppm"),
+        )
+        .orderBy("host")
+    )
+
+
+P_ROBOTS_SQL = """
+WITH urls AS (
+  SELECT doc_id, source || '.example.test' AS host,
+         CASE (doc_id // 20) % 5
+           WHEN 0 THEN '/cal/' || CAST(doc_id % 40 + 2000 AS VARCHAR)
+                    || '/' || CAST(doc_id % 12 + 1 AS VARCHAR)
+           WHEN 1 THEN '/s/' || substr(md5('sid:' || CAST(doc_id AS VARCHAR)), 1, 12)
+           ELSE '/page/' || CAST(doc_id % 97 AS VARCHAR)
+         END AS path
+  FROM documents),
+hosts AS (SELECT DISTINCT host FROM urls),
+rules AS (
+  SELECT host, r.pattern, r.allow
+  FROM hosts, (VALUES ('/cal/', FALSE), ('/cal/202', TRUE), ('/s/', FALSE))
+       AS r(pattern, allow)
+  WHERE r.pattern <> '/s/'
+     OR CAST(regexp_extract(host, 'src([0-9]+)', 1) AS INTEGER) % 2 = 0),
+matches AS (
+  SELECT u.doc_id,
+         2 * length(r.pattern) + CASE WHEN r.allow THEN 1 ELSE 0 END AS score
+  FROM urls u JOIN rules r
+    ON u.host = r.host AND substr(u.path, 1, length(r.pattern)) = r.pattern),
+best AS (SELECT doc_id, MAX(score) AS score FROM matches GROUP BY doc_id),
+verdict AS (
+  SELECT u.host, COALESCE(b.score % 2 = 1, TRUE) AS allowed
+  FROM urls u LEFT JOIN best b ON u.doc_id = b.doc_id)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(SUM(CASE WHEN NOT allowed THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_blocked,
+       CAST(SUM(CASE WHEN NOT allowed THEN 1 ELSE 0 END) AS BIGINT)
+         * 1000000 // CAST(COUNT(*) AS BIGINT) AS blocked_ppm
+FROM verdict GROUP BY host ORDER BY host
+"""
+
+
 POLITE_DELAY_S = 600  # audited min inter-fetch gap per host
 POLITE_TOP_K = 15
 
@@ -9645,6 +9929,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o_shard_balance": o_shard_balance,
     "g_cocitation": g_cocitation,
     "o_politeness_audit": o_politeness_audit,
+    "g_opic": g_opic,
+    "p_robots_decision": p_robots_decision,
 }
 
 ORACLES: dict[str, str] = {
@@ -9767,4 +10053,6 @@ ORACLES: dict[str, str] = {
     "o_shard_balance": O_SHARD_SQL,
     "g_cocitation": G_COCITE_SQL,
     "o_politeness_audit": O_POLITE_SQL,
+    "g_opic": G_OPIC_SQL,
+    "p_robots_decision": P_ROBOTS_SQL,
 }
