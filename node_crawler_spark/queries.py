@@ -2607,6 +2607,201 @@ SELECT (SELECT COUNT(*) FROM truth) AS n_true,
 """
 
 
+MH_SWEEP = ((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+
+
+def minhash_banding_sweep(spark, sf_dir):
+    """Recall/precision vs banding configuration — the (bands × rows)
+    S-curve a dedup deployment tunes against (Leskovec/Rajaraman/
+    Ullman MMDS §3.4: collision probability 1−(1−s^r)^b; many narrow
+    bands catch everything and flood the rerank, few wide bands are
+    precise and blind). Same discipline as sim_ann_ivfpq_nprobe: ONE
+    shared index (the 16 Kirsch-Mitzenmacher min-hashes, computed
+    once and localCheckpointed) swept through five splits of the same
+    signature — 16×1, 8×2, 4×4 (the deployed minhash_near_dup
+    config), 2×8, 1×16 — so the sweep measures the banding choice,
+    nothing else. Truth is minhash_recall's df-capped exact-Jaccard ≥
+    0.5 set; recall and precision in exact BIGINT ppm.
+
+    100 TB posture: all five configs ride ONE tagged band table and
+    ONE self-join on (config, band, bucket) — candidates stay
+    collision-bounded per config, never n²; counts are three hash
+    aggregates on the pair table.
+
+    Measured at sf0.01: recall flat at 960000 ppm (the synthetic
+    dups are near-identical, Jaccard ≈ 1, so even 1×16 catches them;
+    the one miss sits at the 0.5 threshold where 1−(1−s^r)^b bites)
+    while precision rises monotonically 170212 → 183206 ppm as bands
+    widen — the sweep's tuning signal is the candidate-set cost, 141
+    → 131 pairs."""
+    sh = _doc_shingles(spark, sf_dir).localCheckpoint()
+    truth = (
+        _exact_jaccard(sh, None, df_cap=SHINGLE_DF_CAP)
+        .where(F.col("jaccard") >= MH_JACCARD)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    h1 = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5("shingle"), 17, 12), 16, 10).cast("long")
+    hashed = sh.select("doc_id", h1.alias("_h1"), h2.alias("_h2"))
+    mins = (
+        hashed.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"h{i}")
+                for i in range(MH_PERMS)
+            ]
+        )
+        .localCheckpoint()
+    )
+    banded = None
+    for nb, nr in MH_SWEEP:
+        buckets = [
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"h{b * nr + j}").cast("string")
+                        for j in range(nr)
+                    ],
+                )
+            )
+            for b in range(nb)
+        ]
+        part = mins.select(
+            F.lit(nb).alias("n_bands"),
+            "doc_id",
+            F.posexplode(F.array(*buckets)).alias("band", "bucket"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.n_bands") == F.col("b.n_bands"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.n_bands").alias("n_bands"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    ccnt = cand.groupBy("n_bands").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    hcnt = (
+        cand.join(truth, ["doc_a", "doc_b"])
+        .groupBy("n_bands")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    cfgs = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(nb).alias("n_bands"), F.lit(nr).alias("n_rows")
+                    )
+                    for nb, nr in MH_SWEEP
+                ]
+            )
+        ).alias("c")
+    ).select("c.n_bands", "c.n_rows")
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    return (
+        cfgs.join(ccnt, "n_bands", "left")
+        .join(hcnt, "n_bands", "left")
+        .crossJoin(nt)
+        .select(
+            "n_bands",
+            "n_rows",
+            "n_true",
+            F.expr("coalesce(n_candidates, 0L)").alias("n_candidates"),
+            F.expr("coalesce(n_hit, 0L)").alias("n_hit"),
+            F.expr(
+                "if(n_true = 0, 0L, coalesce(n_hit, 0L) * 1000000L div n_true)"
+            ).alias("recall_ppm"),
+            F.expr(
+                "if(coalesce(n_candidates, 0L) = 0, 0L, "
+                "coalesce(n_hit, 0L) * 1000000L div n_candidates)"
+            ).alias("precision_ppm"),
+        )
+        .orderBy(F.col("n_bands").desc())
+    )
+
+
+def _mh_sweep_sql() -> str:
+    h1 = "CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)"
+    h2 = "CAST('0x' || substr(md5(shingle), 17, 12) AS BIGINT)"
+    mins_cols = ",\n       ".join(
+        f"MIN(({h1}) + {i} * ({h2})) AS h{i}" for i in range(MH_PERMS)
+    )
+    band_rows = []
+    for nb, nr in MH_SWEEP:
+        for b in range(nb):
+            expr = " || ',' || ".join(
+                f"CAST(h{b * nr + j} AS VARCHAR)" for j in range(nr)
+            )
+            band_rows.append(
+                f"SELECT {nb} AS n_bands, doc_id, {b} AS band, "
+                f"md5({expr}) AS bucket FROM mins"
+            )
+    bands_all = "\n  UNION ALL ".join(band_rows)
+    cfg_vals = ",".join(f"({nb},{nr})" for nb, nr in MH_SWEEP)
+    return f"""
+WITH {_SHINGLES_CTE},
+mins AS MATERIALIZED (SELECT doc_id,
+       {mins_cols}
+FROM shingles GROUP BY doc_id),
+bands_all AS MATERIALIZED ({bands_all}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+sh_low AS (SELECT * FROM shingles WHERE shingle IN
+           (SELECT shingle FROM shingles GROUP BY shingle
+            HAVING COUNT(*) <= {SHINGLE_DF_CAP})),
+cand_all AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM sh_low a JOIN sh_low b
+               ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+inter_all AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+              FROM cand_all p
+              JOIN shingles sa ON sa.doc_id = p.doc_a
+              JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+              GROUP BY 1, 2),
+truth AS MATERIALIZED (SELECT doc_a, doc_b FROM inter_all
+          JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= {MH_JACCARD}),
+cand AS MATERIALIZED (SELECT DISTINCT a.n_bands, a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands_all a JOIN bands_all b
+    ON a.n_bands = b.n_bands AND a.band = b.band AND a.bucket = b.bucket
+   AND a.doc_id < b.doc_id),
+ccnt AS (SELECT n_bands, CAST(COUNT(*) AS BIGINT) AS n_candidates
+         FROM cand GROUP BY n_bands),
+hcnt AS (SELECT n_bands, CAST(COUNT(*) AS BIGINT) AS n_hit
+         FROM cand JOIN truth USING (doc_a, doc_b) GROUP BY n_bands),
+cfgs AS (SELECT * FROM (VALUES {cfg_vals}) AS t(n_bands, n_rows)),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth)
+SELECT cfgs.n_bands, cfgs.n_rows, nt.n_true,
+       COALESCE(ccnt.n_candidates, 0) AS n_candidates,
+       COALESCE(hcnt.n_hit, 0) AS n_hit,
+       CASE WHEN nt.n_true = 0 THEN 0
+            ELSE COALESCE(hcnt.n_hit, 0) * 1000000 // nt.n_true
+       END AS recall_ppm,
+       CASE WHEN COALESCE(ccnt.n_candidates, 0) = 0 THEN 0
+            ELSE COALESCE(hcnt.n_hit, 0) * 1000000 // ccnt.n_candidates
+       END AS precision_ppm
+FROM cfgs CROSS JOIN nt
+LEFT JOIN ccnt ON cfgs.n_bands = ccnt.n_bands
+LEFT JOIN hcnt ON cfgs.n_bands = hcnt.n_bands
+ORDER BY cfgs.n_bands DESC
+"""
+
+
+MH_SWEEP_SQL = _mh_sweep_sql()
+
+
 def simhash_fingerprint(spark, sf_dir):
     """SimHash-16: sign-aggregated token-hash bits per document, built
     from the portable md5-derived hash so the oracle reproduces the
@@ -9931,6 +10126,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o_politeness_audit": o_politeness_audit,
     "g_opic": g_opic,
     "p_robots_decision": p_robots_decision,
+    "minhash_banding_sweep": minhash_banding_sweep,
 }
 
 ORACLES: dict[str, str] = {
@@ -10055,4 +10251,5 @@ ORACLES: dict[str, str] = {
     "o_politeness_audit": O_POLITE_SQL,
     "g_opic": G_OPIC_SQL,
     "p_robots_decision": P_ROBOTS_SQL,
+    "minhash_banding_sweep": MH_SWEEP_SQL,
 }
