@@ -9557,6 +9557,85 @@ FROM per GROUP BY policy ORDER BY policy
 """
 
 
+def g_degree_assortativity(spark, sf_dir):
+    """Degree assortativity over the link graph (Newman PRL 2002
+    "Assortative mixing in networks" — the one-number answer to "do
+    hubs link to hubs?": the web is famously DISassortative, r < 0,
+    which is why hub-first frontier prioritization fans out instead
+    of ping-ponging inside a rich club; the metric a crawl planner
+    checks before assuming either). Pearson correlation over directed
+    edges between x = out-degree(src) and y = in-degree(dst),
+    computed the numerically-portable way: the five moment sums
+    (Σx, Σy, Σxy, Σx², Σy²) are EXACT BIGINTs (degrees are integers,
+    products bounded by |V|² — no float accumulation anywhere), and
+    the only float operations are one IEEE sqrt of an exact integer
+    and one division at the very end, both correctly rounded by every
+    IEEE-754 engine, then ROUND(…,6). The integer moment columns ARE
+    the output alongside r, so the gate pins the exact parts exactly.
+
+    100 TB posture: two hash degree aggregates + one join of each
+    degree table back onto the edge list (the linkgraph shuffle
+    shape), then ONE scalar aggregate — no window, no pairs, no n²."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("x"))
+    ind = e.groupBy("dst").agg(F.count(F.lit(1)).alias("y"))
+    xy = e.join(outd, "src").join(ind, "dst")
+    mom = xy.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    return mom.select(
+        "m",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        "syy",
+        F.expr(
+            "round((m * sxy - sx * sy) / "
+            "(sqrt(cast(m * sxx - sx * sx as double)) * "
+            "sqrt(cast(m * syy - sy * sy as double))), 6)"
+        ).alias("assortativity_r"),
+    )
+
+
+G_ASSORT_SQL = """
+WITH e AS (
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                  'c' || CAST(o_custkey AS VARCHAR) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+outd AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS x FROM e GROUP BY src),
+ind AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS y FROM e GROUP BY dst),
+xy AS (SELECT x, y FROM e JOIN outd USING (src) JOIN ind USING (dst)),
+mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM xy)
+SELECT m, sx, sy, sxy, sxx, syy,
+       ROUND((m * sxy - sx * sy) /
+             (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) *
+              sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6)
+         AS assortativity_r
+FROM mom
+"""
+
+
 OPIC_SCALE = 1_000_000_000_000  # fixed-point cash units
 OPIC_ITERS = 3
 OPIC_TOP_K = 20
@@ -10265,6 +10344,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p_robots_decision": p_robots_decision,
     "minhash_banding_sweep": minhash_banding_sweep,
     "t_gopher_rules": t_gopher_rules,
+    "g_degree_assortativity": g_degree_assortativity,
 }
 
 ORACLES: dict[str, str] = {
@@ -10391,4 +10471,5 @@ ORACLES: dict[str, str] = {
     "p_robots_decision": P_ROBOTS_SQL,
     "minhash_banding_sweep": MH_SWEEP_SQL,
     "t_gopher_rules": T_GOPHER_SQL,
+    "g_degree_assortativity": G_ASSORT_SQL,
 }
