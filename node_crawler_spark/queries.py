@@ -9557,6 +9557,74 @@ FROM per GROUP BY policy ORDER BY policy
 """
 
 
+HOSTG_MOD = 7  # stand-in host extraction: key % HOSTG_MOD
+
+
+def g_host_contraction(spark, sf_dir):
+    """Page-graph → host-graph contraction (the scale move behind
+    Common Crawl's published host- and domain-level webgraphs: 10^10
+    page nodes collapse to 10^7 hosts, and everything host-scoped —
+    politeness budgets, domain PageRank, spam neighborhoods — runs on
+    the contracted graph instead; Boldi/Vigna's WebGraph stack does
+    exactly this before any whole-web analysis). Each page endpoint
+    maps to its host (here a deterministic key % HOSTG_MOD stand-in —
+    the real extraction is p_pld_extract's registrable-domain CASE
+    chain, one codegen Project either way), edges aggregate to
+    (host_src, host_dst) with page-edge weights, and each contracted
+    edge reports its share of all page edges in exact BIGINT ppm plus
+    the is_intra flag — the intra-host share is the number that says
+    how much of the link mass politeness serializes.
+
+    100 TB posture: contraction is ONE codegen Project + ONE hash
+    aggregate keyed (host_src, host_dst) — output cardinality is the
+    contracted graph (≤ |hosts|², sparse in practice), never the page
+    graph; the total is a 1-row scalar crossJoin."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(
+                F.lit("h"), (F.col("l_suppkey") % HOSTG_MOD).cast("string")
+            ).alias("host_src"),
+            F.concat(
+                F.lit("h"), (F.col("o_custkey") % HOSTG_MOD).cast("string")
+            ).alias("host_dst"),
+        )
+    )
+    agg = e.groupBy("host_src", "host_dst").agg(
+        F.count(F.lit(1)).alias("n_edges")
+    )
+    total = agg.agg(F.sum("n_edges").alias("total_edges"))
+    return (
+        agg.crossJoin(total)
+        .select(
+            "host_src",
+            "host_dst",
+            "n_edges",
+            F.expr("if(host_src = host_dst, 1, 0)").alias("is_intra"),
+            F.expr("n_edges * 1000000L div total_edges").alias("share_ppm"),
+        )
+        .orderBy("host_src", "host_dst")
+    )
+
+
+G_HOSTG_SQL = f"""
+WITH e AS (
+  SELECT 'h' || CAST(l_suppkey % {HOSTG_MOD} AS VARCHAR) AS host_src,
+         'h' || CAST(o_custkey % {HOSTG_MOD} AS VARCHAR) AS host_dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+agg AS (SELECT host_src, host_dst, CAST(COUNT(*) AS BIGINT) AS n_edges
+        FROM e GROUP BY host_src, host_dst),
+total AS (SELECT CAST(SUM(n_edges) AS BIGINT) AS total_edges FROM agg)
+SELECT host_src, host_dst, n_edges,
+       CASE WHEN host_src = host_dst THEN 1 ELSE 0 END AS is_intra,
+       n_edges * 1000000 // total_edges AS share_ppm
+FROM agg CROSS JOIN total
+ORDER BY host_src, host_dst
+"""
+
+
 def g_degree_assortativity(spark, sf_dir):
     """Degree assortativity over the link graph (Newman PRL 2002
     "Assortative mixing in networks" — the one-number answer to "do
@@ -10345,6 +10413,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_banding_sweep": minhash_banding_sweep,
     "t_gopher_rules": t_gopher_rules,
     "g_degree_assortativity": g_degree_assortativity,
+    "g_host_contraction": g_host_contraction,
 }
 
 ORACLES: dict[str, str] = {
@@ -10472,4 +10541,5 @@ ORACLES: dict[str, str] = {
     "minhash_banding_sweep": MH_SWEEP_SQL,
     "t_gopher_rules": T_GOPHER_SQL,
     "g_degree_assortativity": G_ASSORT_SQL,
+    "g_host_contraction": G_HOSTG_SQL,
 }
