@@ -9988,6 +9988,102 @@ FROM verdict GROUP BY host ORDER BY host
 """
 
 
+ERRSTREAK_TOP_K = 10
+
+
+def w_error_streaks(spark, sf_dir):
+    """Consecutive-error streak detection per host — the classic
+    gaps-and-islands fold (the one relational shape the query set
+    didn't have yet): a host that errors in long RUNS needs a circuit
+    breaker, not rate-halving — the adaptive backoff
+    (operators/politeness.py's error-halving, exercised by
+    tests/test_backoff.py) reacts to per-round error RATE, and this
+    is the complementary sequential signal (the reference's retry
+    ladder, crawler.js:499-516, sees only per-url attempt counts —
+    a host-level streak is invisible to it). Islands via the
+    two-row_number difference: rn over (host) minus rn over
+    (host, is_error), both ordered (ts, event_id), is constant
+    exactly within a run of equal is_error — error runs group by
+    that difference. Output: top-K hosts by longest streak, with
+    total errors, fetch count, and streak count.
+
+    100 TB posture: the event stream is shuffled ONCE on host — both
+    row_number windows and the downstream aggregates reuse the
+    hash(host) partitioning (the windows' (host, is_error) keys are
+    prefixed by host, so no second Exchange); islands and summaries
+    are hash aggregates; top-K is TakeOrderedAndProject."""
+    epoch = "TIMESTAMP_NTZ'1970-01-01 00:00:00'"
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("h"), (F.col("user_id") % 25).cast("string")).alias(
+            "host"
+        ),
+        F.expr(f"timestampdiff(MICROSECOND, {epoch}, ts)").alias("us"),
+        "event_id",
+        (F.col("event_type") == "error").alias("is_err"),
+    )
+    w_all = Window.partitionBy("host").orderBy("us", "event_id")
+    w_err = Window.partitionBy("host", "is_err").orderBy("us", "event_id")
+    marked = ev.withColumn(
+        "grp", F.row_number().over(w_all) - F.row_number().over(w_err)
+    )
+    streaks = (
+        marked.where("is_err")
+        .groupBy("host", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    per_host = ev.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.sum(F.when(F.col("is_err"), 1).otherwise(0)).alias("n_errors"),
+    )
+    summary = streaks.groupBy("host").agg(
+        F.max("len").alias("max_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+    return (
+        per_host.join(summary, "host", "left")
+        .select(
+            "host",
+            "n_fetches",
+            "n_errors",
+            F.expr("coalesce(n_streaks, 0L)").alias("n_streaks"),
+            F.expr("coalesce(max_streak, 0L)").alias("max_streak"),
+        )
+        .orderBy(F.col("max_streak").desc(), "host")
+        .limit(ERRSTREAK_TOP_K)
+    )
+
+
+W_ERRSTREAK_SQL = f"""
+WITH ev AS (
+  SELECT 'h' || CAST(user_id % 25 AS VARCHAR) AS host,
+         epoch_us(ts) AS us, event_id,
+         event_type = 'error' AS is_err
+  FROM events),
+marked AS (
+  SELECT host, is_err,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY us, event_id)
+         - ROW_NUMBER() OVER (PARTITION BY host, is_err
+                              ORDER BY us, event_id) AS grp
+  FROM ev),
+streaks AS (
+  SELECT host, grp, CAST(COUNT(*) AS BIGINT) AS len
+  FROM marked WHERE is_err GROUP BY host, grp),
+per_host AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_fetches,
+         CAST(SUM(CASE WHEN is_err THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+  FROM ev GROUP BY host),
+summary AS (
+  SELECT host, MAX(len) AS max_streak, CAST(COUNT(*) AS BIGINT) AS n_streaks
+  FROM streaks GROUP BY host)
+SELECT p.host, p.n_fetches, p.n_errors,
+       COALESCE(s.n_streaks, 0) AS n_streaks,
+       COALESCE(s.max_streak, 0) AS max_streak
+FROM per_host p LEFT JOIN summary s ON p.host = s.host
+ORDER BY max_streak DESC, p.host
+LIMIT {ERRSTREAK_TOP_K}
+"""
+
+
 POLITE_DELAY_S = 600  # audited min inter-fetch gap per host
 POLITE_TOP_K = 15
 
@@ -10414,6 +10510,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_gopher_rules": t_gopher_rules,
     "g_degree_assortativity": g_degree_assortativity,
     "g_host_contraction": g_host_contraction,
+    "w_error_streaks": w_error_streaks,
 }
 
 ORACLES: dict[str, str] = {
@@ -10542,4 +10639,5 @@ ORACLES: dict[str, str] = {
     "t_gopher_rules": T_GOPHER_SQL,
     "g_degree_assortativity": G_ASSORT_SQL,
     "g_host_contraction": G_HOSTG_SQL,
+    "w_error_streaks": W_ERRSTREAK_SQL,
 }
