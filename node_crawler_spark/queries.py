@@ -840,6 +840,69 @@ ORDER BY fingerprint
 """
 
 
+def d_cluster_size_histogram(spark, sf_dir):
+    """Duplicate-cluster size distribution — the headline table of
+    every dedup report (CCNet, C4, RefinedWeb all lead with it: what
+    share of the corpus is singletons vs mass-duplicated boilerplate,
+    because that one histogram decides whether exact dedup is enough
+    or near-dup must follow). Exact-dedup clusters (d_exact_dedup's
+    fingerprint) banded by log2 cluster size: per band, cluster
+    count, document count, share of all documents in exact BIGINT
+    ppm, and the REMOVAL ppm (docs minus keepers — what dedup
+    deletes) — band 1 is the singleton mass, the high bands are the
+    boilerplate tail.
+
+    100 TB posture: the exact-dedup hash aggregate (the D1 shuffle
+    shape) + one aggregate on the CLUSTER table + a 1-row totals
+    crossJoin; band table ≤ 40 rows at any corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    key = F.md5(F.lower(F.regexp_replace("text", "\\s+", " ")))
+    clusters = d.groupBy(key.alias("fingerprint")).agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    bands = (
+        clusters.select(F.expr("length(bin(sz))").alias("band"), "sz")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("sz").alias("n_docs"),
+        )
+    )
+    total = bands.agg(F.sum("n_docs").alias("total_docs"))
+    return (
+        bands.crossJoin(total)
+        .select(
+            "band",
+            F.expr("shiftleft(1L, band - 1)").alias("min_size"),
+            "n_clusters",
+            "n_docs",
+            F.expr("n_docs * 1000000L div total_docs").alias("doc_share_ppm"),
+            F.expr(
+                "(n_docs - n_clusters) * 1000000L div total_docs"
+            ).alias("removal_ppm"),
+        )
+        .orderBy("band")
+    )
+
+
+D_CLUSTER_HIST_SQL = """
+WITH clusters AS (
+  SELECT MD5(LOWER(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))) AS fingerprint,
+         CAST(COUNT(*) AS BIGINT) AS sz
+  FROM documents GROUP BY 1),
+bands AS (
+  SELECT length(bin(sz)) AS band, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         CAST(SUM(sz) AS BIGINT) AS n_docs
+  FROM clusters GROUP BY 1),
+total AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM bands)
+SELECT band, (1::BIGINT << (band - 1)) AS min_size, n_clusters, n_docs,
+       n_docs * 1000000 // total_docs AS doc_share_ppm,
+       (n_docs - n_clusters) * 1000000 // total_docs AS removal_ppm
+FROM bands CROSS JOIN total
+ORDER BY band
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (embeddings) — exact baseline, LSH, IVF
 # ---------------------------------------------------------------------------
@@ -10511,6 +10574,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_degree_assortativity": g_degree_assortativity,
     "g_host_contraction": g_host_contraction,
     "w_error_streaks": w_error_streaks,
+    "d_cluster_size_histogram": d_cluster_size_histogram,
 }
 
 ORACLES: dict[str, str] = {
@@ -10640,4 +10704,5 @@ ORACLES: dict[str, str] = {
     "g_degree_assortativity": G_ASSORT_SQL,
     "g_host_contraction": G_HOSTG_SQL,
     "w_error_streaks": W_ERRSTREAK_SQL,
+    "d_cluster_size_histogram": D_CLUSTER_HIST_SQL,
 }
