@@ -1444,6 +1444,76 @@ SIM_IVF_SQL = _ivf_sql()
 SIM_IVF_RECALL_SQL = _ivf_recall_sql()
 
 
+def sim_ivf_cell_stats(spark, sf_dir):
+    """IVF index-balance audit — the table an ANN deployment reads
+    before picking nlist/nprobe (FAISS wiki's first tuning rule:
+    unbalanced inverted lists make probe cost skew — one hot cell and
+    every query that probes it pays its whole list; loose cells leak
+    recall at fixed nprobe). Per trained cell (the same quantizer
+    sim_ann_ivf_topk probes): list size, share of all vectors in
+    exact BIGINT ppm (the balance number), and the mean / minimum
+    cosine of members to their own centroid (the tightness numbers —
+    mean via decimal(24,10) sums so the reduction order can't drift,
+    min is order-free; both ROUND(…,6) doubles out).
+
+    100 TB posture: training is _ivf_trained_cents' map-only argmax
+    passes (K tiny centroids collected per iteration, the bounded
+    bucket-prune-style driver data); the audit itself is one
+    broadcast join of the K-row centroid table onto the assignment +
+    ONE hash(cell) aggregate + a 1-row totals crossJoin."""
+    v = _ivf_v(spark, sf_dir)
+    cents, assigned = _ivf_trained_cents(v)
+    cos = _arr_dot(F.col("emb"), F.col("cent")) / (
+        F.sqrt(_arr_dot(F.col("emb"), F.col("emb")))
+        * F.sqrt(_arr_dot(F.col("cent"), F.col("cent")))
+    )
+    scored = assigned.join(F.broadcast(cents), "cell").select(
+        "cell", cos.alias("cos")
+    )
+    per = scored.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cos").cast("decimal(24,10)")).alias("s"),
+        F.min("cos").alias("mn"),
+    )
+    total = per.agg(F.sum("n").alias("total_vecs"))
+    return (
+        per.crossJoin(total)
+        .select(
+            "cell",
+            "n",
+            F.expr("n * 1000000L div total_vecs").alias("share_ppm"),
+            F.round(F.expr("cast(s as double) / n"), 6).alias("mean_cos"),
+            F.round("mn", 6).alias("min_cos"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _ivf_cell_stats_sql() -> str:
+    ctes, cfin, afin = _ivf_trained_ctes()
+    cos = (
+        f"({_dot_sql('emb', 'cent')}) / (sqrt({_dot_sql('emb', 'emb')})"
+        f" * sqrt({_dot_sql('cent', 'cent')}))"
+    )
+    return f"""
+WITH {ctes},
+scored AS MATERIALIZED (
+  SELECT a.cell, {cos} AS cos
+  FROM {afin} a JOIN {cfin} c USING (cell)),
+per AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(cos AS DECIMAL(24,10))) AS s, MIN(cos) AS mn
+        FROM scored GROUP BY cell),
+total AS (SELECT CAST(SUM(n) AS BIGINT) AS total_vecs FROM per)
+SELECT cell, n, n * 1000000 // total_vecs AS share_ppm,
+       ROUND(CAST(s AS DOUBLE) / n, 6) AS mean_cos,
+       ROUND(mn, 6) AS min_cos
+FROM per CROSS JOIN total ORDER BY cell
+"""
+
+
+SIM_IVF_CELL_STATS_SQL = _ivf_cell_stats_sql()
+
+
 # ---------------------------------------------------------------------------
 # Product quantization ANN (IVF-PQ's compression half, r3f)
 # ---------------------------------------------------------------------------
@@ -10575,6 +10645,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_host_contraction": g_host_contraction,
     "w_error_streaks": w_error_streaks,
     "d_cluster_size_histogram": d_cluster_size_histogram,
+    "sim_ivf_cell_stats": sim_ivf_cell_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -10705,4 +10776,5 @@ ORACLES: dict[str, str] = {
     "g_host_contraction": G_HOSTG_SQL,
     "w_error_streaks": W_ERRSTREAK_SQL,
     "d_cluster_size_histogram": D_CLUSTER_HIST_SQL,
+    "sim_ivf_cell_stats": SIM_IVF_CELL_STATS_SQL,
 }
