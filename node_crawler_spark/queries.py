@@ -10121,6 +10121,89 @@ FROM verdict GROUP BY host ORDER BY host
 """
 
 
+WARCGAP_DROP_MOD = 97  # synthetic loss: every 97th record missing
+WARCGAP_TOP_K = 12
+
+
+def o_warc_gaps(spark, sf_dir):
+    """Archive-batch completeness audit — the check an ingestion
+    pipeline runs against a WARC/CDX manifest before trusting a batch
+    (sources/warc.py's export manifests carry per-file record counts;
+    this is the record-level sequel: WHICH id ranges are missing, so
+    the re-fetch is targeted instead of whole-batch). The record-id
+    stream deliberately loses every ``WARCGAP_DROP_MOD``-th id (a
+    deterministic stand-in for dropped fetch tasks); gap ranges fall
+    out of one lead() pass over the surviving ids — a gap is any
+    adjacent pair with a hole between them, reported as (gap_start,
+    gap_end, width) plus the global completeness in exact BIGINT ppm
+    on every row (expected = max_id − min_id + 1 over the observed
+    span). Top-K widest gaps, then earliest-first.
+
+    100 TB posture: ONE global sort-by-id is the only heavy op — and
+    it is the two-phase O1-rank shape at open-web cardinality (here
+    lead() over a range partition; ids are near-sorted on arrival so
+    the range exchange moves little); the scalar span/count reduce is
+    order-free; top-K is TakeOrderedAndProject."""
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    kept = ev.where(F.expr(f"event_id % {WARCGAP_DROP_MOD} != 0"))
+    w = Window.orderBy("event_id")
+    gaps = (
+        kept.withColumn("nxt", F.lead("event_id").over(w))
+        .where(F.expr("nxt - event_id > 1"))
+        .select(
+            F.expr("event_id + 1").alias("gap_start"),
+            F.expr("nxt - 1").alias("gap_end"),
+            F.expr("nxt - event_id - 1").alias("width"),
+        )
+    )
+    span = kept.agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.min("event_id").alias("lo"),
+        F.max("event_id").alias("hi"),
+    ).select(
+        "n_present",
+        F.expr("hi - lo + 1").alias("n_expected"),
+        F.expr("n_present * 1000000L div (hi - lo + 1)").alias(
+            "completeness_ppm"
+        ),
+    )
+    return (
+        gaps.crossJoin(span)
+        .select(
+            "gap_start",
+            "gap_end",
+            "width",
+            "n_present",
+            "n_expected",
+            "completeness_ppm",
+        )
+        .orderBy(F.col("width").desc(), "gap_start")
+        .limit(WARCGAP_TOP_K)
+    )
+
+
+O_WARCGAP_SQL = f"""
+WITH kept AS (
+  SELECT event_id FROM events WHERE event_id % {WARCGAP_DROP_MOD} <> 0),
+gaps AS (
+  SELECT event_id + 1 AS gap_start, nxt - 1 AS gap_end,
+         nxt - event_id - 1 AS width
+  FROM (SELECT event_id, LEAD(event_id) OVER (ORDER BY event_id) AS nxt
+        FROM kept)
+  WHERE nxt - event_id > 1),
+span AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_present,
+         MAX(event_id) - MIN(event_id) + 1 AS n_expected,
+         CAST(COUNT(*) AS BIGINT) * 1000000
+           // (MAX(event_id) - MIN(event_id) + 1) AS completeness_ppm
+  FROM kept)
+SELECT gap_start, gap_end, width, n_present, n_expected, completeness_ppm
+FROM gaps CROSS JOIN span
+ORDER BY width DESC, gap_start
+LIMIT {WARCGAP_TOP_K}
+"""
+
+
 ERRSTREAK_TOP_K = 10
 
 
@@ -10646,6 +10729,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_error_streaks": w_error_streaks,
     "d_cluster_size_histogram": d_cluster_size_histogram,
     "sim_ivf_cell_stats": sim_ivf_cell_stats,
+    "o_warc_gaps": o_warc_gaps,
 }
 
 ORACLES: dict[str, str] = {
@@ -10777,4 +10861,5 @@ ORACLES: dict[str, str] = {
     "w_error_streaks": W_ERRSTREAK_SQL,
     "d_cluster_size_histogram": D_CLUSTER_HIST_SQL,
     "sim_ivf_cell_stats": SIM_IVF_CELL_STATS_SQL,
+    "o_warc_gaps": O_WARCGAP_SQL,
 }
