@@ -2279,6 +2279,13 @@ def _shingles_from(d: DataFrame) -> DataFrame:
     w = d.select(
         "doc_id", F.split(F.lower(F.trim("text")), "\\s+").alias("w")
     ).where(F.size("w") >= SHINGLE_WORDS)
+    # The explode + per-shingle md5 below is the md5-heavy map of the
+    # whole minhash family; a single-row-group parquet file gives the
+    # scan ONE task, so without this spread the hashing runs on one
+    # core (measured: ~4 s of the fresh minhash cost at sf0.1).
+    # Explicit numPartitions is exempt from AQE coalescing.
+    par = max(2, int(d.sparkSession.sparkContext.defaultParallelism))
+    w = w.repartition(par)
     return w.select(
         "doc_id",
         F.explode(
@@ -8638,7 +8645,11 @@ def d_edit_distance_pairs(spark, sf_dir):
     Spark's levenshtein() and DuckDB's are the same unit-cost DP, so
     the oracle checks the distances themselves."""
     sh = _doc_shingles(spark, sf_dir)
-    bands = _minhash_bands(sh)
+    # Checkpointed: the self-join's broadcast build side would
+    # otherwise RE-COMPUTE the whole shingle→minhash pipeline (a
+    # BroadcastExchange reuses nothing — measured as a second full
+    # hashing pass in the r3 plan audit of this query).
+    bands = _minhash_bands(sh).localCheckpoint()
     pairs = (
         bands.alias("a")
         .join(
@@ -8655,21 +8666,41 @@ def d_edit_distance_pairs(spark, sf_dir):
     txt = _t(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, ED_PREFIX).alias("t")
     )
-    return (
+    par = max(2, int(spark.sparkContext.defaultParallelism))
+    # The DP is the hot loop (O(ED_PREFIX²) per pair). Two traps made
+    # it run single-core (measured 26.6 s at sf0.1, ~2 s fixed):
+    # AQE coalesces the tiny pair table to ~1 partition, so the
+    # explicit repartition spreads it (REPARTITION_BY_NUM is exempt
+    # from coalescing); and predicate pushdown sinks the ned_ppm
+    # filter BELOW that exchange into the broadcast join as a join
+    # condition — putting the levenshtein right back on one core —
+    # so the scored table is checkpoint-materialized before the
+    # filter, which pins the DP in the 32-task post-exchange stage.
+    scored = (
         pairs.join(txt.select(F.col("doc_id").alias("doc_a"),
                               F.col("t").alias("ta")), "doc_a")
         .join(txt.select(F.col("doc_id").alias("doc_b"),
                          F.col("t").alias("tb")), "doc_b")
+        .repartition(par, "doc_a", "doc_b")
         .select(
             "doc_a",
             "doc_b",
             F.levenshtein("ta", "tb").cast("long").alias("lev"),
+            "ta",
+            "tb",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "lev",
             F.expr(
-                "CAST(levenshtein(ta, tb) AS BIGINT) * 1000000L "
-                "div greatest(length(ta), length(tb))"
+                "lev * 1000000L div greatest(length(ta), length(tb))"
             ).alias("ned_ppm"),
         )
-        .where(F.col("ned_ppm") <= ED_MAX_PPM)
+        .localCheckpoint()
+    )
+    return (
+        scored.where(F.col("ned_ppm") <= ED_MAX_PPM)
         .orderBy("doc_a", "doc_b")
     )
 
