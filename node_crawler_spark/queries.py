@@ -7978,6 +7978,136 @@ BF_M = 1 << 16  # bloom bits
 BF_K = 3        # hash functions
 
 
+def j_bloom_join(spark, sf_dir):
+    """Bloom-pruned join — the relational twin of the seen-set
+    sidecar's PROBE PRUNING (operators/seenset.py: the bloom answers
+    "definitely new" cheaply so only maybe-seen urls reach the
+    authoritative shuffled anti-join; Spark's own runtime row-level
+    filters apply the same idea inside joins, and this query makes the
+    mechanism portable and falsifiable). Build side: the "already
+    crawled" key set (o_orderkey % 3 = 0); fact side: the arriving
+    link batch (lineitem). Every fact row is probed against the
+    m=2^16, k=3 bloom (sk_bloom_fp_audit's exact hash family) and the
+    report quantifies what the prefilter is worth: rows pruned before
+    the exact join in BIGINT ppm, surviving false positives, and the
+    FP rate over true negatives — prune_ppm is the shuffle the
+    sidecar saves, fp_over_neg_ppm is the wasted residual work.
+
+    Scale shape: the arriving batch dedupes to DISTINCT probe keys
+    first (the sidecar probes each distinct url once — seenset.py's
+    contract); the bit set is ≤ m rows and BROADCASTS onto the
+    exploded probe (k rows per key, map-side); the pass verdict is
+    one hash aggregate on the key; truth is a left join against the
+    build keys; nothing shuffles the batch twice.
+
+    Invariant the gate pins: n_pass = n_true + n_fp — a Bloom filter
+    admits every true member (no false negatives), so the exact join
+    downstream loses nothing. Measured at sf0.01: 66.1% of probe keys
+    pruned before the shuffle, FP 8,244 ppm over true negatives."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    build = (
+        o.where(F.expr("o_orderkey % 3 = 0"))
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    fact = (
+        _t(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    )
+    def bit_exprs(col):
+        return [
+            (_phash(col.cast("string"), f"bf{h}") % BF_M).alias("bit")
+            for h in range(BF_K)
+        ]
+    bits = build.select(
+        F.explode(F.array(*bit_exprs(F.col("k")))).alias("bit")
+    ).distinct()
+    passed = (
+        fact.select(
+            "l_orderkey",
+            F.explode(F.array(*bit_exprs(F.col("l_orderkey")))).alias("bit"),
+        )
+        .join(F.broadcast(bits.withColumn("_hit", F.lit(1))), "bit", "left")
+        .groupBy("l_orderkey")
+        .agg(
+            (F.sum(F.coalesce("_hit", F.lit(0))) == BF_K)
+            .cast("int")
+            .alias("pass")
+        )
+    )
+    truth = fact.join(
+        build.select(F.col("k").alias("l_orderkey"), F.lit(1).alias("seen")),
+        "l_orderkey",
+        "left",
+    ).select(
+        "l_orderkey",
+        F.coalesce("seen", F.lit(0)).alias("seen"),
+    )
+    per = passed.join(truth, ["l_orderkey"])
+    return per.agg(
+        F.count(F.lit(1)).alias("n_fact"),
+        F.sum("pass").alias("n_pass"),
+        F.sum("seen").alias("n_true"),
+        F.sum(
+            F.when((F.col("pass") == 1) & (F.col("seen") == 0), 1).otherwise(0)
+        ).alias("n_fp"),
+    ).select(
+        "n_fact",
+        "n_pass",
+        "n_true",
+        "n_fp",
+        F.expr("(n_fact - n_pass) * 1000000L div n_fact").alias("prune_ppm"),
+        F.expr(
+            "if(n_fact = n_true, 0L, n_fp * 1000000L div (n_fact - n_true))"
+        ).alias("fp_over_neg_ppm"),
+    )
+
+
+def _bloom_join_sql() -> str:
+    def bit_sql(expr, h):
+        return f"({_phash_sql(f'CAST({expr} AS VARCHAR)', f'bf{h}')}) % {BF_M}"
+    build_bits = " UNION ".join(
+        f"SELECT {bit_sql('k', h)} AS bit FROM build" for h in range(BF_K)
+    )
+    probe_bits = "\n  UNION ALL ".join(
+        f"SELECT l_orderkey, {bit_sql('l_orderkey', h)} AS bit FROM fact"
+        for h in range(BF_K)
+    )
+    return f"""
+WITH build AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderkey % 3 = 0),
+fact AS (SELECT DISTINCT l_orderkey FROM lineitem),
+bits AS ({build_bits}),
+probe AS ({probe_bits}),
+passed AS (
+  SELECT p.l_orderkey,
+         CASE WHEN SUM(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) = {BF_K}
+              THEN 1 ELSE 0 END AS pass
+  FROM probe p LEFT JOIN bits b ON p.bit = b.bit
+  GROUP BY p.l_orderkey),
+truth AS (
+  SELECT f.l_orderkey,
+         CASE WHEN bu.k IS NULL THEN 0 ELSE 1 END AS seen
+  FROM fact f LEFT JOIN build bu ON f.l_orderkey = bu.k),
+per AS (SELECT passed.pass, truth.seen
+        FROM passed JOIN truth USING (l_orderkey)),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_fact,
+         CAST(SUM(pass) AS BIGINT) AS n_pass,
+         CAST(SUM(seen) AS BIGINT) AS n_true,
+         CAST(SUM(CASE WHEN pass = 1 AND seen = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_fp
+  FROM per)
+SELECT n_fact, n_pass, n_true, n_fp,
+       (n_fact - n_pass) * 1000000 // n_fact AS prune_ppm,
+       CASE WHEN n_fact = n_true THEN 0
+            ELSE n_fp * 1000000 // (n_fact - n_true) END AS fp_over_neg_ppm
+FROM agg
+"""
+
+
+J_BLOOM_JOIN_SQL = _bloom_join_sql()
+
+
 def sk_bloom_fp_audit(spark, sf_dir):
     """Bloom-filter false-positive audit — the falsifiable relational
     twin of the engine's D1 bloom sidecar (operators/seenset.py): the
@@ -10761,6 +10891,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_cluster_size_histogram": d_cluster_size_histogram,
     "sim_ivf_cell_stats": sim_ivf_cell_stats,
     "o_warc_gaps": o_warc_gaps,
+    "j_bloom_join": j_bloom_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -10893,4 +11024,5 @@ ORACLES: dict[str, str] = {
     "d_cluster_size_histogram": D_CLUSTER_HIST_SQL,
     "sim_ivf_cell_stats": SIM_IVF_CELL_STATS_SQL,
     "o_warc_gaps": O_WARCGAP_SQL,
+    "j_bloom_join": J_BLOOM_JOIN_SQL,
 }
