@@ -3841,6 +3841,130 @@ ORDER BY x.vec_id
 DEDUP_SEMANTIC_SQL = _semdedup_sql()
 
 
+SEMDEDUP_SWEEP_PPM = (480000, 450000, 400000, 350000)
+
+
+def dedup_semantic_sweep(spark, sf_dir):
+    """SemDeDup threshold sweep (Abbas et al. 2023 §4 — the paper's
+    entire tuning story is the τ knob: too high keeps paraphrase
+    clusters, too low deletes topical diversity; a deployment reads
+    the removal-vs-τ curve before committing a 100 TB pass).
+    ONE trained index (the shared IVF k-means chain) and ONE
+    within-cell pair table with cosines, swept through four
+    thresholds bracketing the deployed SEMDEDUP_TAU = 0.45 (the
+    synthetic embeddings' within-cell cosines top out at 0.49, so
+    the paper's 0.9-ish natural-text range would read all-zero here
+    — the sweep is calibrated to where this corpus' curve actually
+    bends): per τ (exact integer ppm), the number of qualifying
+    pairs, the number of vectors removed under keep-lowest-id (a
+    vector dies iff its MAX cosine to any lower-id cell-mate ≥ τ —
+    so the sweep needs only the per-vector max, one aggregate), and
+    the corpus removal rate in BIGINT ppm.
+
+    100 TB posture: within-cell pairs only (cell-size bounded, the
+    dedup_semantic shape); the sweep itself adds NO joins — four
+    conditional sums over the pair table + four over the per-vector
+    max table, unpivoted from one scalar row."""
+    v = _ivf_v(spark, sf_dir)
+    _cents, assigned = _ivf_trained_cents(v)
+    assigned = assigned.localCheckpoint(eager=False)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = F.round(
+        _arr_dot(F.col("a.emb"), F.col("b.emb"))
+        / (_arr_norm(F.col("a.emb")) * _arr_norm(F.col("b.emb"))),
+        4,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("b.vec_id").alias("vec_id"), cos.alias("cos"))
+        .localCheckpoint()
+    )
+    mc = pairs.groupBy("vec_id").agg(F.max("cos").alias("mc"))
+    pair_aggs = [
+        F.sum(
+            F.when(F.col("cos") * 1000000 >= t, 1).otherwise(0)
+        ).alias(f"p{t}")
+        for t in SEMDEDUP_SWEEP_PPM
+    ]
+    rem_aggs = [
+        F.sum(
+            F.when(F.col("mc") * 1000000 >= t, 1).otherwise(0)
+        ).alias(f"r{t}")
+        for t in SEMDEDUP_SWEEP_PPM
+    ]
+    pa = pairs.agg(*pair_aggs)
+    ra = mc.agg(*rem_aggs)
+    nv = assigned.agg(F.count(F.lit(1)).alias("n_vecs"))
+    row = pa.crossJoin(ra).crossJoin(nv)
+    return (
+        row.select(
+            "n_vecs",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tau_ppm"),
+                            F.col(f"p{t}").alias("n_pairs"),
+                            F.col(f"r{t}").alias("n_removed"),
+                        )
+                        for t in SEMDEDUP_SWEEP_PPM
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select(
+            F.col("s.tau_ppm").alias("tau_ppm"),
+            "n_vecs",
+            F.col("s.n_pairs").alias("n_pairs"),
+            F.col("s.n_removed").alias("n_removed"),
+            F.expr("s.n_removed * 1000000L div n_vecs").alias("removal_ppm"),
+        )
+        .orderBy(F.col("tau_ppm").desc())
+    )
+
+
+def _semdedup_sweep_sql() -> str:
+    ctes, _cfin, afin = _ivf_trained_ctes()
+    cos = (
+        f"ROUND(({_dot_sql('a.emb', 'b.emb')}) / "
+        f"(sqrt({_dot_sql('a.emb', 'a.emb')}) * sqrt({_dot_sql('b.emb', 'b.emb')})), 4)"
+    )
+    p_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN cos * 1000000 >= {t} THEN 1 ELSE 0 END) AS BIGINT) AS p{t}"
+        for t in SEMDEDUP_SWEEP_PPM
+    )
+    r_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN mc * 1000000 >= {t} THEN 1 ELSE 0 END) AS BIGINT) AS r{t}"
+        for t in SEMDEDUP_SWEEP_PPM
+    )
+    unpivot = "\nUNION ALL ".join(
+        f"SELECT {t} AS tau_ppm, n_vecs, p{t} AS n_pairs, r{t} AS n_removed, "
+        f"r{t} * 1000000 // n_vecs AS removal_ppm FROM row"
+        for t in SEMDEDUP_SWEEP_PPM
+    )
+    return f"""
+WITH {ctes},
+pairs AS MATERIALIZED (
+  SELECT b.vec_id, {cos} AS cos
+  FROM {afin} a JOIN {afin} b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+mc AS (SELECT vec_id, MAX(cos) AS mc FROM pairs GROUP BY vec_id),
+pa AS (SELECT {p_cols} FROM pairs),
+ra AS (SELECT {r_cols} FROM mc),
+nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM {afin}),
+row AS (SELECT * FROM pa CROSS JOIN ra CROSS JOIN nv)
+SELECT tau_ppm, n_vecs, n_pairs, n_removed, removal_ppm FROM ({unpivot})
+ORDER BY tau_ppm DESC
+"""
+
+
+DEDUP_SEMANTIC_SWEEP_SQL = _semdedup_sweep_sql()
+
+
 SIMHASH_ND_BITS = 60          # fingerprint width for RETRIEVAL (the
 SIMHASH_ND_BANDS = 4          # 16-bit demo hash collides too much to
 SIMHASH_ND_HAMMING_MAX = 4    # band over: 642 hamming-0 false pairs
@@ -10892,6 +11016,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivf_cell_stats": sim_ivf_cell_stats,
     "o_warc_gaps": o_warc_gaps,
     "j_bloom_join": j_bloom_join,
+    "dedup_semantic_sweep": dedup_semantic_sweep,
 }
 
 ORACLES: dict[str, str] = {
@@ -11025,4 +11150,5 @@ ORACLES: dict[str, str] = {
     "sim_ivf_cell_stats": SIM_IVF_CELL_STATS_SQL,
     "o_warc_gaps": O_WARCGAP_SQL,
     "j_bloom_join": J_BLOOM_JOIN_SQL,
+    "dedup_semantic_sweep": DEDUP_SEMANTIC_SWEEP_SQL,
 }
