@@ -10406,6 +10406,73 @@ FROM verdict GROUP BY host ORDER BY host
 """
 
 
+def w_burstiness(spark, sf_dir):
+    """Per-host traffic burstiness via the Fano factor (index of
+    dispersion, variance/mean of per-hour event counts — Barabási
+    Nature 2005 showed human-driven request streams are bursty, F ≫
+    1, not Poisson, F = 1; a crawl scheduler sizes token buckets and
+    politeness windows off exactly this number, because a host whose
+    traffic arrives in bursts needs burst capacity, not a higher
+    average rate). Hour bins over the GLOBAL observed span (zero
+    hours count — dispersion over only the nonzero bins would
+    understate burstiness); all moments exact BIGINT, and the factor
+    itself is the integer identity F·10⁶ = (n·Σx² − (Σx)²)·10⁶ div
+    (n·Σx) — Poisson reads 10⁶, bursty reads above it. No float
+    anywhere.
+
+    100 TB posture: one hash(host, hour) aggregate (output ≤ hosts ×
+    horizon-hours), one hash(host) moment rollup, a 1-row global-span
+    crossJoin; same two-shuffle profile at any event volume."""
+    epoch = "TIMESTAMP_NTZ'1970-01-01 00:00:00'"
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("h"), (F.col("user_id") % 25).cast("string")).alias(
+            "host"
+        ),
+        F.expr(f"timestampdiff(HOUR, {epoch}, ts)").alias("hr"),
+    )
+    span = ev.agg(
+        F.expr("max(hr) - min(hr) + 1").alias("n_hours")
+    )
+    bins = ev.groupBy("host", "hr").agg(F.count(F.lit(1)).alias("cnt"))
+    mom = bins.groupBy("host").agg(
+        F.sum("cnt").alias("sx"),
+        F.sum(F.expr("cnt * cnt")).alias("sxx"),
+        F.count(F.lit(1)).alias("nonzero_hours"),
+    )
+    return (
+        mom.crossJoin(span)
+        .select(
+            "host",
+            F.col("sx").alias("n_events"),
+            "n_hours",
+            "nonzero_hours",
+            F.expr(
+                "(n_hours * sxx - sx * sx) * 1000000L div (n_hours * sx)"
+            ).alias("fano_ppm"),
+        )
+        .orderBy(F.col("fano_ppm").desc(), "host")
+    )
+
+
+W_BURST_SQL = """
+WITH ev AS (
+  SELECT 'h' || CAST(user_id % 25 AS VARCHAR) AS host,
+         epoch_us(ts) // 3600000000 AS hr
+  FROM events),
+span AS (SELECT MAX(hr) - MIN(hr) + 1 AS n_hours FROM ev),
+bins AS (SELECT host, hr, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM ev GROUP BY host, hr),
+mom AS (SELECT host, CAST(SUM(cnt) AS BIGINT) AS sx,
+               CAST(SUM(cnt * cnt) AS BIGINT) AS sxx,
+               CAST(COUNT(*) AS BIGINT) AS nonzero_hours
+        FROM bins GROUP BY host)
+SELECT host, sx AS n_events, n_hours, nonzero_hours,
+       (n_hours * sxx - sx * sx) * 1000000 // (n_hours * sx) AS fano_ppm
+FROM mom CROSS JOIN span
+ORDER BY fano_ppm DESC, host
+"""
+
+
 WARCGAP_DROP_MOD = 97  # synthetic loss: every 97th record missing
 WARCGAP_TOP_K = 12
 
@@ -11017,6 +11084,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o_warc_gaps": o_warc_gaps,
     "j_bloom_join": j_bloom_join,
     "dedup_semantic_sweep": dedup_semantic_sweep,
+    "w_burstiness": w_burstiness,
 }
 
 ORACLES: dict[str, str] = {
@@ -11151,4 +11219,5 @@ ORACLES: dict[str, str] = {
     "o_warc_gaps": O_WARCGAP_SQL,
     "j_bloom_join": J_BLOOM_JOIN_SQL,
     "dedup_semantic_sweep": DEDUP_SEMANTIC_SWEEP_SQL,
+    "w_burstiness": W_BURST_SQL,
 }
