@@ -9228,6 +9228,29 @@ def g_harmonic_hyperball(spark, sf_dir):
     engines. Undirected supplier↔customer edges (balls grow both
     ways); register max is order-independent, so no part of the
     pipeline exposes reduction order."""
+    est = _hb_est(spark, sf_dir)
+    harmonic = (
+        (F.col("n1") - F.col("n0")) / F.lit(1.0)
+        + (F.col("n2") - F.col("n1")) / F.lit(2.0)
+        + (F.col("n3") - F.col("n2")) / F.lit(3.0)
+    )
+    return (
+        est.select(
+            "node",
+            F.round("n1", 2).alias("ball_r1"),
+            F.round("n2", 2).alias("ball_r2"),
+            F.round("n3", 2).alias("ball_r3"),
+            F.round(harmonic, 4).alias("harmonic"),
+        )
+        .orderBy(F.col("harmonic").desc(), "node")
+        .limit(20)
+    )
+
+
+def _hb_est(spark, sf_dir) -> DataFrame:
+    """Shared HyperBall chain: per node the HLL ball-size estimates
+    n0..n{HB_ITERS} at radii 0..HB_ITERS — the machinery behind both
+    g_harmonic_hyperball and g_effective_diameter."""
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     e = (
@@ -9296,25 +9319,69 @@ def g_harmonic_hyperball(spark, sf_dir):
     est = snaps[0]
     for s in snaps[1:]:
         est = est.join(s, "node")
-    harmonic = (
-        (F.col("n1") - F.col("n0")) / F.lit(1.0)
-        + (F.col("n2") - F.col("n1")) / F.lit(2.0)
-        + (F.col("n3") - F.col("n2")) / F.lit(3.0)
+    return est
+
+
+def g_effective_diameter(spark, sf_dir):
+    """Effective diameter via the ANF curve (Palmer, Gibbons &
+    Faloutsos KDD 2002 "ANF"; the statistic behind Leskovec et al.'s
+    shrinking-diameters result and the "four degrees of separation"
+    measurements — HyperBall §5 computes exactly this on the whole
+    web graph): N(r) = Σ_v |B(v,r)| counts reachable pairs within r
+    hops, and the effective diameter is the smallest r where N(r) ≥
+    90% of its final value. For a crawler this is THE hop-budget
+    number: a frontier seeded anywhere reaches 90% of whatever it can
+    ever reach within d_eff hops, so max_depth beyond it buys almost
+    nothing. Reuses the shared HyperBall chain (_hb_est — one
+    equi-join + one 16-way register-MAX per radius, O(m) state per
+    node); each node's ball estimate is floored to integer
+    MICRO-units before the corpus sum, so the per-radius totals are
+    exact BIGINTs (a raw double sum across nodes would expose
+    reduction order). Output per radius: ANF in micro-units, share of
+    the final radius in exact ppm, and the ≥ 90% flag — the first
+    true row IS the effective diameter."""
+    est = _hb_est(spark, sf_dir)
+    sums = est.agg(
+        *[
+            F.sum(
+                F.expr(f"CAST(floor(n{k} * 1000000) AS BIGINT)")
+            ).alias(f"a{k}")
+            for k in range(HB_ITERS + 1)
+        ]
     )
     return (
-        est.select(
-            "node",
-            F.round("n1", 2).alias("ball_r1"),
-            F.round("n2", 2).alias("ball_r2"),
-            F.round("n3", 2).alias("ball_r3"),
-            F.round(harmonic, 4).alias("harmonic"),
+        sums.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("radius"),
+                            F.col(f"a{k}").alias("anf_micro"),
+                        )
+                        for k in range(HB_ITERS + 1)
+                    ]
+                )
+            ).alias("s"),
+            F.col(f"a{HB_ITERS}").alias("_final"),
         )
-        .orderBy(F.col("harmonic").desc(), "node")
-        .limit(20)
+        .select(
+            F.col("s.radius").alias("radius"),
+            F.col("s.anf_micro").alias("anf_micro"),
+            # divide-first: anf_micro * 1e6 overflows BIGINT at scale
+            # (Σ balls is already in micro-units); floor semantics are
+            # mirrored in the oracle, so the gate stays exact
+            F.expr("s.anf_micro div (_final div 1000000L)").alias(
+                "share_ppm"
+            ),
+            F.expr(
+                "s.anf_micro div (_final div 1000000L) >= 900000"
+            ).alias("reaches_90pct"),
+        )
+        .orderBy("radius")
     )
 
 
-def _hb_sql() -> str:
+def _hb_est_sql() -> str:
     m, cap = HB_M, HB_CAP
     init_cols = ",\n         ".join(
         f"CASE WHEN bucket = {i} THEN rho ELSE 0 END AS b{i}" for i in range(m)
@@ -9378,7 +9445,14 @@ def _hb_sql() -> str:
 est AS (
   SELECT r0.node,
        {est_cols}
-  FROM r0 {joins})
+  FROM r0 {joins})"""
+    )
+
+
+def _hb_sql() -> str:
+    return (
+        _hb_est_sql()
+        + """
 SELECT node, ROUND(n1, 2) AS ball_r1, ROUND(n2, 2) AS ball_r2,
        ROUND(n3, 2) AS ball_r3,
        ROUND((n1 - n0) / 1.0 + (n2 - n1) / 2.0 + (n3 - n2) / 3.0, 4)
@@ -9390,7 +9464,29 @@ LIMIT 20"""
     )
 
 
+def _effdiam_sql() -> str:
+    sum_cols = ", ".join(
+        f"CAST(SUM(CAST(FLOOR(n{k} * 1000000) AS BIGINT)) AS BIGINT) AS a{k}"
+        for k in range(HB_ITERS + 1)
+    )
+    unpivot = "\nUNION ALL ".join(
+        f"SELECT {k} AS radius, a{k} AS anf_micro, "
+        f"a{k} // (a{HB_ITERS} // 1000000) AS share_ppm, "
+        f"a{k} // (a{HB_ITERS} // 1000000) >= 900000 AS reaches_90pct "
+        "FROM sums"
+        for k in range(HB_ITERS + 1)
+    )
+    return (
+        _hb_est_sql()
+        + f""",
+sums AS (SELECT {sum_cols} FROM est)
+SELECT radius, anf_micro, share_ppm, reaches_90pct FROM ({unpivot})
+ORDER BY radius"""
+    )
+
+
 G_HYPERBALL_SQL = _hb_sql()
+G_EFFDIAM_SQL = _effdiam_sql()
 
 
 TR_TRUST_MOD = 5  # suppliers with key % 5 == 0 are the trusted seed set
@@ -11176,6 +11272,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_semantic_sweep": dedup_semantic_sweep,
     "w_burstiness": w_burstiness,
     "o_crawl_roi": o_crawl_roi,
+    "g_effective_diameter": g_effective_diameter,
 }
 
 ORACLES: dict[str, str] = {
@@ -11312,4 +11409,5 @@ ORACLES: dict[str, str] = {
     "dedup_semantic_sweep": DEDUP_SEMANTIC_SWEEP_SQL,
     "w_burstiness": W_BURST_SQL,
     "o_crawl_roi": O_ROI_SQL,
+    "g_effective_diameter": G_EFFDIAM_SQL,
 }
