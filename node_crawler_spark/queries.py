@@ -4387,6 +4387,114 @@ KMV_K = 64
 _KMV_SPACE = 1 << 60  # _phash values are uniform in [0, 2^60)
 
 
+def sk_kmv_merge(spark, sf_dir):
+    """KMV sketch MERGEABILITY audit — the property that makes any
+    sketch usable on a cluster at all (Bar-Yossef et al. 2002; the
+    theta-sketch contract): sketch(A ∪ B) must equal
+    merge(sketch(A), sketch(B)), because at 10^10 keys each partition
+    builds its own K-set and only the tiny K-sets ever move. The
+    corpus splits into deterministic halves (doc_id parity), each
+    half sketches its distinct word-bigrams (K smallest portable
+    hashes), the merge keeps the K smallest DISTINCT of the union
+    (distinct matters — a bigram in both halves must count once), and
+    the gate pins the invariant: the merged sketch's kth hash and
+    estimate EQUAL the whole-corpus sketch's, bit for bit. A sketch
+    family that fails this row is unusable distributed, whatever its
+    single-node accuracy.
+
+    Scale shape: three per-set top-K windows (each partition-local
+    top-K + one K-row merge at size) + one 2K-row union — the moving
+    data is K hashes per partition, never the keys."""
+    d = _t(spark, sf_dir, "documents")
+
+    def bigrams(df):
+        w = df.select(
+            "doc_id", F.split(F.lower(F.trim("text")), "\\s+").alias("w")
+        ).where(F.size("w") >= 2)
+        return (
+            w.select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(w) - 2), "
+                        "i -> concat(w[i], ' ', w[i+1]))"
+                    )
+                ).alias("g")
+            )
+            .distinct()
+            .select(_phash(F.col("g"), "kmv").alias("hv"))
+            .distinct()
+        )
+
+    def topk(hdf):
+        rn = F.row_number().over(Window.orderBy("hv"))
+        return hdf.withColumn("rn", rn).where(F.col("rn") <= KMV_K).select(
+            "hv"
+        )
+
+    def sketch_stats(sk, prefix):
+        est = (
+            (F.col(f"{prefix}_k") - 1).cast("double")
+            * F.lit(float(_KMV_SPACE))
+            / F.col(f"{prefix}_kth")
+        )
+        return (
+            sk.agg(
+                F.max("hv").alias(f"{prefix}_kth"),
+                F.count(F.lit(1)).alias(f"{prefix}_k"),
+            ),
+            est,
+        )
+
+    whole = topk(bigrams(d))
+    h0 = topk(bigrams(d.where(F.expr("doc_id % 2 = 0"))))
+    h1 = topk(bigrams(d.where(F.expr("doc_id % 2 = 1"))))
+    merged = topk(h0.unionAll(h1).distinct())
+    ws, w_est = sketch_stats(whole, "whole")
+    ms, m_est = sketch_stats(merged, "merged")
+    return ws.crossJoin(ms).select(
+        F.lit(KMV_K).alias("k"),
+        "whole_kth",
+        "merged_kth",
+        F.round(w_est, 2).alias("whole_est"),
+        F.round(m_est, 2).alias("merged_est"),
+        F.expr(
+            "whole_kth = merged_kth AND whole_k = merged_k"
+        ).alias("merge_invariant"),
+    )
+
+
+SK_KMV_MERGE_SQL = f"""
+WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+           FROM documents),
+bi AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(1, len(w)),
+                     i -> w[i] || ' ' || w[i+1])) AS g
+       FROM w WHERE len(w) >= 2),
+hv_all AS (SELECT DISTINCT {_phash_sql('g', 'kmv')} AS hv FROM bi),
+hv_0 AS (SELECT DISTINCT {_phash_sql('g', 'kmv')} AS hv FROM bi
+         WHERE doc_id % 2 = 0),
+hv_1 AS (SELECT DISTINCT {_phash_sql('g', 'kmv')} AS hv FROM bi
+         WHERE doc_id % 2 = 1),
+sk_all AS (SELECT hv FROM hv_all ORDER BY hv LIMIT {KMV_K}),
+sk_0 AS (SELECT hv FROM hv_0 ORDER BY hv LIMIT {KMV_K}),
+sk_1 AS (SELECT hv FROM hv_1 ORDER BY hv LIMIT {KMV_K}),
+sk_m AS (SELECT hv FROM (SELECT DISTINCT hv FROM
+                         (SELECT hv FROM sk_0 UNION ALL SELECT hv FROM sk_1))
+         ORDER BY hv LIMIT {KMV_K}),
+ws AS (SELECT MAX(hv) AS whole_kth, CAST(COUNT(*) AS BIGINT) AS whole_k
+       FROM sk_all),
+ms AS (SELECT MAX(hv) AS merged_kth, CAST(COUNT(*) AS BIGINT) AS merged_k
+       FROM sk_m)
+SELECT {KMV_K} AS k, whole_kth, merged_kth,
+       ROUND((whole_k - 1) * {float(_KMV_SPACE)!r} / whole_kth, 2)
+         AS whole_est,
+       ROUND((merged_k - 1) * {float(_KMV_SPACE)!r} / merged_kth, 2)
+         AS merged_est,
+       whole_kth = merged_kth AND whole_k = merged_k AS merge_invariant
+FROM ws CROSS JOIN ms
+"""
+
+
 def sk_kmv_distinct(spark, sf_dir):
     """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002
     — the mergeable theta-sketch family): per language, estimate the
@@ -11273,6 +11381,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_burstiness": w_burstiness,
     "o_crawl_roi": o_crawl_roi,
     "g_effective_diameter": g_effective_diameter,
+    "sk_kmv_merge": sk_kmv_merge,
 }
 
 ORACLES: dict[str, str] = {
@@ -11410,4 +11519,5 @@ ORACLES: dict[str, str] = {
     "w_burstiness": W_BURST_SQL,
     "o_crawl_roi": O_ROI_SQL,
     "g_effective_diameter": G_EFFDIAM_SQL,
+    "sk_kmv_merge": SK_KMV_MERGE_SQL,
 }
