@@ -840,6 +840,99 @@ ORDER BY fingerprint
 """
 
 
+def d_dup_locality(spark, sf_dir):
+    """Duplicate-cluster LOCALITY split — the diagnosis that decides
+    which dedup machinery a corpus actually needs (the question
+    d_mirror_sources answers for one pair of hosts, asked of the
+    whole corpus): a duplicate cluster confined to one source is
+    template/boilerplate mass (fix with URL rules and line dedup,
+    cheap), a cluster spanning sources is mirror mass (needs the
+    cross-host content dedup, expensive at 10^10 urls — Common
+    Crawl's own dedup reports split exactly this way). The cluster
+    key is the ORDERLESS word-set fingerprint (md5 of the sorted
+    distinct word list) — byte-exact dedup finds nothing at sf0.01
+    because the synthetic duplicates are shuffles and small edits,
+    which is precisely the orderless detector's case (the
+    bag-of-words analog of SURT's order-normalization for urls);
+    clusters (≥ 2 docs) classify by their distinct-source count;
+    output per class: clusters, docs, removable docs (docs −
+    clusters), and each class' share of all removable duplicate mass
+    in exact BIGINT ppm.
+
+    100 TB posture: one hash(fingerprint) aggregate carrying
+    count_distinct(source) in the same pass (no second shuffle);
+    the class rollup runs on the CLUSTER table; totals are a 1-row
+    crossJoin."""
+    d = _t(spark, sf_dir, "documents")
+    key = F.md5(
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(F.split(F.lower(F.trim("text")), "\\s+"))
+            ),
+            " ",
+        )
+    )
+    clusters = (
+        d.groupBy(key.alias("fingerprint"))
+        .agg(
+            F.count(F.lit(1)).alias("sz"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .where(F.col("sz") >= 2)
+    )
+    classed = clusters.select(
+        F.when(F.col("n_sources") == 1, F.lit("intra_source"))
+        .otherwise(F.lit("cross_source"))
+        .alias("locality"),
+        "sz",
+    )
+    per = classed.groupBy("locality").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").alias("n_docs"),
+        F.sum(F.expr("sz - 1")).alias("n_removable"),
+    )
+    total = per.agg(F.sum("n_removable").alias("total_removable"))
+    return (
+        per.crossJoin(total)
+        .select(
+            "locality",
+            "n_clusters",
+            "n_docs",
+            "n_removable",
+            F.expr(
+                "n_removable * 1000000L div total_removable"
+            ).alias("removable_share_ppm"),
+        )
+        .orderBy("locality")
+    )
+
+
+D_DUP_LOCALITY_SQL = """
+WITH clusters AS (
+  SELECT md5(array_to_string(list_sort(list_distinct(
+           string_split_regex(lower(trim(text)), '\\s+'))), ' '))
+           AS fingerprint,
+         CAST(COUNT(*) AS BIGINT) AS sz,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+  FROM documents GROUP BY 1
+  HAVING COUNT(*) >= 2),
+classed AS (
+  SELECT CASE WHEN n_sources = 1 THEN 'intra_source'
+              ELSE 'cross_source' END AS locality, sz
+  FROM clusters),
+per AS (
+  SELECT locality, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         CAST(SUM(sz) AS BIGINT) AS n_docs,
+         CAST(SUM(sz - 1) AS BIGINT) AS n_removable
+  FROM classed GROUP BY locality),
+total AS (SELECT CAST(SUM(n_removable) AS BIGINT) AS total_removable FROM per)
+SELECT locality, n_clusters, n_docs, n_removable,
+       n_removable * 1000000 // total_removable AS removable_share_ppm
+FROM per CROSS JOIN total
+ORDER BY locality
+"""
+
+
 def d_cluster_size_histogram(spark, sf_dir):
     """Duplicate-cluster size distribution — the headline table of
     every dedup report (CCNet, C4, RefinedWeb all lead with it: what
@@ -11382,6 +11475,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o_crawl_roi": o_crawl_roi,
     "g_effective_diameter": g_effective_diameter,
     "sk_kmv_merge": sk_kmv_merge,
+    "d_dup_locality": d_dup_locality,
 }
 
 ORACLES: dict[str, str] = {
@@ -11520,4 +11614,5 @@ ORACLES: dict[str, str] = {
     "o_crawl_roi": O_ROI_SQL,
     "g_effective_diameter": G_EFFDIAM_SQL,
     "sk_kmv_merge": SK_KMV_MERGE_SQL,
+    "d_dup_locality": D_DUP_LOCALITY_SQL,
 }
