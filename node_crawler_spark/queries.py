@@ -546,6 +546,130 @@ ORDER BY doc_id
 GOPHER_STOPS = ("the", "a", "and", "of", "to", "in", "is", "it")
 
 
+def t_filter_agreement(spark, sf_dir):
+    """Quality-filter ENSEMBLE agreement (what Dolma/DCLM publish
+    before compositing filters: if two quality signals reject the
+    same documents they are redundant, if they disagree the union
+    is stricter than either and the overlap table is the evidence):
+    the Gopher rule verdict (t_gopher_rules' gopher_any, per doc)
+    cross-tabulated against the unigram-surprisal LM verdict
+    (t_zipf_surprisal's keep flag) — one row per (rule_keep, lm_keep)
+    cell with counts and corpus share in exact BIGINT ppm. The
+    off-diagonal cells are the interesting mass: docs one filter
+    passes and the other kills.
+
+    100 TB posture: each filter's per-doc verdict is its verified
+    pipeline (two hash aggregates for the rules, one join + one
+    aggregate for surprisal); the cross-tab is one join on doc_id +
+    one 4-cell rollup + a 1-row totals crossJoin.
+
+    Measured at sf0.01: lm_keep is True for every document (the
+    ~30-word vocabulary cannot produce > 12 bits mean surprisal), so
+    the ensemble is entirely rule-driven here — the matrix says
+    "your LM filter is a no-op on this corpus", which is exactly the
+    redundancy diagnosis the table exists to make."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("w"),
+    )
+    wc = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    stops = ",".join(f"'{s}'" for s in GOPHER_STOPS)
+    per = wc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.expr("length(w) * cnt")).alias("chars"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum(F.expr(f"if(w IN ({stops}), 1, 0)")).alias("n_stop"),
+    )
+    rule_keep = per.select(
+        "doc_id",
+        F.expr(
+            "NOT (n < 50 OR n > 100000 "
+            "OR chars * 100 div n < 300 OR chars * 100 div n > 1000 "
+            "OR n_stop < 2 "
+            "OR max_cnt * 1000000L div n > 100000)"
+        ).alias("rule_keep"),
+    )
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("vcnt"))
+    tot = vocab.agg(F.sum("vcnt").alias("total"))
+    bits = (
+        toks.join(vocab, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            (F.length(F.bin(F.expr("total DIV vcnt"))) - F.lit(1))
+            .cast("long")
+            .alias("bits"),
+        )
+    )
+    lm_keep = (
+        bits.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("bits").alias("sb"))
+        .select(
+            "doc_id",
+            (
+                F.round(
+                    F.col("sb").cast("double")
+                    / F.col("n_tokens").cast("double"),
+                    6,
+                )
+                <= SURPRISAL_MAX_BITS
+            ).alias("lm_keep"),
+        )
+    )
+    cells = rule_keep.join(lm_keep, "doc_id").groupBy(
+        "rule_keep", "lm_keep"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = cells.agg(F.sum("n_docs").alias("total_docs"))
+    return (
+        cells.crossJoin(total)
+        .select(
+            "rule_keep",
+            "lm_keep",
+            "n_docs",
+            F.expr("n_docs * 1000000L div total_docs").alias("share_ppm"),
+        )
+        .orderBy("rule_keep", "lm_keep")
+    )
+
+
+def _filter_agreement_sql() -> str:
+    stops = ",".join(f"'{s}'" for s in GOPHER_STOPS)
+    return f"""
+WITH toks AS (SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+              FROM documents),
+wc AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM toks GROUP BY doc_id, w),
+per AS (SELECT doc_id, SUM(cnt) AS n, SUM(length(w) * cnt) AS chars,
+               MAX(cnt) AS max_cnt,
+               SUM(CASE WHEN w IN ({stops}) THEN 1 ELSE 0 END) AS n_stop
+        FROM wc GROUP BY doc_id),
+rule_keep AS (SELECT doc_id,
+       NOT (n < 50 OR n > 100000
+            OR chars * 100 // n < 300 OR chars * 100 // n > 1000
+            OR n_stop < 2
+            OR max_cnt * 1000000 // n > 100000) AS rule_keep
+  FROM per),
+vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS vcnt FROM toks GROUP BY w),
+tot AS (SELECT CAST(SUM(vcnt) AS BIGINT) AS total FROM vocab),
+bits AS (SELECT doc_id, length(bin(total // vcnt)) - 1 AS bits
+         FROM toks JOIN vocab USING (w) CROSS JOIN tot),
+lm_keep AS (SELECT doc_id,
+       ROUND(CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         <= {SURPRISAL_MAX_BITS} AS lm_keep
+  FROM bits GROUP BY doc_id),
+cells AS (SELECT rule_keep, lm_keep, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM rule_keep JOIN lm_keep USING (doc_id)
+          GROUP BY rule_keep, lm_keep),
+total AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM cells)
+SELECT rule_keep, lm_keep, n_docs,
+       n_docs * 1000000 // total_docs AS share_ppm
+FROM cells CROSS JOIN total
+ORDER BY rule_keep, lm_keep
+"""
+
+
 def t_lang_id_confusion(spark, sf_dir):
     """Language-ID confusion matrix — the evaluation row the t_lang_id
     heuristic owes (same discipline as the ANN family: every
@@ -11865,6 +11989,9 @@ SIM_DRIFT_SQL = _drift_sql()
 # Registry
 # ---------------------------------------------------------------------------
 
+T_FILTER_AGREE_SQL = _filter_agreement_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -12006,6 +12133,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_attack_tolerance": g_attack_tolerance,
     "g_opic_fidelity": g_opic_fidelity,
     "d_detector_venn": d_detector_venn,
+    "t_filter_agreement": t_filter_agreement,
 }
 
 ORACLES: dict[str, str] = {
@@ -12149,4 +12277,5 @@ ORACLES: dict[str, str] = {
     "g_attack_tolerance": G_ATTACK_SQL,
     "g_opic_fidelity": G_OPIC_FID_SQL,
     "d_detector_venn": D_DETECTOR_VENN_SQL,
+    "t_filter_agreement": T_FILTER_AGREE_SQL,
 }
