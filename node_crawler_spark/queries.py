@@ -11872,6 +11872,62 @@ ORDER BY detector
 D_DETECTOR_VENN_SQL = _detector_venn_sql()
 
 
+NORM_TOL_PPM = 1000  # |‖v‖²−1| tolerance for the unit-norm verdict
+
+
+def sim_norm_audit(spark, sf_dir):
+    """Embedding unit-norm audit — the one-row check every vector
+    pipeline runs before choosing its similarity kernel: if ‖v‖ = 1
+    for every vector then cosine ≡ dot product, and the entire ANN
+    family (sim_cosine_topk, the LSH/IVF/PQ rerankers) may drop two
+    sqrts and a division per scored pair — at 10^10 pair scorings
+    that is the cheapest 3× a similarity pipeline will ever buy
+    (FAISS's METRIC_INNER_PRODUCT-on-normalized-vectors doctrine).
+    Per vector: ‖v‖² via the shared left-fold, deviation from 1 in
+    floored integer ppm; output: corpus size, max deviation, count
+    over NORM_TOL_PPM, and the verdict flag.
+
+    100 TB posture: one map-only pass (the fold lives in the scan's
+    codegen Project) + one scalar aggregate — no shuffle of vectors
+    at all."""
+    v = _ivf_v(spark, sf_dir)
+    norm2 = _arr_dot(F.col("emb"), F.col("emb"))
+    dev = v.select(
+        F.floor(F.abs(norm2 - F.lit(1.0)) * 1_000_000)
+        .cast("long")
+        .alias("dev_ppm")
+    )
+    return dev.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.max("dev_ppm").alias("max_dev_ppm"),
+        F.sum(
+            F.when(F.col("dev_ppm") > NORM_TOL_PPM, 1).otherwise(0)
+        ).alias("n_over_tol"),
+    ).select(
+        "n_vecs",
+        "max_dev_ppm",
+        "n_over_tol",
+        F.expr("n_over_tol = 0").alias("dot_fast_path_ok"),
+    )
+
+
+SIM_NORM_SQL = f"""
+WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+dev AS (
+  SELECT CAST(FLOOR(ABS(({_dot_sql('emb', 'emb')}) - 1.0) * 1000000)
+              AS BIGINT) AS dev_ppm
+  FROM v),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         MAX(dev_ppm) AS max_dev_ppm,
+         CAST(SUM(CASE WHEN dev_ppm > {NORM_TOL_PPM} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_over_tol
+  FROM dev)
+SELECT n_vecs, max_dev_ppm, n_over_tol, n_over_tol = 0 AS dot_fast_path_ok
+FROM agg
+"""
+
+
 SIM_DRIFT_ROUND = 6
 
 
@@ -12134,6 +12190,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_opic_fidelity": g_opic_fidelity,
     "d_detector_venn": d_detector_venn,
     "t_filter_agreement": t_filter_agreement,
+    "sim_norm_audit": sim_norm_audit,
 }
 
 ORACLES: dict[str, str] = {
@@ -12278,4 +12335,5 @@ ORACLES: dict[str, str] = {
     "g_opic_fidelity": G_OPIC_FID_SQL,
     "d_detector_venn": D_DETECTOR_VENN_SQL,
     "t_filter_agreement": T_FILTER_AGREE_SQL,
+    "sim_norm_audit": SIM_NORM_SQL,
 }
