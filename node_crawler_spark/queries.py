@@ -1125,6 +1125,131 @@ ORDER BY locality
 """
 
 
+def d_dedup_quality_shift(spark, sf_dir):
+    """Dedup × quality interaction (RefinedWeb §6.2 / Dolma report
+    the same effect: duplicates skew low-quality, so dedup shifts the
+    surviving corpus' quality distribution — the audit that says
+    whether dedup is quietly doing part of the quality filter's job,
+    which matters when tuning either). Clusters are the orderless
+    word-set fingerprints (d_dup_locality's key — the dup structure
+    this corpus actually has); the keeper policy is keep-lowest-id;
+    quality verdict is t_gopher_rules' gopher_any. Output: the full
+    corpus vs the post-dedup survivors, each with document count and
+    Gopher rejection rate in exact BIGINT ppm — a survivor rate below
+    the corpus rate means dedup removed disproportionately bad docs.
+
+    100 TB posture: one fingerprint aggregate for keepers (min
+    doc_id — the exact-dedup shape), the verified two-aggregate
+    Gopher verdict, one join + one 2-row rollup.
+
+    Measured at sf0.01: corpus 590,000 ppm rejected vs survivors
+    647,982 — the INVERSE of RefinedWeb's natural-web finding:
+    this corpus' duplicates are disproportionately the longer,
+    rule-passing docs, so dedup removes GOOD mass here. Either sign
+    is exactly what the audit exists to surface before anyone tunes
+    a filter assuming the web's usual direction."""
+    d = _t(spark, sf_dir, "documents")
+    key = F.md5(
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(F.split(F.lower(F.trim("text")), "\\s+"))
+            ),
+            " ",
+        )
+    )
+    keepers = (
+        d.select("doc_id", key.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(True).alias("kept"))
+    )
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("w"),
+    )
+    wc = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    stops = ",".join(f"'{s}'" for s in GOPHER_STOPS)
+    per = wc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.expr("length(w) * cnt")).alias("chars"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum(F.expr(f"if(w IN ({stops}), 1, 0)")).alias("n_stop"),
+    )
+    verdict = per.select(
+        "doc_id",
+        F.expr(
+            "if(n < 50 OR n > 100000 "
+            "OR chars * 100 div n < 300 OR chars * 100 div n > 1000 "
+            "OR n_stop < 2 "
+            "OR max_cnt * 1000000L div n > 100000, 1L, 0L)"
+        ).alias("rejected"),
+    )
+    j = verdict.join(keepers, "doc_id", "left").select(
+        "rejected", F.expr("coalesce(kept, false)").alias("kept")
+    )
+    pops = j.select(F.lit("corpus").alias("population"), "rejected").unionByName(
+        j.where("kept").select(
+            F.lit("survivors").alias("population"), "rejected"
+        )
+    )
+    return (
+        pops.groupBy("population")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("rejected").alias("n_rejected"),
+        )
+        .select(
+            "population",
+            "n_docs",
+            "n_rejected",
+            F.expr("n_rejected * 1000000L div n_docs").alias("reject_ppm"),
+        )
+        .orderBy("population")
+    )
+
+
+def _dedup_quality_sql() -> str:
+    stops = ",".join(f"'{s}'" for s in GOPHER_STOPS)
+    return f"""
+WITH keepers AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM (SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                 string_split_regex(lower(trim(text)), '\\s+'))), ' ')) AS fp
+        FROM documents)
+  GROUP BY fp),
+toks AS (SELECT doc_id,
+                unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+         FROM documents),
+wc AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM toks GROUP BY doc_id, w),
+per AS (SELECT doc_id, SUM(cnt) AS n, SUM(length(w) * cnt) AS chars,
+               MAX(cnt) AS max_cnt,
+               SUM(CASE WHEN w IN ({stops}) THEN 1 ELSE 0 END) AS n_stop
+        FROM wc GROUP BY doc_id),
+verdict AS (SELECT doc_id,
+       CASE WHEN n < 50 OR n > 100000
+              OR chars * 100 // n < 300 OR chars * 100 // n > 1000
+              OR n_stop < 2
+              OR max_cnt * 1000000 // n > 100000 THEN 1 ELSE 0 END AS rejected
+  FROM per),
+j AS (SELECT v.rejected, k.doc_id IS NOT NULL AS kept
+      FROM verdict v LEFT JOIN keepers k ON v.doc_id = k.doc_id),
+pops AS (
+  SELECT 'corpus' AS population, rejected FROM j
+  UNION ALL
+  SELECT 'survivors', rejected FROM j WHERE kept)
+SELECT population, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(rejected) AS BIGINT) AS n_rejected,
+       CAST(SUM(rejected) AS BIGINT) * 1000000
+         // CAST(COUNT(*) AS BIGINT) AS reject_ppm
+FROM pops GROUP BY population ORDER BY population
+"""
+
+
+D_DEDUP_QUALITY_SQL = _dedup_quality_sql()
+
+
 def d_cluster_size_histogram(spark, sf_dir):
     """Duplicate-cluster size distribution — the headline table of
     every dedup report (CCNet, C4, RefinedWeb all lead with it: what
@@ -12191,6 +12316,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_detector_venn": d_detector_venn,
     "t_filter_agreement": t_filter_agreement,
     "sim_norm_audit": sim_norm_audit,
+    "d_dedup_quality_shift": d_dedup_quality_shift,
 }
 
 ORACLES: dict[str, str] = {
@@ -12336,4 +12462,5 @@ ORACLES: dict[str, str] = {
     "d_detector_venn": D_DETECTOR_VENN_SQL,
     "t_filter_agreement": T_FILTER_AGREE_SQL,
     "sim_norm_audit": SIM_NORM_SQL,
+    "d_dedup_quality_shift": D_DEDUP_QUALITY_SQL,
 }
