@@ -11489,6 +11489,103 @@ ORDER BY per.batch
 """
 
 
+BUDGET_SWEEP = (2, 4, 8, 16)
+
+
+def o_budget_sweep(spark, sf_dir):
+    """Politeness-budget capacity curve — the sweep o_crawl_makespan
+    is one point of (the planning question is never "what is the
+    makespan" but "what budget buys what makespan": doubling a
+    uniform per-host budget halves drain time ONLY until the heaviest
+    host stops being the binding constraint, and the flattening point
+    of this curve is the budget past which more politeness allowance
+    buys nothing). Per swept uniform budget: the makespan (max over
+    hosts of ceil(pending/budget)), the host count still at the
+    binding maximum, and the speedup vs the smallest budget in exact
+    BIGINT ppm.
+
+    100 TB posture: ONE hash(host) count aggregate feeds the whole
+    sweep — each budget adds only integer ceil-division columns in
+    the same scalar rollup; output is |sweep| rows at any frontier
+    size."""
+    l = _t(spark, sf_dir, "lineitem").select("l_suppkey")
+    per = l.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n_urls"))
+    crit = per.agg(
+        *[
+            F.max(F.expr(f"(n_urls + {b} - 1) div {b}")).alias(f"m{b}")
+            for b in BUDGET_SWEEP
+        ]
+    )
+    crit_counts = per.crossJoin(F.broadcast(crit)).agg(
+        *[
+            F.sum(
+                F.expr(f"if((n_urls + {b} - 1) div {b} = m{b}, 1L, 0L)")
+            ).alias(f"c{b}")
+            for b in BUDGET_SWEEP
+        ]
+    )
+    b0 = BUDGET_SWEEP[0]
+    row = crit.crossJoin(crit_counts)
+    return (
+        row.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("budget"),
+                            F.col(f"m{b}").alias("makespan_rounds"),
+                            F.col(f"c{b}").alias("n_critical_hosts"),
+                        )
+                        for b in BUDGET_SWEEP
+                    ]
+                )
+            ).alias("s"),
+            F.col(f"m{b0}").alias("_mk0"),
+        )
+        .select(
+            F.col("s.budget").alias("budget"),
+            F.col("s.makespan_rounds").alias("makespan_rounds"),
+            F.col("s.n_critical_hosts").alias("n_critical_hosts"),
+            F.expr(
+                "_mk0 * 1000000L div s.makespan_rounds"
+            ).alias("speedup_ppm"),
+        )
+        .orderBy("budget")
+    )
+
+
+def _budget_sweep_sql() -> str:
+    mk_cols = ", ".join(
+        f"MAX((n_urls + {b} - 1) // {b}) AS mk{b}" for b in BUDGET_SWEEP
+    )
+    c_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN (n_urls + {b} - 1) // {b} = mk{b} "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS c{b}"
+        for b in BUDGET_SWEEP
+    )
+    b0 = BUDGET_SWEEP[0]
+    unpivot = "\nUNION ALL ".join(
+        f"SELECT {b} AS budget, mk{b} AS makespan_rounds, "
+        f"c{b} AS n_critical_hosts, "
+        f"mk{b0} * 1000000 // mk{b} AS speedup_ppm FROM row"
+        for b in BUDGET_SWEEP
+    )
+    return f"""
+WITH per AS (
+  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_urls
+  FROM lineitem GROUP BY l_suppkey),
+mk AS (SELECT {mk_cols} FROM per),
+cc AS (SELECT {c_cols} FROM per CROSS JOIN mk),
+row AS (SELECT * FROM mk CROSS JOIN cc)
+SELECT budget, makespan_rounds, n_critical_hosts, speedup_ppm
+FROM ({unpivot})
+ORDER BY budget
+"""
+
+
+O_BUDGET_SWEEP_SQL = _budget_sweep_sql()
+
+
 def w_burstiness(spark, sf_dir):
     """Per-host traffic burstiness via the Fano factor (index of
     dispersion, variance/mean of per-hour event counts — Barabási
@@ -12317,6 +12414,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_filter_agreement": t_filter_agreement,
     "sim_norm_audit": sim_norm_audit,
     "d_dedup_quality_shift": d_dedup_quality_shift,
+    "o_budget_sweep": o_budget_sweep,
 }
 
 ORACLES: dict[str, str] = {
@@ -12463,4 +12561,5 @@ ORACLES: dict[str, str] = {
     "t_filter_agreement": T_FILTER_AGREE_SQL,
     "sim_norm_audit": SIM_NORM_SQL,
     "d_dedup_quality_shift": D_DEDUP_QUALITY_SQL,
+    "o_budget_sweep": O_BUDGET_SWEEP_SQL,
 }
