@@ -11590,6 +11590,52 @@ ORDER BY per.batch
 """
 
 
+def o_schedule_fairness(spark, sf_dir):
+    """Jain's fairness index over per-host scheduled load (Jain, Chiu
+    & Hawe, DEC-TR-301 1984 — THE scheduling-fairness scalar:
+    J = (Σx)²/(n·Σx²) ∈ (0,1], 1 = perfectly even, 1/n = one host
+    owns everything; the politeness scheduler's report card, and the
+    complement of o_key_skew's HHI — HHI prices the join-side
+    hot-key risk, Jain prices the schedule's starvation risk). Exact
+    BIGINT moments with DIVIDE-FIRST ppm ((Σx)² div ((n·Σx²) div
+    10⁶)) so the identity survives corpus sizes where
+    multiply-by-10⁶-first would overflow BIGINT (the
+    g_effective_diameter lesson).
+
+    100 TB posture: one hash(host) count aggregate + one scalar
+    moment rollup — two shuffles at any frontier size."""
+    l = _t(spark, sf_dir, "lineitem").select("l_suppkey")
+    per = l.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
+    return per.agg(
+        F.count(F.lit(1)).alias("n_hosts"),
+        F.sum("n").alias("total"),
+        F.sum(F.expr("n * n")).alias("sum_sq"),
+    ).select(
+        "n_hosts",
+        "total",
+        "sum_sq",
+        F.expr(
+            "(total * total) div greatest((n_hosts * sum_sq) div 1000000L, 1L)"
+        ).alias("fairness_ppm"),
+    )
+
+
+O_FAIRNESS_SQL = """
+WITH per AS (
+  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_suppkey),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hosts,
+         CAST(SUM(n) AS BIGINT) AS total,
+         CAST(SUM(n * n) AS BIGINT) AS sum_sq
+  FROM per)
+SELECT n_hosts, total, sum_sq,
+       (total * total) // GREATEST((n_hosts * sum_sq) // 1000000, 1)
+         AS fairness_ppm
+FROM agg
+"""
+
+
 BUDGET_SWEEP = (2, 4, 8, 16)
 
 
@@ -12517,6 +12563,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_dedup_quality_shift": d_dedup_quality_shift,
     "o_budget_sweep": o_budget_sweep,
     "t_filter_length_bias": t_filter_length_bias,
+    "o_schedule_fairness": o_schedule_fairness,
 }
 
 ORACLES: dict[str, str] = {
@@ -12665,4 +12712,5 @@ ORACLES: dict[str, str] = {
     "d_dedup_quality_shift": D_DEDUP_QUALITY_SQL,
     "o_budget_sweep": O_BUDGET_SWEEP_SQL,
     "t_filter_length_bias": T_FILTER_LEN_SQL,
+    "o_schedule_fairness": O_FAIRNESS_SQL,
 }
