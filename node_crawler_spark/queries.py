@@ -6606,6 +6606,123 @@ ORDER BY clust_coeff DESC, part LIMIT {TRI_TOP_K}
 # Portable HyperLogLog distinct-count sketch (r3e)
 # ---------------------------------------------------------------------------
 
+def sk_hll_merge(spark, sf_dir):
+    """HLL mergeability audit — the same distributed contract
+    sk_kmv_merge pins for the theta family, proven for the register
+    family (Flajolet et al. 2007 §4; Heule's HLL++ at Google leans
+    entirely on it): sketch(A ∪ B) must equal elementwise
+    register-max(sketch(A), sketch(B)) BIT FOR BIT, because at 10^10
+    urls every partition keeps its own 256 registers and only
+    registers ever move (this is also precisely what the streaming
+    HLL face's idempotent register-max merge relies on,
+    streaming/cardinality.py). Corpus split by doc-id parity, each
+    half sketched over its distinct words, merged by per-bucket max;
+    the gate pins harmonic sum, register count, AND estimate equal to
+    the whole-corpus sketch's.
+
+    Scale shape: three 256-bucket aggregates + one 512-row max-merge
+    — register state is O(m) regardless of corpus size."""
+    d = _t(spark, sf_dir, "documents")
+
+    def regs_of(df):
+        words = (
+            df.select(
+                F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias(
+                    "g"
+                )
+            )
+            .where(F.length("g") > 0)
+            .distinct()
+        )
+        h = words.select(_phash(F.col("g"), "hll").alias("hv"))
+        rb = h.select(
+            (F.col("hv") % HLL_M).alias("bucket"),
+            F.expr(
+                f"least(CASE WHEN hv DIV {HLL_M} = 0 THEN 53 "
+                f"ELSE 53 - length(bin(hv DIV {HLL_M})) END, {HLL_RHO_CAP})"
+            ).alias("rho"),
+        )
+        return rb.groupBy("bucket").agg(F.max("rho").alias("r"))
+
+    whole = regs_of(d)
+    r0 = regs_of(d.where(F.expr("doc_id % 2 = 0")))
+    r1 = regs_of(d.where(F.expr("doc_id % 2 = 1")))
+    merged = (
+        r0.unionByName(r1).groupBy("bucket").agg(F.max("r").alias("r"))
+    )
+
+    def stats(regs, p):
+        s_total = F.col(f"{p}_sne") + (
+            F.lit(HLL_M) - F.col(f"{p}_m")
+        ) * F.lit(1 << HLL_RHO_CAP)
+        return (
+            regs.agg(
+                F.sum(
+                    F.expr(f"shiftleft(1L, {HLL_RHO_CAP} - r)")
+                ).alias(f"{p}_sne"),
+                F.count(F.lit(1)).alias(f"{p}_m"),
+            ),
+            s_total,
+        )
+
+    ws, w_total = stats(whole, "w")
+    ms, m_total = stats(merged, "g")
+    return ws.crossJoin(ms).select(
+        F.lit(HLL_M).alias("m"),
+        w_total.alias("whole_s"),
+        m_total.alias("merged_s"),
+        F.round(F.lit(_HLL_NUM) / w_total.cast("double"), 2).alias(
+            "whole_est"
+        ),
+        F.round(F.lit(_HLL_NUM) / m_total.cast("double"), 2).alias(
+            "merged_est"
+        ),
+        (
+            (w_total == m_total) & (F.col("w_m") == F.col("g_m"))
+        ).alias("merge_invariant"),
+    )
+
+
+def _hll_merge_sql() -> str:
+    def regs(src_filter: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT hv % {HLL_M} AS bucket,
+         MAX(LEAST(CASE WHEN hv // {HLL_M} = 0 THEN 53
+                   ELSE 53 - length(bin(hv // {HLL_M})) END,
+                   {HLL_RHO_CAP})) AS r
+  FROM (SELECT {_phash_sql('g', 'hll')} AS hv
+        FROM (SELECT DISTINCT
+                unnest(string_split_regex(lower(trim(text)), '\\s+')) AS g
+              FROM documents{src_filter})
+        WHERE length(g) > 0)
+  GROUP BY 1)"""
+
+    cap = 1 << HLL_RHO_CAP
+    return f"""
+WITH {regs('', 'whole')},
+{regs(' WHERE doc_id % 2 = 0', 'h0')},
+{regs(' WHERE doc_id % 2 = 1', 'h1')},
+merged AS (
+  SELECT bucket, MAX(r) AS r
+  FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1) GROUP BY bucket),
+ws AS (SELECT CAST(SUM(1::BIGINT << ({HLL_RHO_CAP} - r)) AS BIGINT) AS sne,
+              CAST(COUNT(*) AS BIGINT) AS mu FROM whole),
+ms AS (SELECT CAST(SUM(1::BIGINT << ({HLL_RHO_CAP} - r)) AS BIGINT) AS sne,
+              CAST(COUNT(*) AS BIGINT) AS mu FROM merged)
+SELECT {HLL_M} AS m,
+       ws.sne + ({HLL_M} - ws.mu) * {cap} AS whole_s,
+       ms.sne + ({HLL_M} - ms.mu) * {cap} AS merged_s,
+       ROUND({_HLL_NUM!r} / (ws.sne + ({HLL_M} - ws.mu) * {cap}), 2)
+         AS whole_est,
+       ROUND({_HLL_NUM!r} / (ms.sne + ({HLL_M} - ms.mu) * {cap}), 2)
+         AS merged_est,
+       ws.sne + ({HLL_M} - ws.mu) * {cap}
+         = ms.sne + ({HLL_M} - ms.mu) * {cap}
+         AND ws.mu = ms.mu AS merge_invariant
+FROM ws CROSS JOIN ms
+"""
+
+
 HLL_M = 256        # registers (2^8 buckets from the low 8 hash bits)
 HLL_RHO_CAP = 40   # clamp rho so 2^(cap-rho) sums stay comfortably in BIGINT
 
@@ -12415,6 +12532,7 @@ SIM_DRIFT_SQL = _drift_sql()
 # ---------------------------------------------------------------------------
 
 T_FILTER_AGREE_SQL = _filter_agreement_sql()
+SK_HLL_MERGE_SQL = _hll_merge_sql()
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -12564,6 +12682,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o_budget_sweep": o_budget_sweep,
     "t_filter_length_bias": t_filter_length_bias,
     "o_schedule_fairness": o_schedule_fairness,
+    "sk_hll_merge": sk_hll_merge,
 }
 
 ORACLES: dict[str, str] = {
@@ -12713,4 +12832,5 @@ ORACLES: dict[str, str] = {
     "o_budget_sweep": O_BUDGET_SWEEP_SQL,
     "t_filter_length_bias": T_FILTER_LEN_SQL,
     "o_schedule_fairness": O_FAIRNESS_SQL,
+    "sk_hll_merge": SK_HLL_MERGE_SQL,
 }
