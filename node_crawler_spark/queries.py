@@ -12000,6 +12000,87 @@ LIMIT {WARCGAP_TOP_K}
 """
 
 
+def w_gap_percentiles(spark, sf_dir):
+    """Per-host inter-fetch gap tail — the latency-style percentile
+    read of the same gap stream o_politeness_audit thresholds (SRE
+    doctrine: minima and means hide the tail; a host whose p95 gap
+    is huge is STARVING under the schedule even when its min gap
+    violates nothing, and starving hosts are where crawl freshness
+    quietly dies). Exact percentiles by counting, no approximation:
+    per host the gaps sort once (row_number over (gap, tie-break))
+    and p50/p95 are the values at ceil(q·n) — deterministic to the
+    row because the tie-break is total. Output per host: gap count,
+    p50/p95/max gap in integer seconds.
+
+    100 TB posture: ONE hash(host) Exchange carries the lag window,
+    the rank window, and the final aggregate (all host-prefixed
+    keys — partitioning reuse); per-host state is bounded by that
+    host's events, never global."""
+    epoch = "TIMESTAMP_NTZ'1970-01-01 00:00:00'"
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("h"), (F.col("user_id") % 25).cast("string")).alias(
+            "host"
+        ),
+        F.expr(f"timestampdiff(MICROSECOND, {epoch}, ts)").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("host").orderBy("us", "event_id")
+    gaps = (
+        ev.withColumn("prev_us", F.lag("us").over(w))
+        .where(F.col("prev_us").isNotNull())
+        .select(
+            "host",
+            F.expr("(us - prev_us) div 1000000").alias("gap_s"),
+            "event_id",
+        )
+    )
+    wr = Window.partitionBy("host").orderBy("gap_s", "event_id")
+    wc = Window.partitionBy("host")
+    ranked = gaps.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    return (
+        ranked.groupBy("host")
+        .agg(
+            F.max("n").alias("n_gaps"),
+            F.min(
+                F.when(F.expr("rn * 100 >= n * 50"), F.col("gap_s"))
+            ).alias("p50_gap_s"),
+            F.min(
+                F.when(F.expr("rn * 100 >= n * 95"), F.col("gap_s"))
+            ).alias("p95_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+        .orderBy("host")
+    )
+
+
+W_GAP_PCT_SQL = """
+WITH ev AS (
+  SELECT 'h' || CAST(user_id % 25 AS VARCHAR) AS host,
+         epoch_us(ts) AS us, event_id
+  FROM events),
+gaps AS (
+  SELECT host, (us - prev_us) // 1000000 AS gap_s, event_id
+  FROM (SELECT host, us, event_id,
+               LAG(us) OVER (PARTITION BY host ORDER BY us, event_id)
+                 AS prev_us
+        FROM ev)
+  WHERE prev_us IS NOT NULL),
+ranked AS (
+  SELECT host, gap_s,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY gap_s, event_id)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY host) AS n
+  FROM gaps)
+SELECT host, CAST(MAX(n) AS BIGINT) AS n_gaps,
+       MIN(CASE WHEN rn * 100 >= n * 50 THEN gap_s END) AS p50_gap_s,
+       MIN(CASE WHEN rn * 100 >= n * 95 THEN gap_s END) AS p95_gap_s,
+       MAX(gap_s) AS max_gap_s
+FROM ranked GROUP BY host ORDER BY host
+"""
+
+
 ERRSTREAK_TOP_K = 10
 
 
@@ -12683,6 +12764,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_filter_length_bias": t_filter_length_bias,
     "o_schedule_fairness": o_schedule_fairness,
     "sk_hll_merge": sk_hll_merge,
+    "w_gap_percentiles": w_gap_percentiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -12833,4 +12915,5 @@ ORACLES: dict[str, str] = {
     "t_filter_length_bias": T_FILTER_LEN_SQL,
     "o_schedule_fairness": O_FAIRNESS_SQL,
     "sk_hll_merge": SK_HLL_MERGE_SQL,
+    "w_gap_percentiles": W_GAP_PCT_SQL,
 }
