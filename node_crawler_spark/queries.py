@@ -670,6 +670,91 @@ ORDER BY rule_keep, lm_keep
 """
 
 
+def t_vocab_overlap_langs(spark, sf_dir):
+    """Cross-language vocabulary overlap matrix — the corpus-level
+    corroboration of what t_lang_id_confusion showed at the document
+    level: if the lang labels were real, per-lang vocabularies would
+    be near-disjoint (real de/zh/en share little surface vocabulary);
+    a Jaccard near 1 between every label pair proves the labels
+    partition NOTHING lexically. On a real multilingual corpus this
+    matrix is the input to language-family-aware dedup and
+    shared-vocabulary tokenizer sizing (how much BPE vocab the
+    languages can share). Per label pair: vocabulary sizes, shared
+    words, and Jaccard in exact BIGINT ppm.
+
+    Measured at sf0.01: 1,000,000 ppm — Jaccard exactly 1 for all
+    ten pairs (every label carries the identical 31-word vocabulary),
+    the corpus-level proof of t_lang_id_confusion's per-document
+    diagnosis.
+
+    100 TB posture: one distinct per (lang, word) — the exact-dedup
+    shape — then the pair intersection is an inverted-index self-join
+    on the word key (words appear in ≤ |langs| rows, so candidates
+    are bounded by |langs|² per word, never corpus-sized); sizes
+    broadcast back onto the ≤ |langs|²/2-row pair table."""
+    d = _t(spark, sf_dir, "documents")
+    lv = (
+        d.select(
+            "lang",
+            F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("g"),
+        )
+        .where(F.length("g") > 0)
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = lv.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    a, b = lv.alias("a"), lv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.lang") < F.col("b.lang")),
+        )
+        .groupBy(
+            F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "lang_a")
+        .join(F.broadcast(sb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.expr(
+                "n_common * 1000000L div (n_a + n_b - n_common)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+T_VOCAB_OVERLAP_SQL = """
+WITH lv AS (
+  SELECT DISTINCT lang,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS g
+  FROM documents),
+lv2 AS (SELECT lang, g FROM lv WHERE length(g) > 0),
+sizes AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM lv2 GROUP BY lang),
+inter AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM lv2 a JOIN lv2 b ON a.g = b.g AND a.lang < b.lang
+  GROUP BY a.lang, b.lang)
+SELECT lang_a, lang_b, sa.n AS n_a, sb.n AS n_b, n_common,
+       n_common * 1000000 // (sa.n + sb.n - n_common) AS jaccard_ppm
+FROM inter
+JOIN sizes sa ON inter.lang_a = sa.lang
+JOIN sizes sb ON inter.lang_b = sb.lang
+ORDER BY lang_a, lang_b
+"""
+
+
 def t_filter_length_bias(spark, sf_dir):
     """Length bias of the quality filter — the check that asks
     whether a rule suite is secretly just a length filter (a known
@@ -12765,6 +12850,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o_schedule_fairness": o_schedule_fairness,
     "sk_hll_merge": sk_hll_merge,
     "w_gap_percentiles": w_gap_percentiles,
+    "t_vocab_overlap_langs": t_vocab_overlap_langs,
 }
 
 ORACLES: dict[str, str] = {
@@ -12916,4 +13002,5 @@ ORACLES: dict[str, str] = {
     "o_schedule_fairness": O_FAIRNESS_SQL,
     "sk_hll_merge": SK_HLL_MERGE_SQL,
     "w_gap_percentiles": W_GAP_PCT_SQL,
+    "t_vocab_overlap_langs": T_VOCAB_OVERLAP_SQL,
 }
