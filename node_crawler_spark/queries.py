@@ -3480,6 +3480,84 @@ SELECT (SELECT COUNT(*) FROM truth) AS n_true,
 """
 
 
+def d_shingle_df_spectrum(spark, sf_dir):
+    """Shingle document-frequency spectrum — the sizing evidence
+    behind SHINGLE_DF_CAP (VERDICT r2 flagged the uncapped
+    inverted-index join as the 100 TB scale-killer: one df=10⁵
+    boilerplate shingle mints 10¹⁰ candidate pairs; the cap fixes it,
+    and THIS table is how the cap value is chosen — the join cost is
+    Σ df² over the index, so the spectrum shows exactly which df
+    bands carry the quadratic mass). Per log2-df band: shingle count,
+    posting count, posting share in exact BIGINT ppm, the Σdf²
+    pair-cost share in ppm (the quadratic column — the one the cap
+    is aimed at), and the shingles the deployed cap drops.
+
+    100 TB posture: one hash(shingle) df aggregate (the inverted
+    index's own build shuffle) + one ≤ 40-row band rollup + a 1-row
+    totals crossJoin."""
+    sh = _doc_shingles(spark, sf_dir)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    bands = (
+        dfreq.select(
+            F.expr("length(bin(df))").alias("band"),
+            "df",
+            F.expr(
+                f"if(df > {SHINGLE_DF_CAP}, 1L, 0L)"
+            ).alias("capped"),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("df").alias("n_postings"),
+            F.sum(F.expr("df * df")).alias("sum_df_sq"),
+            F.sum("capped").alias("n_capped"),
+        )
+    )
+    totals = bands.agg(
+        F.sum("n_postings").alias("tot_post"),
+        F.sum("sum_df_sq").alias("tot_sq"),
+    )
+    return (
+        bands.crossJoin(totals)
+        .select(
+            "band",
+            F.expr("shiftleft(1L, band - 1)").alias("min_df"),
+            "n_shingles",
+            "n_postings",
+            F.expr("n_postings * 1000000L div tot_post").alias(
+                "posting_share_ppm"
+            ),
+            F.expr("sum_df_sq * 1000000L div tot_sq").alias(
+                "paircost_share_ppm"
+            ),
+            "n_capped",
+        )
+        .orderBy("band")
+    )
+
+
+D_DF_SPECTRUM_SQL = f"""
+WITH {_SHINGLES_CTE},
+dfreq AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+          FROM shingles GROUP BY shingle),
+bands AS (
+  SELECT length(bin(df)) AS band, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(df) AS BIGINT) AS n_postings,
+         CAST(SUM(df * df) AS BIGINT) AS sum_df_sq,
+         CAST(SUM(CASE WHEN df > {SHINGLE_DF_CAP} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_capped
+  FROM dfreq GROUP BY 1),
+totals AS (SELECT CAST(SUM(n_postings) AS BIGINT) AS tot_post,
+                  CAST(SUM(sum_df_sq) AS BIGINT) AS tot_sq FROM bands)
+SELECT band, (1::BIGINT << (band - 1)) AS min_df, n_shingles, n_postings,
+       n_postings * 1000000 // tot_post AS posting_share_ppm,
+       sum_df_sq * 1000000 // tot_sq AS paircost_share_ppm,
+       n_capped
+FROM bands CROSS JOIN totals
+ORDER BY band
+"""
+
+
 MH_SWEEP = ((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
 
 
@@ -12924,6 +13002,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_gap_percentiles": w_gap_percentiles,
     "t_vocab_overlap_langs": t_vocab_overlap_langs,
     "g_clustering_by_degree": g_clustering_by_degree,
+    "d_shingle_df_spectrum": d_shingle_df_spectrum,
 }
 
 ORACLES: dict[str, str] = {
@@ -13077,4 +13156,5 @@ ORACLES: dict[str, str] = {
     "w_gap_percentiles": W_GAP_PCT_SQL,
     "t_vocab_overlap_langs": T_VOCAB_OVERLAP_SQL,
     "g_clustering_by_degree": G_CLUST_BY_DEG_SQL,
+    "d_shingle_df_spectrum": D_DF_SPECTRUM_SQL,
 }
