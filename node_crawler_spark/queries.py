@@ -5654,6 +5654,116 @@ ORDER BY p.event_id
 """
 
 
+def sk_cms_merge(spark, sf_dir):
+    """CMS mergeability audit — the COUNTER-family contract,
+    completing the trilogy with sk_kmv_merge (theta: K-smallest
+    union) and sk_hll_merge (registers: elementwise max): count-min
+    cells merge by elementwise ADDITION (Cormode & Muthukrishnan
+    2005 §4.1), because frequencies over a disjoint stream split are
+    additive — each partition keeps its own d×w matrix and only
+    matrices move. Corpus word stream split by doc-id parity, each
+    half sketched, merged cell-wise; the gate pins every cell of
+    merge(sketch(A), sketch(B)) equal to sketch(A ⊎ B) — summarized
+    as total mass, occupied-cell count, and an md5 over the sorted
+    (row, col, count) stream so ANY cell mismatch flips the hash.
+
+    Scale shape: three d·w-cell hash aggregates + one cell-wise sum
+    over ≤ 2·d·w rows; the verdict aggregate runs on ≤ d·w rows."""
+    d = _t(spark, sf_dir, "documents")
+
+    def cells_of(df):
+        words = df.select(
+            F.explode(F.split(F.lower(F.trim("text")), "\\s+")).alias("w")
+        )
+        rows = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("r")
+        return (
+            words.select("w", rows)
+            .select("r", _cms_col(F.col("w"), F.col("r")).alias("c"))
+            .groupBy("r", "c")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    whole = cells_of(d)
+    merged = (
+        cells_of(d.where(F.expr("doc_id % 2 = 0")))
+        .unionByName(cells_of(d.where(F.expr("doc_id % 2 = 1"))))
+        .groupBy("r", "c")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+    def digest(cells, p):
+        return cells.agg(
+            F.sum("cnt").alias(f"{p}_mass"),
+            F.count(F.lit(1)).alias(f"{p}_cells"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.sort_array(
+                        F.collect_list(
+                            F.concat_ws(
+                                ",",
+                                F.col("r").cast("string"),
+                                F.col("c").cast("string"),
+                                F.col("cnt").cast("string"),
+                            )
+                        )
+                    ),
+                )
+            ).alias(f"{p}_md5"),
+        )
+
+    ws, ms = digest(whole, "whole"), digest(merged, "merged")
+    return ws.crossJoin(ms).select(
+        F.lit(CMS_D).alias("d"),
+        F.lit(CMS_W).alias("w"),
+        "whole_mass",
+        "merged_mass",
+        "whole_cells",
+        "merged_cells",
+        F.expr(
+            "whole_mass = merged_mass AND whole_cells = merged_cells "
+            "AND whole_md5 = merged_md5"
+        ).alias("merge_invariant"),
+    )
+
+
+def _cms_merge_sql() -> str:
+    def cells(flt: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT r, {_cms_col_sql('w', 'r')} AS c, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents{flt}),
+       (SELECT unnest(range(0, {CMS_D})) AS r)
+  GROUP BY r, c)"""
+
+    def digest(src: str, p: str) -> str:
+        return f"""{p} AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS {p}_mass,
+         CAST(COUNT(*) AS BIGINT) AS {p}_cells,
+         md5(string_agg(CAST(r AS VARCHAR) || ',' || CAST(c AS VARCHAR)
+             || ',' || CAST(cnt AS VARCHAR), '|'
+             ORDER BY CAST(r AS VARCHAR) || ',' || CAST(c AS VARCHAR)
+                      || ',' || CAST(cnt AS VARCHAR))) AS {p}_md5
+  FROM {src})"""
+
+    return f"""
+WITH {cells('', 'whole')},
+{cells(' WHERE doc_id % 2 = 0', 'h0')},
+{cells(' WHERE doc_id % 2 = 1', 'h1')},
+mergedc AS (
+  SELECT r, c, CAST(SUM(cnt) AS BIGINT) AS cnt
+  FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1) GROUP BY r, c),
+{digest('whole', 'ws')},
+{digest('mergedc', 'ms')}
+SELECT {CMS_D} AS d, {CMS_W} AS w,
+       ws_mass AS whole_mass, ms_mass AS merged_mass,
+       ws_cells AS whole_cells, ms_cells AS merged_cells,
+       ws_mass = ms_mass AND ws_cells = ms_cells
+         AND ws_md5 = ms_md5 AS merge_invariant
+FROM ws CROSS JOIN ms
+"""
+
+
 CMS_D, CMS_W = 4, 256  # count-min depth × width
 CMS_TOP_K = 10
 
@@ -12849,6 +12959,7 @@ SIM_DRIFT_SQL = _drift_sql()
 
 T_FILTER_AGREE_SQL = _filter_agreement_sql()
 SK_HLL_MERGE_SQL = _hll_merge_sql()
+SK_CMS_MERGE_SQL = _cms_merge_sql()
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -13003,6 +13114,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_vocab_overlap_langs": t_vocab_overlap_langs,
     "g_clustering_by_degree": g_clustering_by_degree,
     "d_shingle_df_spectrum": d_shingle_df_spectrum,
+    "sk_cms_merge": sk_cms_merge,
 }
 
 ORACLES: dict[str, str] = {
@@ -13157,4 +13269,5 @@ ORACLES: dict[str, str] = {
     "t_vocab_overlap_langs": T_VOCAB_OVERLAP_SQL,
     "g_clustering_by_degree": G_CLUST_BY_DEG_SQL,
     "d_shingle_df_spectrum": D_DF_SPECTRUM_SQL,
+    "sk_cms_merge": SK_CMS_MERGE_SQL,
 }
