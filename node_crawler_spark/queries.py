@@ -6529,6 +6529,65 @@ FROM base CROSS JOIN removed
 """
 
 
+def g_frontier_growth(spark, sf_dir):
+    """Frontier growth profile — the per-round sizing table the crawl
+    planner reads BEFORE committing executor counts (the round loop's
+    cost is frontier-size-shaped: the branching factor says how fast
+    rounds explode, and the round where growth turns negative is
+    where the seen-set — not fetch bandwidth — becomes the
+    bottleneck; g_effective_diameter says WHERE expansion stops
+    paying, this says how steep the ride is). Per BFS depth from the
+    g_bfs_depth seed set: newly-reached node count, cumulative reach,
+    and the branching ratio new/previous in exact BIGINT ppm.
+
+    100 TB posture: the bounded BFS loop in the engine's own frontier
+    shuffle shape; the growth table is one aggregate over the
+    (node, dist) result — ≤ BFS_MAX_DEPTH+1 rows out; the lag window
+    runs over depths, never nodes."""
+    dist = g_bfs_depth(spark, sf_dir)
+    per = dist.groupBy("dist").agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("dist")
+    return (
+        per.withColumn("cum_reach", F.sum("n_new").over(
+            Window.orderBy("dist").rowsBetween(Window.unboundedPreceding, 0)
+        ))
+        .withColumn("prev", F.lag("n_new").over(w))
+        .select(
+            "dist",
+            "n_new",
+            "cum_reach",
+            F.expr("n_new * 1000000L div prev").alias("branching_ppm"),
+        )
+        .orderBy("dist")
+    )
+
+
+G_FRONTIER_GROWTH_SQL = f"""
+WITH RECURSIVE fwd AS MATERIALIZED (
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                  'c' || CAST(o_custkey AS VARCHAR) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+e AS MATERIALIZED (
+  SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd),
+seeds AS (SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node
+          FROM supplier WHERE s_suppkey % {BFS_SEED_MOD} = 1),
+walk(node, dist) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.dst, w.dist + 1 FROM walk w JOIN e ON e.src = w.node
+  WHERE w.dist < {BFS_MAX_DEPTH}),
+d AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY node),
+per AS (SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_new FROM d GROUP BY dist)
+SELECT dist, n_new,
+       CAST(SUM(n_new) OVER (ORDER BY dist
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_reach,
+       n_new * 1000000 // LAG(n_new) OVER (ORDER BY dist) AS branching_ppm
+FROM per
+ORDER BY dist
+"""
+
+
 SURPRISAL_MAX_BITS = 12.0  # keep docs whose mean token surprisal ≤ this
 
 
@@ -13115,6 +13174,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g_clustering_by_degree": g_clustering_by_degree,
     "d_shingle_df_spectrum": d_shingle_df_spectrum,
     "sk_cms_merge": sk_cms_merge,
+    "g_frontier_growth": g_frontier_growth,
 }
 
 ORACLES: dict[str, str] = {
@@ -13270,4 +13330,5 @@ ORACLES: dict[str, str] = {
     "g_clustering_by_degree": G_CLUST_BY_DEG_SQL,
     "d_shingle_df_spectrum": D_DF_SPECTRUM_SQL,
     "sk_cms_merge": SK_CMS_MERGE_SQL,
+    "g_frontier_growth": G_FRONTIER_GROWTH_SQL,
 }
