@@ -325,6 +325,24 @@ def export_warc(
 # the sink: serialize response records back to WARC bytes
 # ---------------------------------------------------------------------------
 
+def _uri_header_safe(url: str) -> str:
+    """WARC header blocks are written latin-1; a crawled IRI with
+    characters beyond U+00FF would raise ``UnicodeEncodeError``
+    executor-side and fail the whole export partition (ADVICE r3).
+    Percent-encode (UTF-8, per RFC 3987 → RFC 3986 mapping) ONLY the
+    characters latin-1 can't carry, so every URL already writable
+    today round-trips byte-identically."""
+    try:
+        url.encode("latin-1")
+        return url
+    except UnicodeEncodeError:
+        from urllib.parse import quote
+
+        return "".join(
+            ch if ord(ch) < 256 else quote(ch, safe="") for ch in url
+        )
+
+
 def warc_response_record(
     url: str,
     ts: datetime,
@@ -344,7 +362,7 @@ def warc_response_record(
     warc_head = (
         "WARC/1.0\r\n"
         "WARC-Type: response\r\n"
-        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Target-URI: {_uri_header_safe(url)}\r\n"
         f"WARC-Date: {date}\r\n"
         "Content-Type: application/http; msgtype=response\r\n"
         f"Content-Length: {len(payload)}\r\n"
@@ -451,7 +469,7 @@ def warc_conversion_record(url: str, ts: datetime, text: str) -> bytes:
     head = (
         "WARC/1.0\r\n"
         "WARC-Type: conversion\r\n"
-        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Target-URI: {_uri_header_safe(url)}\r\n"
         f"WARC-Date: {date}\r\n"
         "Content-Type: text/plain\r\n"
         f"Content-Length: {len(payload)}\r\n"
@@ -633,7 +651,7 @@ def warc_metadata_record(
     head = (
         "WARC/1.0\r\n"
         "WARC-Type: metadata\r\n"
-        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Target-URI: {_uri_header_safe(url)}\r\n"
         f"WARC-Date: {date}\r\n"
         "Content-Type: application/json\r\n"
         f"Content-Length: {len(payload)}\r\n"

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from node_crawler_spark.queries import HLL_M, HLL_RHO_CAP, _HLL_NUM, _phash
+from node_crawler_spark.streaming._state import read_state_or_empty
 
 
 def hll_partial(df: DataFrame, key: str = "url", group: str = "g") -> DataFrame:
@@ -67,9 +68,10 @@ def start_hll_query(
 
 
 def hll_registers(spark: SparkSession, state_dir: str) -> DataFrame:
-    """The merged register file: register-wise MAX across partials."""
+    """The merged register file: register-wise MAX across partials.
+    Empty (not an error) when queried before the first micro-batch."""
     return (
-        spark.read.parquet(state_dir)
+        read_state_or_empty(spark, state_dir, "g string, bucket bigint, r int")
         .groupBy("g", "bucket")
         .agg(F.max("r").alias("r"))
     )

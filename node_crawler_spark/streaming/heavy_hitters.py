@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from node_crawler_spark.queries import CMS_D, CMS_W, _cms_col
+from node_crawler_spark.streaming._state import read_state_or_empty
 
 
 def cms_partial(df: DataFrame, key: str = "url") -> DataFrame:
@@ -70,9 +71,12 @@ def start_cms_query(
 def cms_counters(spark: SparkSession, state_dir: str) -> DataFrame:
     """The merged counter matrix: collapse replayed partials
     (max per (r,c,batch_id) — identical rows, so max == the value),
-    then cell-wise sum across batches."""
+    then cell-wise sum across batches. Empty (not an error) when
+    queried before the first micro-batch."""
     return (
-        spark.read.parquet(state_dir)
+        read_state_or_empty(
+            spark, state_dir, "r int, c bigint, cnt bigint, batch_id bigint"
+        )
         .groupBy("r", "c", "batch_id")
         .agg(F.max("cnt").alias("cnt"))
         .groupBy("r", "c")

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from node_crawler_spark.queries import _KMV_SPACE, KMV_K, _phash
+from node_crawler_spark.streaming._state import read_state_or_empty
 
 
 def kmv_partial(df: DataFrame, key: str = "url", group: str = "g") -> DataFrame:
@@ -57,8 +58,9 @@ def start_kmv_query(
 
 
 def kmv_values(spark: SparkSession, state_dir: str) -> DataFrame:
-    """The merged sketch: K smallest distinct values of the union."""
-    h = spark.read.parquet(state_dir).distinct()
+    """The merged sketch: K smallest distinct values of the union.
+    Empty (not an error) when queried before the first micro-batch."""
+    h = read_state_or_empty(spark, state_dir, "g string, hv bigint").distinct()
     rn = F.row_number().over(Window.partitionBy("g").orderBy("hv"))
     return h.withColumn("rn", rn).where(F.col("rn") <= KMV_K).select("g", "hv")
 

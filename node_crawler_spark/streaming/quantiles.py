@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from node_crawler_spark.queries import HISTQ_BUCKETS, HISTQ_WIDTH
+from node_crawler_spark.streaming._state import read_state_or_empty
 
 
 def hist_partial(df: DataFrame, value: str = "n_chars", group: str = "g") -> DataFrame:
@@ -64,9 +65,12 @@ def start_hist_query(
 
 def hist_counters(spark: SparkSession, state_dir: str) -> DataFrame:
     """The merged histogram: collapse replayed partials (max per
-    (g,b,batch_id) — identical rows), then cell-wise sum."""
+    (g,b,batch_id) — identical rows), then cell-wise sum. Empty (not
+    an error) when queried before the first micro-batch."""
     return (
-        spark.read.parquet(state_dir)
+        read_state_or_empty(
+            spark, state_dir, "g string, b bigint, cnt bigint, batch_id bigint"
+        )
         .groupBy("g", "b", "batch_id")
         .agg(F.max("cnt").alias("cnt"))
         .groupBy("g", "b")

@@ -696,3 +696,26 @@ def test_incremental_neardup_stream_equals_single_shot(spark, tmp_path):
     assert (
         spark.read.parquet(f"{state}/shingles").distinct().count() == n_state
     )
+
+
+def test_sketch_state_readers_empty_before_first_batch(spark, tmp_path):
+    """ADVICE r3: estimate queries on a fresh pipeline (no micro-batch
+    committed yet → state dir absent) must return EMPTY results, not
+    raise AnalysisException — for all four sketch faces."""
+    from node_crawler_spark.streaming.cardinality import hll_estimate, hll_registers
+    from node_crawler_spark.streaming.heavy_hitters import cms_counters, cms_estimate
+    from node_crawler_spark.streaming.kmv import kmv_estimate, kmv_values
+    from node_crawler_spark.streaming.quantiles import hist_counters, hist_quantiles
+
+    missing = str(tmp_path / "never_written")
+    assert hll_registers(spark, missing).count() == 0
+    assert hll_estimate(spark, missing).count() == 0
+    assert kmv_values(spark, missing).count() == 0
+    assert kmv_estimate(spark, missing).count() == 0
+    assert cms_counters(spark, missing).count() == 0
+    probe = spark.createDataFrame([("a",)], "k string")
+    # CMS point-estimates against empty state: every key reads 0
+    est = cms_estimate(spark, missing, probe).collect()
+    assert all(r.cms_estimate == 0 for r in est)
+    assert hist_counters(spark, missing).count() == 0
+    assert hist_quantiles(spark, missing).count() == 0

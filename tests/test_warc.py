@@ -504,3 +504,34 @@ def test_cli_export_wat(spark, tmp_path, capsys):
     for u, links in crawled.items():
         assert back[u].links == links, u
     assert back["http://site.test/"].warc_ts == _TS
+
+
+def test_non_latin1_url_exports_do_not_crash():
+    """ADVICE r3: a crawled IRI with characters beyond U+00FF used to
+    raise UnicodeEncodeError in the record builders (header block is
+    latin-1). Non-latin-1 chars are now percent-encoded (UTF-8);
+    latin-1-encodable URLs stay byte-identical."""
+    from datetime import datetime
+
+    from node_crawler_spark.sources.warc import (
+        _uri_header_safe,
+        iter_warc_records,
+        warc_conversion_record,
+        warc_metadata_record,
+        warc_response_record,
+    )
+
+    iri = "http://example.com/café/日本語?q=✓"
+    ts = datetime(2026, 1, 1, 0, 0, 0)
+    for blob in (
+        warc_response_record(iri, ts, b"<html></html>"),
+        warc_conversion_record(iri, ts, "text"),
+        warc_metadata_record(iri, ts, ["http://example.com/a"]),
+    ):
+        (hdrs, _payload), = list(iter_warc_records(blob))
+        uri = hdrs["warc-target-uri"]
+        # latin-1 part survives verbatim, the rest is %-encoded UTF-8
+        assert uri == "http://example.com/café/%E6%97%A5%E6%9C%AC%E8%AA%9E?q=%E2%9C%93"
+    # pure-ASCII and latin-1 URLs are untouched (golden round-trips)
+    assert _uri_header_safe("http://a.com/x?y=1#z") == "http://a.com/x?y=1#z"
+    assert _uri_header_safe("http://a.com/café") == "http://a.com/café"
