@@ -85,13 +85,6 @@ BENCH_QUERIES = [
     "g_triangle_counts",
     "sk_hll_distinct",
     # round-3f: two-star components, histogram quantiles.
-    # sim_ann_pq_topk is deliberately NOT here: ~29 s of its wall is
-    # DATA-SIZE-INDEPENDENT constant cost (same at 500 and 5000 vecs —
-    # Catalyst analysis + interpreted eval of the 3 literal codebook
-    # argmin trees; the py4j construction half was already cut 13 s →
-    # 0.01 s by building them as single SQL strings), which amortizes
-    # at scale but would read as a per-query regression here; the
-    # oracle gate covers it.
     "g_components_twostar",
     "sk_hist_quantiles",
     "o_key_skew",
@@ -129,6 +122,11 @@ BENCH_QUERIES = [
     "d_cdc_chunks",
     "g_bowtie_classes",
     "sim_centroid_drift",
+    # round-4: PQ re-enters the bench — the ~29 s data-size-independent
+    # Catalyst constant of the literal codebook argmin trees (the r3
+    # exclusion) is gone: assignment is an Arrow-vectorized codebook
+    # closure (_pq_assign_udf; kernel == literal tree, test_pq_kernel)
+    "sim_ann_pq_topk",
 ]
 
 CRAWL_URLS = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "30000"))

@@ -17,26 +17,37 @@ becomes
 
 Semantics: ``queue()`` is callable any time, like the reference's
 (crawler.js:576-618) — pre-start calls collect seeds; calls from
-inside a callback mid-crawl buffer urls that join the NEXT round's
-frontier through the same gate chain. ``start()`` runs the crawl;
-after each round commits, that round's events fire as ONE interleaved
-stream in the reference's callback order (crawler.js:491 fires
-onRedirect during the fetch, :157/:174 fire onPageCrawl/onError at
-completion, after the page's links are queued): within a round pages
-deliver in schedule (seq) order, and within a page every redirect
-event precedes the terminal pageCrawl/error. ``drain()`` fires once
-at the end — unless ``kill()`` ran (crawler.js:626-632: a killed
-queue never drains). Callback delivery iterates the committed sink
-tables with ``toLocalIterator`` (one partition in memory at a time) —
-callbacks are the reference-compat convenience surface for
-driver-side consumers; the scale path is the sink tables themselves
+inside a callback anchor at the enqueueing page and join the SAME
+round's insert stream at the reference's exact insertion point (see
+below), through the same gate chain. ``start()`` runs the crawl; each
+round's events fire mid-round (after the round's sinks resolve, before
+it commits) as ONE interleaved stream in the reference's callback
+order (crawler.js:491 fires onRedirect during the fetch, :157/:174
+fire onPageCrawl/onError at completion, after the page's links are
+queued): within a round pages deliver in schedule (seq) order, and
+within a page every redirect event precedes the terminal
+pageCrawl/error. ``drain()`` fires once at the end — unless ``kill()``
+ran (crawler.js:626-632: a killed queue never drains). Callback
+delivery iterates the round's sink DataFrames with
+``toLocalIterator`` (one partition in memory at a time) — callbacks
+are the reference-compat convenience surface for driver-side
+consumers; the scale path is the sink tables themselves
 (CrawlResult / SnapshotStore), which never funnel through the driver.
 
-Ordering caveat (COVERAGE.md): a url queue()d from a callback of
-page X slots after ALL urls queued by X's round, whereas the
-reference slots it after X's own links but before later pages' —
-identical whenever X is the last-completed page of its round (always
-true when the round has one page).
+Mid-crawl ordering (exact since r4): a url queue()d from a callback
+of page X re-enters the SAME round's insert resolution anchored at
+(X.seq, kind=2, call order) — after X's own links, before every later
+page's — matching the reference's sequential insertion point
+(crawler.js:157 fires the callback after the page's links queued;
+queue() pushes immediately, :576-618). Delivery therefore happens
+mid-round, before the round commits (the reference also fires events
+before the crawl "commits" anything). Remaining caveat (COVERAGE.md):
+a url queued from an onRedirect callback also anchors at kind=2
+(after the page's links), whereas the reference's onRedirect fires
+before link extraction; and in the pathological case where a queued
+url equals a LATER same-round page's redirect landing, that page's
+already-delivered events can't be retracted (the committed sinks are
+consistent either way).
 
 Constructor knobs mirror crawler.js names (camelCase accepted via
 **kwargs): crawlExternal, excludePatterns, retries, workers, auth,
@@ -84,7 +95,9 @@ class Crawler:
             cfg_kwargs[k] = v
         self.cfg = CrawlConfig(**cfg_kwargs)
         self._seeds: list = []
-        self._pending: list = []
+        self._pending: list = []        # queue()d outside any callback
+        self._anchored: list = []       # queue()d from a callback: (anchor_seq, ...)
+        self._delivering_seq = None     # seq of the event being delivered
         self._handlers: dict[str, list[Callable]] = {e: [] for e in _EVENTS}
         self._started = False
         self._killed = False
@@ -100,10 +113,17 @@ class Crawler:
     def queue(self, url: str, referrer: str | None = None,
               is_external: bool = False) -> "Crawler":
         """Callable any time (crawler.js queue(), :576-618). Pre-start
-        calls collect seeds; mid-crawl calls (from inside a callback)
-        buffer urls that join the next round's frontier. The queue-gate
-        chain (external/exclude/robots/seen) applies either way."""
-        if self._started:
+        calls collect seeds. Calls from inside a callback anchor at the
+        event's page: the url joins the CURRENT round's insert stream
+        right after that page's own links — the reference's exact
+        insertion point. Rare non-callback mid-crawl calls fall back to
+        the next round's frontier. The queue-gate chain
+        (external/exclude/robots/seen) applies in every case."""
+        if self._delivering_seq is not None:
+            self._anchored.append(
+                (self._delivering_seq, url, referrer, is_external)
+            )
+        elif self._started:
             self._pending.append((url, referrer, is_external))
         else:
             self._seeds.append((url, referrer, is_external))
@@ -130,15 +150,26 @@ class Crawler:
 
         self._started = True
 
-        def _hook(r, store):
+        def _live(r, tables):
+            # mid-round delivery: fire this round's events now (the
+            # reference fires during the crawl) and hand back the urls
+            # callbacks queue()d, anchored at the enqueueing page's seq
+            self._anchored = []
             if not self._killed:
-                self._deliver_round(store, r)
+                self._deliver_tables(tables)
+            out, self._anchored = self._anchored, []
+            return [] if self._killed else out
+
+        def _hook(r, store):
+            # non-anchored queue() calls (outside callbacks) join the
+            # next round's frontier, after the committed watermark
             out, self._pending = self._pending, []
             return [] if self._killed else out
 
         self.result = run_crawl(
             self.spark, self.cfg, self.pages, self.http_meta,
-            self._seeds, self.store_root, on_round=_hook,
+            self._seeds, self.store_root,
+            on_round=_hook, on_round_live=_live,
         )
         if not self._killed:
             for cb in self._handlers["drain"]:
@@ -146,13 +177,15 @@ class Crawler:
         return self.result
 
     # -- event delivery --------------------------------------------------
-    def _deliver_round(self, store, r: int) -> None:
+    def _deliver_tables(self, tables: dict) -> None:
         """One interleaved stream per round: a lazy 3-way sorted merge
-        of the round's sink tables on (seq, kind, event_idx) — kind 0 =
-        redirect events (they fire during the fetch, crawler.js:491),
-        kind 1 = the page's terminal pageCrawl/error (:157/:174). Each
-        leg streams via toLocalIterator; only the heap heads are in
-        driver memory."""
+        of the round's sink DataFrames on (seq, kind, event_idx) — kind
+        0 = redirect events (they fire during the fetch,
+        crawler.js:491), kind 1 = the page's terminal pageCrawl/error
+        (:157/:174). Each leg streams via toLocalIterator; only the
+        heap heads are in driver memory. While an event's callbacks
+        run, ``_delivering_seq`` carries its page's seq so queue()
+        calls anchor at the reference's exact insertion point."""
         import heapq
 
         h = self._handlers
@@ -163,7 +196,7 @@ class Crawler:
 
         legs = []
         if h["redirect"]:
-            df = store.read_table(self.spark, r, "redirects")
+            df = tables.get("redirects")
             if df is not None:
                 legs.append(_leg(
                     df.orderBy("seq", "event_idx"), "redirect",
@@ -172,13 +205,17 @@ class Crawler:
         for table, event in (("crawled", "pageCrawl"), ("errors", "error")):
             if not h[event]:
                 continue
-            df = store.read_table(self.spark, r, table)
+            df = tables.get(table)
             if df is not None:
                 legs.append(_leg(
                     df.orderBy("seq"), event, lambda row: (row.seq, 1, 0)
                 ))
-        for _key, event, row in heapq.merge(*legs, key=lambda t: t[0]):
-            if self._killed:
-                break
-            for cb in h[event]:
-                cb(row)
+        try:
+            for _key, event, row in heapq.merge(*legs, key=lambda t: t[0]):
+                if self._killed:
+                    break
+                self._delivering_seq = row.seq
+                for cb in h[event]:
+                    cb(row)
+        finally:
+            self._delivering_seq = None

@@ -233,6 +233,58 @@ def link_candidates(expanded: DataFrame, cfg: CrawlConfig) -> DataFrame:
     )
 
 
+def queued_candidates(spark, items, frontier: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Mid-crawl ``queue()`` calls anchored at the enqueueing page
+    (crawler.js:576-618 invoked from inside a callback): candidates at
+    stream position (parent_seq = the page's seq, kind=2, pos = call
+    order) — AFTER the page's own links (crawler.js:157 queues links
+    before the terminal callback fires) and BEFORE every later page's
+    links, reproducing the reference's sequential insertion point
+    exactly. Gate chain identical to queue(): external gate →
+    canonicalize (urlData.href, fragment KEPT in the seen key — the P2
+    asymmetry, same as seeds) → exclude patterns ('gi') → robots
+    extension; the seen probe + first-wins happen in
+    resolve_round_inserts with the rest of the round's stream.
+
+    ``items``: [(anchor_seq, url, referrer, is_external), ...] in call
+    order. ``frontier``: the round's scheduled frontier — joined
+    (broadcast, tiny side) to give each queued url depth = anchor
+    page's depth + 1, like a link of that page."""
+    from node_crawler_spark.functions.urlkit import canonicalize_url
+
+    rows = [
+        (int(a), i, u, ref, bool(ext))
+        for i, (a, u, ref, ext) in enumerate(items)
+    ]
+    c = spark.createDataFrame(
+        rows,
+        "parent_seq long, pos int, raw string, referrer string, "
+        "is_external boolean",
+    )
+    if not cfg.crawl_external:  # F3 (crawler.js:584-586)
+        c = c.where(~F.col("is_external"))
+    c = c.withColumn("ins_url", canonicalize_url(F.col("raw")))
+    for pat in cfg.exclude_patterns:  # F4 (crawler.js:595-604)
+        c = c.where(~F.col("ins_url").rlike("(?i)" + pat))
+    if cfg.robots:
+        from node_crawler_spark.operators.robots import robots_gate
+
+        c = robots_gate(c, cfg.robots, "ins_url")
+    depth_map = frontier.select(
+        F.col("seq").alias("parent_seq"), (F.col("depth") + 1).alias("depth")
+    )
+    return F.broadcast(c).join(depth_map, "parent_seq").select(
+        "parent_seq",
+        F.lit(2).alias("kind"),
+        "pos",
+        "ins_url",
+        "referrer",
+        "is_external",
+        (~F.col("is_external")).alias("crawl_links"),
+        "depth",
+    )
+
+
 def landing_candidates(fetched: DataFrame) -> DataFrame:
     """D3 — every redirect event's clean_final is a seen-insert
     candidate at stream position (parent_seq, kind=0, event_idx)."""
@@ -408,7 +460,9 @@ def resolve_round_inserts(
     core_urls = (
         landings_m.select("ins_url")
         .unionByName(
-            full_stream.where(F.col("kind") == 1)
+            # kind >= 1: links AND queued (kind=2) inserts of a
+            # landing-bearing page vanish if the page drops
+            full_stream.where(F.col("kind") >= 1)
             .join(F.broadcast(pages_with_landing), "parent_seq")
             .select("ins_url")
         )

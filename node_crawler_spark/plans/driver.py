@@ -50,6 +50,7 @@ from node_crawler_spark.operators.expand import (
     attach_bodies_and_links,
     landing_candidates,
     link_candidates,
+    queued_candidates,
     resolve_round_inserts,
 )
 from node_crawler_spark.operators.fetch import prepare_http_meta, run_fetch
@@ -183,6 +184,7 @@ def run_crawl(
     initial_frontier: DataFrame | None = None,
     pages_prepared: bool = False,
     on_round=None,
+    on_round_live=None,
     priority_ranks: DataFrame | None = None,
 ) -> CrawlResult:
     """``initial_frontier`` (url, seq, referrer, is_external,
@@ -203,7 +205,22 @@ def run_crawl(
     rounds that already ran, exactly where the reference would slot
     them when the enqueueing callback belongs to the last-completed
     page of its round (COVERAGE.md documents the general-case
-    ordering deviation)."""
+    ordering deviation).
+
+    ``on_round_live(r, tables)`` — called MID-round, after the round's
+    sink tables (crawled/errors/redirects DataFrames, passed in the
+    dict) are resolved but BEFORE the round commits. This is the exact
+    reference-order path for mid-crawl queue(): it may return a list of
+    ``(anchor_seq, url, referrer, is_external)`` tuples — urls queued
+    from a page's callback, anchored at that page's seq. They re-enter
+    THIS round's insert resolution at stream position (anchor_seq,
+    kind=2, call order): after the enqueueing page's own links, before
+    every later page's (crawler.js:157 fires the callback after the
+    page's links queued; queue() pushes immediately, :576-618). When it
+    returns queued urls the round's insert stream is re-resolved with
+    them included — ordering, first-wins dedup, seen probe and the
+    redirect-drop walk all see the queued rows at their exact
+    sequential position."""
     store = SnapshotStore(store_root)
     http_by_url = prepare_http_meta(http_meta).persist()
     # page-body side prepared ONCE per crawl (repartition+sort+persist
@@ -430,64 +447,99 @@ def run_crawl(
                     # yet — without this union a link to one of them
                     # would re-insert the url under a second seq
                     seen = seen.unionByName(extra_seeds.select("url", "seq"))
-        inserts, drops = resolve_round_inserts(
-            landings, links, seen, max_seq,
-            # O1 two-phase rank once rounds get big (hint: last round's
-            # insert volume); small rounds take the 1-job window path
-            large_round=prev_inserts > 50_000,
-            bloom=bloom
+        _bloom_arg = (
+            bloom
             if bloom is not None
             and bloom.n_keys
             >= max(cfg.bloom_min_keys, cfg.bloom_engage_ratio * prev_inserts)
-            else None,
-            residue_cap=cfg.redirect_residue_cap,
+            else None
         )
-        inserts = inserts.persist()
-        drops = drops.persist()
+
+        def _resolve(candidates):
+            # O1 two-phase rank once rounds get big (hint: last round's
+            # insert volume); small rounds take the 1-job window path
+            ins, drp = resolve_round_inserts(
+                landings, candidates, seen, max_seq,
+                large_round=prev_inserts > 50_000,
+                bloom=_bloom_arg,
+                residue_cap=cfg.redirect_residue_cap,
+            )
+            return ins.persist(), drp.persist()
+
+        inserts, drops = _resolve(links)
         n_inserts = inserts.count()
         tm.mark("inserts")
 
-        not_dropped = lambda df: df.join(
-            F.broadcast(drops.select(F.col("parent_seq").alias("seq"))),
-            on="seq",
-            how="left_anti",
-        )
-        crawled = not_dropped(expanded.where(F.col("ok"))).select(
-            F.lit(r).alias("round"), "seq",
-            F.col("page_url").alias("url"),
-            F.col("url").alias("queued_url"),
-            "referrer", "is_external", "type", "text", "links", "redirects",
-            "attempt",
-        )
-        errors = not_dropped(expanded.where(~F.col("ok"))).select(
-            F.lit(r).alias("round"), "seq",
-            F.col("page_url").alias("url"),
-            F.col("url").alias("queued_url"),
-            "referrer", "is_external", "type", "error_code",
-            F.col("status_code"), "attempt",
-        )
-        redirect_sink = (
-            expanded.where(F.size("events") > 0)
-            .select("seq", F.explode("events").alias("ev"))
-            .join(
-                F.broadcast(drops),
-                F.col("seq") == F.col("parent_seq"),
-                "left",
+        def _build_sinks(drops):
+            not_dropped = lambda df: df.join(
+                F.broadcast(drops.select(F.col("parent_seq").alias("seq"))),
+                on="seq",
+                how="left_anti",
             )
-            .where(
-                F.col("drop_idx").isNull()
-                | (F.col("ev.event_idx") <= F.col("drop_idx"))
-            )
-            .select(
+            crawled = not_dropped(expanded.where(F.col("ok"))).select(
                 F.lit(r).alias("round"), "seq",
-                F.col("ev.event_idx").alias("event_idx"),
-                F.col("ev.pre_url").alias("pre_url"),
-                F.col("ev.final_raw").alias("final_url"),
-                F.col("ev.clean_final").alias("clean_final"),
-                F.col("ev.status_code").alias("status_code"),
-                F.col("ev.redirects_before").alias("redirects_before"),
+                F.col("page_url").alias("url"),
+                F.col("url").alias("queued_url"),
+                "referrer", "is_external", "type", "text", "links",
+                "redirects", "attempt",
             )
-        )
+            errors = not_dropped(expanded.where(~F.col("ok"))).select(
+                F.lit(r).alias("round"), "seq",
+                F.col("page_url").alias("url"),
+                F.col("url").alias("queued_url"),
+                "referrer", "is_external", "type", "error_code",
+                F.col("status_code"), "attempt",
+            )
+            redirect_sink = (
+                expanded.where(F.size("events") > 0)
+                .select("seq", F.explode("events").alias("ev"))
+                .join(
+                    F.broadcast(drops),
+                    F.col("seq") == F.col("parent_seq"),
+                    "left",
+                )
+                .where(
+                    F.col("drop_idx").isNull()
+                    | (F.col("ev.event_idx") <= F.col("drop_idx"))
+                )
+                .select(
+                    F.lit(r).alias("round"), "seq",
+                    F.col("ev.event_idx").alias("event_idx"),
+                    F.col("ev.pre_url").alias("pre_url"),
+                    F.col("ev.final_raw").alias("final_url"),
+                    F.col("ev.clean_final").alias("clean_final"),
+                    F.col("ev.status_code").alias("status_code"),
+                    F.col("ev.redirects_before").alias("redirects_before"),
+                )
+            )
+            return crawled, errors, redirect_sink
+
+        crawled, errors, redirect_sink = _build_sinks(drops)
+
+        if on_round_live is not None:
+            # mid-round delivery: callbacks fire now (pre-commit) and
+            # may queue() urls anchored at the page being delivered
+            anchored = on_round_live(
+                r, {"crawled": crawled, "errors": errors,
+                    "redirects": redirect_sink},
+            ) or []
+            if anchored:
+                qc = queued_candidates(spark, anchored, scheduled, cfg)
+                # pass 2: the queued rows join the round's insert stream
+                # at (anchor_seq, kind=2, call order) — re-resolve the
+                # whole stream so ordering/dedup/drops are exact. Pages
+                # whose callbacks already fired were, by construction,
+                # not dropped in pass 1; a queued url can only drop a
+                # LATER page (larger parent_seq), so the sinks rebuilt
+                # below never contradict an already-delivered event
+                # except in the pathological queued-url == later-page-
+                # landing case (COVERAGE.md).
+                inserts.unpersist()
+                drops.unpersist()
+                inserts, drops = _resolve(links.unionByName(qc))
+                n_inserts = inserts.count()
+                crawled, errors, redirect_sink = _build_sinks(drops)
+                tm.mark("queued-reresolve")
 
         # crawl-global cookie jar: fold every domain any chain cookied
         # this round into the committed jar (visible from round r+1)
@@ -501,7 +553,9 @@ def run_crawl(
             )
             n_cookie_domains = cookie_state.count()
 
-        new_frontier = inserts.where(F.col("kind") == 1).select(
+        # kind 1 = links, kind 2 = mid-round queue()ed urls — both are
+        # fetchable pages; kind 0 landings are seen-only inserts
+        new_frontier = inserts.where(F.col("kind") >= 1).select(
             F.col("ins_url").alias("url"),
             F.col("_new_seq").alias("seq"),
             "referrer", "is_external", "crawl_links", "depth",
@@ -510,7 +564,9 @@ def run_crawl(
             F.col("ins_url").alias("url"),
             F.col("_new_seq").alias("seq"),
             F.lit(r).alias("round"),
-            F.when(F.col("kind") == 0, F.lit("landing")).otherwise(F.lit("link")).alias("kind"),
+            F.when(F.col("kind") == 0, F.lit("landing"))
+            .when(F.col("kind") == 2, F.lit("queued"))
+            .otherwise(F.lit("link")).alias("kind"),
         )
         n_delta = n_inserts
         if extra_seeds is not None:

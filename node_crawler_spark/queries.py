@@ -39,6 +39,9 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # module-level: pandas_udf resolves 'pd.Series'
+                     # type hints against the defining module's globals
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2165,7 +2168,13 @@ def _pq_assign_expr(cent_rows):
     _argmax_cell pattern: the K×M codebook (128 rows, tiny) is
     embedded as literals and each row argmins over its own subspace's
     codewords via array_max((−d, −code)) = min d, min code on ties,
-    exactly the oracle's ROW_NUMBER ... ORDER BY d, code."""
+    exactly the oracle's ROW_NUMBER ... ORDER BY d, code.
+
+    Kept as the no-Python reference implementation (test-pinned equal
+    to the Arrow kernel below); the hot path uses _pq_assign_udf —
+    this literal tree costs ~10 s of data-size-INDEPENDENT Catalyst
+    analysis + interpreted eval per use (×3 uses: 2 Lloyd iterations +
+    the final encode), the r3 bench caveat."""
     by_m: dict[int, list] = {}
     for r in cent_rows:
         by_m.setdefault(r.m, []).append(r)
@@ -2179,6 +2188,52 @@ def _pq_assign_expr(cent_rows):
         pick = f"CAST(-(array_max(array({structs})).negcode) AS INT)"
         branches.append(f"WHEN m = {m} THEN {pick}")
     return F.expr("CASE " + " ".join(branches) + " END")
+
+
+def _pq_assign_udf(cent_rows):
+    """Arrow-vectorized nearest-codeword assignment: the collected
+    K×M codebook (128 rows, driver-bounded) closes over a pandas_udf
+    that argmins each batch against its subspace's codewords in numpy.
+    Same map-only, shuffle-free scan shape as the literal-expression
+    variant (broadcast-by-closure is the 100 TB posture for a
+    128-row dim table), but with none of its ~10 s/use Catalyst
+    constant. Bit-exact with the literal tree AND the oracle's
+    ROW_NUMBER ... ORDER BY d, code: the squared-L2 accumulates in the
+    SAME left-fold order per dimension (float64 IEEE ops identical to
+    the JVM's doubles), and np.argmin's first-minimum tie-break equals
+    min-code because rows are sorted by code."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    by_m: dict[int, list] = {}
+    for r in cent_rows:
+        by_m.setdefault(int(r.m), []).append(
+            (int(r.code), np.asarray(r.cw, dtype=np.float64))
+        )
+    tables: dict[int, tuple] = {}
+    for m, lst in by_m.items():
+        lst.sort(key=lambda t: t[0])
+        codes = np.array([c for c, _ in lst], dtype=np.int64)
+        mat = np.stack([w for _, w in lst])  # K × SUBDIM
+        tables[m] = (codes, mat)
+
+    @pandas_udf("int")
+    def assign(m_s: pd.Series, sv_s: pd.Series) -> pd.Series:
+        mv = m_s.to_numpy()
+        out = np.empty(len(mv), dtype=np.int64)
+        for m in np.unique(mv):
+            idx = np.nonzero(mv == m)[0]
+            codes, mat = tables[int(m)]
+            x = np.stack(sv_s.iloc[idx].to_numpy())  # n × SUBDIM
+            # left-folded Σ_i (x_i − c_i)² — the oracle's fold order
+            d = np.zeros((len(idx), mat.shape[0]), dtype=np.float64)
+            for i in range(mat.shape[1]):
+                diff = x[:, i : i + 1] - mat[None, :, i]
+                d = d + diff * diff
+            out[idx] = codes[np.argmin(d, axis=1)]
+        return pd.Series(out.astype(np.int32))
+
+    return assign
 
 
 def _pq_dec_cents(assigned):
@@ -2212,7 +2267,8 @@ def _pq_codebook(sub):
     for _ in range(PQ_ITERS):
         rows = sorted(book.collect(), key=lambda r: (r.m, r.code))
         assigned = sub.select(
-            "vec_id", "m", "sv", _pq_assign_expr(rows).alias("code")
+            "vec_id", "m", "sv",
+            _pq_assign_udf(rows)(F.col("m"), F.col("sv")).alias("code"),
         )
         book = _pq_dec_cents(assigned).localCheckpoint()
     return book
@@ -2252,9 +2308,9 @@ def _pq_adc(spark, sf_dir):
         "vec_id",
         "m",
         "sv",
-        _pq_assign_expr(
+        _pq_assign_udf(
             sorted(book.collect(), key=lambda r: (r.m, r.code))
-        ).alias("code"),
+        )(F.col("m"), F.col("sv")).alias("code"),
     ).select("vec_id", "m", "code")
     qs = sub.where(F.col("vec_id") == 0).select(
         "m", F.col("sv").alias("qsv")
@@ -2500,9 +2556,9 @@ def sim_ann_ivfpq_topk(spark, sf_dir):
     enc = sub.select(
         "vec_id",
         "m",
-        _pq_assign_expr(
+        _pq_assign_udf(
             sorted(book.collect(), key=lambda r: (r.m, r.code))
-        ).alias("code"),
+        )(F.col("m"), F.col("sv")).alias("code"),
     )
     q = v.where(F.col("vec_id") == 0).select(F.col("emb").alias("q_emb"))
     probe_cells = (
@@ -2701,9 +2757,9 @@ def sim_ann_ivfpq_nprobe(spark, sf_dir):
     enc = sub.select(
         "vec_id",
         "m",
-        _pq_assign_expr(
+        _pq_assign_udf(
             sorted(book.collect(), key=lambda r: (r.m, r.code))
-        ).alias("code"),
+        )(F.col("m"), F.col("sv")).alias("code"),
     ).localCheckpoint()
     q = v.where(F.col("vec_id") == 0).select(F.col("emb").alias("q_emb"))
     terms = [

@@ -145,3 +145,52 @@ def test_midcrawl_queue_matches_sim(spark, tmp_path):
                    for c_ in sorted(sim.crawled, key=lambda x: x["seq"])]
     # /extra was crawled and ITS links were followed
     assert f"{BASE}/more" in {u for _s, u in log}
+
+
+def test_midround_queue_exact_insertion_matches_sim(spark, tmp_path):
+    """The general case the r3 deviation left open: a url queue()d from
+    a MID-round page's callback (NOT the round's last page) must slot
+    after that page's own links and BEFORE later pages' links
+    (crawler.js:157 + :576-618) — including first-wins against a later
+    page's link to the same url. Pinned against the simulator running
+    the identical callback."""
+    s = Scenario(name="facade_midround_queue", cfg=CrawlConfig(),
+                 seeds=[f"{BASE}/a", f"{BASE}/b"])
+    s.page(f"{BASE}/a", _links("/a1"))
+    s.page(f"{BASE}/b", _links("/b1", "/x"))  # /x loses to the queued /x
+    s.page(f"{BASE}/a1", _links())
+    s.page(f"{BASE}/b1", _links())
+    s.page(f"{BASE}/x", _links("/x1"))
+    s.page(f"{BASE}/x1", _links())
+    s.page(f"{BASE}/q", _links())
+    pages, http = s.dfs(spark)
+
+    def drive(queue_fn, row_url):
+        if row_url == f"{BASE}/a":
+            queue_fn(f"{BASE}/x")   # beats /b's link to /x (earlier anchor)
+            queue_fn(f"{BASE}/q")
+
+    log = []
+    c = Crawler(spark, pages, http, str(tmp_path / "mq"))
+    c.on("pageCrawl",
+         lambda row: (log.append((row.seq, row.url)),
+                      drive(c.queue, row.url)))
+    for seed in s.seeds:
+        c.queue(seed)
+    res = c.start()
+
+    sim = simulate(
+        s.cfg, s.seeds, s.pages, s.http,
+        on_page_crawl=lambda row, q: drive(q, row["url"]),
+    )
+    seen_rows = sorted(res.seen(spark).collect(), key=lambda r: r.seq)
+    # the exact global insertion order: a b a1 x q b1 x1 — x and q sit
+    # between a's links and b's links, and /b's duplicate /x vanished
+    assert [r.url for r in seen_rows] == sim.seen
+    assert sim.seen == [f"{BASE}/a", f"{BASE}/b", f"{BASE}/a1", f"{BASE}/x",
+                        f"{BASE}/q", f"{BASE}/b1", f"{BASE}/x1"]
+    assert [r.seq for r in seen_rows] == list(range(1, len(sim.seen) + 1))
+    assert log == [(c_["seq"], c_["url"])
+                   for c_ in sorted(sim.crawled, key=lambda x: x["seq"])]
+    # the queued /x was crawled and ITS links followed
+    assert f"{BASE}/x1" in {u for _s, u in log}
