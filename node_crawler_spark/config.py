@@ -33,6 +33,15 @@ class CrawlConfig:
     workers: int = 1                      # crawler.js:23; goldens pin 1
     auth: bool = False                    # crawler.js:38 (modeled in http_meta)
     use_cookies: bool = True              # crawler.js:31-36 (jar:false disables)
+    # workers=1 parity mode for the last cookie deviation: cookies a
+    # page's chain stores become visible to every LATER-seq page of
+    # the SAME round (the sequential reference's behavior), via a
+    # bounded within-round re-fetch fixpoint. Off by default — the
+    # default keeps the deterministic round barrier (same-round
+    # visibility is a race under the reference's 4 workers anyway),
+    # and the fixpoint re-runs the round's fetch join per pass, which
+    # is a parity cost, not the 100 TB path.
+    sequential_cookies: bool = False
     # --- engine extensions (north_star) ---
     max_rounds: int = 1000
     # O4 — scheduling priority within a domain budget: "fifo" replays

@@ -175,13 +175,17 @@ def run_fetch(
     ``page_url`` is the final (post-redirect) page url, ``events`` the
     ordered redirect events for the S5 sink + D3 seen inserts.
 
-    ``cookie_jar``: one-column (domain) table of domains whose cookies
-    were committed by earlier rounds — the crawl-global jar
+    ``cookie_jar``: (domain) table of domains whose cookies were
+    committed by earlier rounds — the crawl-global jar
     (crawler.js:31-36 keeps one jar for the whole crawl). Visibility
     has a round barrier: a cookie set in round r gates fetches from
     round r+1 on (plus the chain-local jar within a page's own
     redirect/retry chain); same-round cross-page visibility — a race
-    under the reference's 4 workers too — is deliberately out.
+    under the reference's 4 workers too — is deliberately out. With a
+    ``setter_seq`` column (cfg.sequential_cookies, one row per domain),
+    the gate is per-page instead: visible iff setter_seq < the
+    fetching page's seq — the workers=1 sequential reference, driven
+    to a within-round fixpoint by plans/driver.py.
     """
     events_ddl = f"array<{REDIRECT_EVENT_TYPE.simpleString()}>"
     empty_events = F.expr(f"cast(array() as {events_ddl})")
@@ -248,17 +252,38 @@ def run_fetch(
         cur_dom = F.lower(F.coalesce(F.parse_url("cur_url", F.lit("HOST")), F.lit("")))
         have_cookie = F.array_contains(F.col("jar"), cur_dom)
         if cookie_jar is not None:
-            j = j.join(
-                F.broadcast(
-                    cookie_jar.select(
-                        F.col("domain").alias("_g_dom")
-                    ).withColumn("_g_jar", F.lit(True))
-                ),
-                cur_dom == F.col("_g_dom"),
-                "left",
-            ).drop("_g_dom")
-            have_cookie = have_cookie | F.col("_g_jar").isNotNull()
-            j = j.withColumn("_have_cookie", have_cookie).drop("_g_jar")
+            if "setter_seq" in cookie_jar.columns:
+                # sequential-cookies mode: a committed cookie is
+                # visible only to pages AFTER its setter in the global
+                # processing order (strict <: a page never needs its
+                # own global entry — the chain-local jar covers it).
+                # The jar must be one row per domain (min setter_seq)
+                # or the join would fan out the chain rows.
+                j = j.join(
+                    F.broadcast(
+                        cookie_jar.select(
+                            F.col("domain").alias("_g_dom"),
+                            F.col("setter_seq").alias("_g_seq"),
+                        )
+                    ),
+                    (cur_dom == F.col("_g_dom"))
+                    & (F.col("_g_seq") < F.col("seq")),
+                    "left",
+                ).drop("_g_dom")
+                have_cookie = have_cookie | F.col("_g_seq").isNotNull()
+                j = j.withColumn("_have_cookie", have_cookie).drop("_g_seq")
+            else:
+                j = j.join(
+                    F.broadcast(
+                        cookie_jar.select(
+                            F.col("domain").alias("_g_dom")
+                        ).withColumn("_g_jar", F.lit(True))
+                    ),
+                    cur_dom == F.col("_g_dom"),
+                    "left",
+                ).drop("_g_dom")
+                have_cookie = have_cookie | F.col("_g_jar").isNotNull()
+                j = j.withColumn("_have_cookie", have_cookie).drop("_g_jar")
             have_cookie = F.col("_have_cookie")
         cookie_missing = (
             F.col("m_requires_cookie").eqNullSafe(True)

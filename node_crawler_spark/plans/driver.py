@@ -241,7 +241,11 @@ def run_crawl(
             pages, spark.sparkContext.defaultParallelism
         )
 
-    cookie_schema = "domain string"
+    cookie_schema = (
+        "domain string, setter_seq long"
+        if cfg.sequential_cookies
+        else "domain string"
+    )
     # one probe per crawl: if no scripted response ever sets a cookie,
     # every jar stays empty — skip the per-round cookie fold entirely
     cookies_possible = (
@@ -402,22 +406,56 @@ def run_crawl(
         tm.mark("schedule")
 
         round_persists: list = []
-        fetched = run_fetch(
-            scheduled, http_by_url, cfg, persisted=round_persists,
-            # crawl-global jar: domains whose cookies earlier rounds
-            # committed (round-barrier visibility; None skips the join)
-            cookie_jar=cookie_state if n_cookie_domains > 0 else None,
+
+        def _fetch_expand(jar_df):
+            fetched = run_fetch(
+                scheduled, http_by_url, cfg, persisted=round_persists,
+                # crawl-global jar: domains whose cookies earlier
+                # rounds committed (round-barrier visibility by
+                # default; per-seq with setter_seq in sequential-
+                # cookies mode; None skips the join)
+                cookie_jar=jar_df,
+            )
+            tm.mark("fetch")
+            ex = attach_bodies_and_links(
+                fetched, pages, body_side=body_side
+            ).persist()
+            # eager materialization: every downstream consumer (links,
+            # landings, sinks, frontier) reads this cache; leaving it
+            # lazy lets the first consumer's job interleave cache
+            # population with its own shuffle and measurably
+            # destabilizes the round (~2×)
+            ex.count()
+            tm.mark("expand")
+            return ex
+
+        expanded = _fetch_expand(
+            cookie_state if n_cookie_domains > 0 else None
         )
-        tm.mark("fetch")
-        expanded = attach_bodies_and_links(
-            fetched, pages, body_side=body_side
-        ).persist()
-        # eager materialization: every downstream consumer (links,
-        # landings, sinks, frontier) reads this cache; leaving it lazy
-        # lets the first consumer's job interleave cache population with
-        # its own shuffle and measurably destabilizes the round (~2×)
-        expanded.count()
-        tm.mark("expand")
+
+        if cookies_possible and cfg.sequential_cookies:
+            # within-round sequential visibility (workers=1 parity):
+            # merge this round's setters (min seq per domain) into the
+            # jar and re-fetch until no domain's earliest setter
+            # improves — each pass can only ADD cookies / move a
+            # setter earlier, so the fixpoint is monotone and bounded
+            # by the round's cookie-setting chains (practically ≤2).
+            for _pass in range(8):
+                setters = expanded.select(
+                    "seq", F.explode("jar").alias("domain")
+                ).groupBy("domain").agg(F.min("seq").alias("setter_seq"))
+                merged = (
+                    cookie_state.unionByName(setters)
+                    .groupBy("domain")
+                    .agg(F.min("setter_seq").alias("setter_seq"))
+                    .localCheckpoint()
+                )
+                if merged.exceptAll(cookie_state).isEmpty():
+                    break
+                cookie_state = merged
+                n_cookie_domains = cookie_state.count()
+                expanded.unpersist()
+                expanded = _fetch_expand(cookie_state)
 
         links = link_candidates(expanded, cfg)
         landings = landing_candidates(expanded)
@@ -542,8 +580,9 @@ def run_crawl(
                 tm.mark("queued-reresolve")
 
         # crawl-global cookie jar: fold every domain any chain cookied
-        # this round into the committed jar (visible from round r+1)
-        if cookies_possible:
+        # this round into the committed jar (visible from round r+1).
+        # Sequential mode already folded setters inside its fixpoint.
+        if cookies_possible and not cfg.sequential_cookies:
             cookie_state = (
                 cookie_state.unionByName(
                     expanded.select(F.explode("jar").alias("domain"))

@@ -175,7 +175,11 @@ def simulate(cfg, seeds, pages_rows, http_rows, workers: int = 1,
 
         visible: set[str] = set()
         for d, doms in committed_cookies.items():
-            if d < page.depth:
+            # sequential mode: every cookie committed by a previously
+            # processed page is visible (the workers=1 reference);
+            # default: the engine's deterministic round barrier
+            # (committed at a strictly smaller depth)
+            if getattr(cfg, "sequential_cookies", False) or d < page.depth:
                 visible |= doms
         jar: set[str] = set()  # chain-local cookie domains (crawler.js:272-278)
         for attempt in range(cfg.retries + 1):
