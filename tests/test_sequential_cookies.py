@@ -83,9 +83,9 @@ def test_sequential_chain_across_three_pages(spark, tmp_path):
     seeds = [f"{BASE}/mk", "http://b.test/gate", "http://b.test/locked"]
     s = Scenario(name="seq_chain", cfg=cfg, seeds=seeds)
     s.page(f"{BASE}/mk", _links(), set_cookie="sid=1")
-    # /gate requires the site.test cookie? cookies are per-domain —
-    # model the chain instead: /gate redirects (storing b.test cookie
-    # on the 30x hop), landing needs it mid-chain replay
+    # cookies are per-domain: b.test's cookie comes from /gate's 30x
+    # hop (stored chain-locally, committed with /gate's seq), and
+    # /locked (later seq, same round) needs it via the global jar
     s.page("http://b.test/gate", status=302, location="/landing",
            content_type=None, store_body=False, set_cookie="tok=9")
     s.page("http://b.test/landing", _links())
@@ -96,3 +96,30 @@ def test_sequential_chain_across_three_pages(spark, tmp_path):
     assert errors == {}
     assert sorted(crawled) == sorted(c["url"] for c in sim.crawled)
     assert {c["url"]: c["seq"] for c in sim.crawled} == crawled
+
+
+def test_sequential_cookies_resume_bit_identical(spark, tmp_path):
+    """The (domain, setter_seq) jar schema survives the kill/resume
+    boundary: stop after round 1 (before the multi-round cookie chain
+    completes), resume, and the final state matches an uninterrupted
+    sequential-mode run table-for-table."""
+    from node_crawler_spark.sources.store import SnapshotStore
+    from tests.test_politeness_resume import _tables
+
+    cfg = CrawlConfig(sequential_cookies=True)
+    seeds = [f"{BASE}/make-cookie", f"{BASE}/account"]
+    s = _two_seed_scenario(cfg, seeds)
+    pages, http = s.dfs(spark)
+
+    full = run_crawl(spark, cfg, pages, http, seeds, str(tmp_path / "full"))
+    want = _tables(spark, full)
+
+    part_cfg = CrawlConfig(**{**cfg.__dict__, "max_rounds": 1})
+    run_crawl(spark, part_cfg, pages, http, seeds, str(tmp_path / "part"))
+    assert SnapshotStore(str(tmp_path / "part")).last_committed_round() == 1
+
+    resumed = run_crawl(
+        spark, cfg, pages, http, seeds, str(tmp_path / "part"), resume=True
+    )
+    assert _tables(spark, resumed) == want
+    assert resumed.max_seq == full.max_seq
