@@ -397,13 +397,22 @@ def resolve_round_inserts(
     large_round: bool = False,
     bloom: BloomSeenSet | None = None,
     residue_cap: int = 200_000,
+    landings_empty: bool | None = None,
 ):
     """The round's seen-insert stream: first occurrence wins, redirect
     landings that collide drop their page (crawler.js:484-500).
 
-    Returns (inserts, drops) where inserts = first-occurrence stream
-    rows with their assigned global seq, and drops = (parent_seq,
-    drop_idx) pairs of pages killed by a colliding landing.
+    Returns (inserts, drops, n_drops, drop_pairs) where inserts = the
+    first-occurrence stream rows with their assigned global seq, drops
+    = a (parent_seq, drop_idx) DataFrame of pages killed by a
+    colliding landing, n_drops = their count, and drop_pairs = the
+    same pairs as a DRIVER-LOCAL list when they are already local
+    (statically [] on the no-redirect fast path; the driver residue
+    walk returns them locally; None only on the rare executor-walk
+    path). A driver-known empty list lets the caller skip three
+    per-round broadcast jobs entirely, and a small local list lets it
+    filter the sinks with literal codegen predicates instead of
+    broadcast anti-joins — the job floor IS the round's fixed cost.
 
     Drop resolution is a fixed point because a dropped page contributes
     no link inserts, which can in turn un-collide a later landing. The
@@ -417,8 +426,12 @@ def resolve_round_inserts(
 
     # Fast path — the overwhelmingly common round has no redirect
     # events, hence no drops: one window + one anti-join, no fixed
-    # point, no stream union.
-    empty_landings = landings.isEmpty()
+    # point, no stream union. The caller usually already knows the
+    # answer (driver: the expand-materialization agg counts redirect
+    # events) — ``landings_empty`` skips the probe job; None probes.
+    empty_landings = (
+        landings.isEmpty() if landings_empty is None else landings_empty
+    )
     t0 = _pmark("landings.isEmpty", t0)
     if empty_landings:
         if bloom is not None:
@@ -438,7 +451,7 @@ def resolve_round_inserts(
         inserts = assign_global_seq(fo, max_seq, large_round).drop(
             "_seen", "_rank", "_collides"
         )
-        return inserts, drops
+        return inserts, drops, 0, []
 
     # Contested-subset fixpoint: drop resolution can only disturb urls
     # reachable from redirect-bearing pages — the landing urls, the
@@ -453,7 +466,12 @@ def resolve_round_inserts(
     # + contested-flagged result that every later branch filters. On
     # the job-scheduling floor the checkpoint count is the round's
     # fixed cost, so the fusion is worth ~4 jobs per redirect round.
-    full_stream = landings.unionByName(links).localCheckpoint()
+    # LAZY checkpoints: the first full action over this chain
+    # (contested.count, which computes every partition of marked_all
+    # and therefore of full_stream) materializes BOTH in one job —
+    # eager here cost two extra jobs per redirect round on the job
+    # floor. Lineage truncation still happens at materialization.
+    full_stream = landings.unionByName(links).localCheckpoint(eager=False)
     t0 = _pmark("stream.ckpt", t0)
     landings_m = full_stream.where(F.col("kind") == 0)
     pages_with_landing = landings_m.select("parent_seq").distinct()
@@ -472,7 +490,7 @@ def resolve_round_inserts(
         mark_seen(full_stream, seen_keys, bloom)
         .join(core_urls.withColumn("_core", F.lit(True)), "ins_url", "left")
         .withColumn("_core", F.coalesce(F.col("_core"), F.lit(False)))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     t0 = _pmark("marked.ckpt", t0)
     stream = marked_all.where(F.col("_core")).drop("_seen", "_core")
@@ -506,6 +524,7 @@ def resolve_round_inserts(
     if n_contested <= residue_cap:
         keep_keys, drop_pairs = _sequential_walk(marked.collect())
         t0 = _pmark("contested.walk.driver", t0)
+        n_drops = len(drop_pairs)
         keep_df = spark.createDataFrame(
             keep_keys or [], "parent_seq long, kind int, pos int"
         )
@@ -545,6 +564,8 @@ def resolve_round_inserts(
         t0 = _pmark("contested.walk.executor", t0)
         keep_df = walked.where(F.col("keep")).select("parent_seq", "kind", "pos")
         drops = walked.where(~F.col("keep")).select("parent_seq", "drop_idx")
+        n_drops = drops.count()  # rare path; walked is checkpointed
+        drop_pairs = None  # executor-side only — not available locally
         contested_keep = stream.join(
             keep_df, ["parent_seq", "kind", "pos"], "left_semi"
         )
@@ -554,8 +575,10 @@ def resolve_round_inserts(
     # one materialization of the merged stream — the seq assigner (and
     # every downstream consumer) re-reads it several times
     t0 = _pmark("walk", t0)
-    merged = contested_keep.unionByName(rest_keep).localCheckpoint()
+    # lazy: the driver's inserts.count() (or the seq assigner's own
+    # bucket-offset action on large rounds) materializes it
+    merged = contested_keep.unionByName(rest_keep).localCheckpoint(eager=False)
     t0 = _pmark("merged.ckpt", t0)
     inserts = assign_global_seq(merged, max_seq, large_round)
     t0 = _pmark("assign_seq", t0)
-    return inserts, drops
+    return inserts, drops, n_drops, drop_pairs

@@ -460,12 +460,18 @@ def run_fetch(
         # per 400k-row round. On a real cluster the residue checkpoint
         # would be a reliable checkpoint or a small intermediate table.
         base_parts = scheduled.sparkSession.sparkContext.defaultParallelism
+        # LAZY checkpoint + count: count() computes every partition, so
+        # the one job both materializes the checkpoint AND answers the
+        # emptiness probe — the eager-ckpt + isEmpty pair cost 2 jobs
+        # per hop on the round's job floor
         pending = (
-            retrying.unionByName(hopping).coalesce(base_parts).localCheckpoint()
+            retrying.unionByName(hopping)
+            .coalesce(base_parts)
+            .localCheckpoint(eager=False)
         )
         if persisted is not None:
             persisted.append(pending)
-        if pending.isEmpty():
+        if pending.count() == 0:
             break
 
     out = done_parts[0]

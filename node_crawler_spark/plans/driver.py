@@ -25,21 +25,46 @@ _PROFILE = os.environ.get("NC_SPARK_PROFILE", "") == "1"
 
 
 class _Timer:
+    """Per-phase wall clock, plus (profile mode only) the number of
+    Spark JOBS each phase launched — the box-state-immune cost metric
+    (on the job-scheduling floor the round's job count IS its cost)."""
+
     def __init__(self, label: str) -> None:
         self.label = label
-        self.marks: list[tuple[str, float]] = []
+        self.marks: list[tuple[str, float, int]] = []
         self.t0 = time.perf_counter()
+        self._tracker = None
+        if _PROFILE:
+            from pyspark.sql import SparkSession as _S
+
+            s = _S.getActiveSession()
+            if s is not None:
+                self._tracker = s.sparkContext.statusTracker()
+        self._j0 = self._jobs()
+
+    def _jobs(self) -> int:
+        if self._tracker is None:
+            return 0
+        return max(self._tracker.getJobIdsForGroup() or [0])
 
     def mark(self, name: str) -> None:
         t = time.perf_counter()
-        self.marks.append((name, t - self.t0))
+        j = self._jobs()
+        self.marks.append((name, t - self.t0, j - self._j0))
         self.t0 = t
+        self._j0 = j
 
     def report(self) -> None:
         if _PROFILE:
-            total = sum(d for _, d in self.marks)
-            parts = " ".join(f"{n}={d:.1f}s" for n, d in self.marks)
-            print(f"[profile] {self.label}: total={total:.1f}s {parts}", flush=True)
+            total = sum(d for _, d, _j in self.marks)
+            jobs = sum(j for _, _d, j in self.marks)
+            parts = " ".join(
+                f"{n}={d:.1f}s/{j}j" for n, d, j in self.marks
+            )
+            print(
+                f"[profile] {self.label}: total={total:.1f}s jobs={jobs} {parts}",
+                flush=True,
+            )
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -424,12 +449,16 @@ def run_crawl(
             # landings, sinks, frontier) reads this cache; leaving it
             # lazy lets the first consumer's job interleave cache
             # population with its own shuffle and measurably
-            # destabilizes the round (~2×)
-            ex.count()
+            # destabilizes the round (~2×). The same job also answers
+            # whether the round produced ANY redirect event, saving
+            # resolve_round_inserts its landings.isEmpty probe job.
+            n_ev = ex.agg(
+                F.sum((F.size("events") > 0).cast("int")).alias("n")
+            ).first()[0] or 0
             tm.mark("expand")
-            return ex
+            return ex, n_ev == 0
 
-        expanded = _fetch_expand(
+        expanded, no_landings = _fetch_expand(
             cookie_state if n_cookie_domains > 0 else None
         )
 
@@ -455,7 +484,7 @@ def run_crawl(
                 cookie_state = merged
                 n_cookie_domains = cookie_state.count()
                 expanded.unpersist()
-                expanded = _fetch_expand(cookie_state)
+                expanded, no_landings = _fetch_expand(cookie_state)
 
         links = link_candidates(expanded, cfg)
         landings = landing_candidates(expanded)
@@ -496,24 +525,46 @@ def run_crawl(
         def _resolve(candidates):
             # O1 two-phase rank once rounds get big (hint: last round's
             # insert volume); small rounds take the 1-job window path
-            ins, drp = resolve_round_inserts(
+            ins, drp, nd, pairs = resolve_round_inserts(
                 landings, candidates, seen, max_seq,
                 large_round=prev_inserts > 50_000,
                 bloom=_bloom_arg,
                 residue_cap=cfg.redirect_residue_cap,
+                landings_empty=no_landings,
             )
-            return ins.persist(), drp.persist()
+            # drops participate in sinks only when nonempty (n_drops is
+            # driver-known on both common paths); the DataFrame is only
+            # materialized on the rare executor-walk path — small local
+            # pair lists become literal predicates in _build_sinks,
+            # skipping three broadcast jobs per drop-bearing round
+            use_df = nd and (pairs is None or nd > 5000)
+            return ins.persist(), (drp.persist() if use_df else drp), nd, pairs
 
-        inserts, drops = _resolve(links)
+        inserts, drops, n_drops, drop_pairs = _resolve(links)
         n_inserts = inserts.count()
         tm.mark("inserts")
 
-        def _build_sinks(drops):
-            not_dropped = lambda df: df.join(
-                F.broadcast(drops.select(F.col("parent_seq").alias("seq"))),
-                on="seq",
-                how="left_anti",
+        def _build_sinks(drops, n_drops, drop_pairs):
+            literal = (
+                n_drops > 0 and drop_pairs is not None and n_drops <= 5000
             )
+            if n_drops == 0:
+                not_dropped = lambda df: df
+            elif literal:
+                # driver-local pairs → pure codegen predicates: no
+                # broadcast exchange jobs for the three sink filters
+                drop_seqs = sorted({p for p, _ in drop_pairs})
+                not_dropped = lambda df: df.where(
+                    ~F.col("seq").isin(drop_seqs)
+                )
+            else:
+                not_dropped = lambda df: df.join(
+                    F.broadcast(
+                        drops.select(F.col("parent_seq").alias("seq"))
+                    ),
+                    on="seq",
+                    how="left_anti",
+                )
             crawled = not_dropped(expanded.where(F.col("ok"))).select(
                 F.lit(r).alias("round"), "seq",
                 F.col("page_url").alias("url"),
@@ -528,31 +579,44 @@ def run_crawl(
                 "referrer", "is_external", "type", "error_code",
                 F.col("status_code"), "attempt",
             )
-            redirect_sink = (
-                expanded.where(F.size("events") > 0)
-                .select("seq", F.explode("events").alias("ev"))
-                .join(
-                    F.broadcast(drops),
-                    F.col("seq") == F.col("parent_seq"),
-                    "left",
+            ev_rows = expanded.where(F.size("events") > 0).select(
+                "seq", F.explode("events").alias("ev")
+            )
+            if literal:
+                # map(seq -> drop_idx) as ONE parsed SQL literal (a
+                # py4j Column tree would cost a round trip per entry)
+                dmap = F.expr(
+                    "map(" + ",".join(
+                        f"{int(s)}L,{int(d)}" for s, d in drop_pairs
+                    ) + ")"
                 )
-                .where(
-                    F.col("drop_idx").isNull()
-                    | (F.col("ev.event_idx") <= F.col("drop_idx"))
+                di = dmap[F.col("seq")]
+                ev_rows = ev_rows.where(
+                    di.isNull() | (F.col("ev.event_idx") <= di)
                 )
-                .select(
-                    F.lit(r).alias("round"), "seq",
-                    F.col("ev.event_idx").alias("event_idx"),
-                    F.col("ev.pre_url").alias("pre_url"),
-                    F.col("ev.final_raw").alias("final_url"),
-                    F.col("ev.clean_final").alias("clean_final"),
-                    F.col("ev.status_code").alias("status_code"),
-                    F.col("ev.redirects_before").alias("redirects_before"),
+            elif n_drops > 0:
+                ev_rows = (
+                    ev_rows.join(
+                        F.broadcast(drops),
+                        F.col("seq") == F.col("parent_seq"),
+                        "left",
+                    ).where(
+                        F.col("drop_idx").isNull()
+                        | (F.col("ev.event_idx") <= F.col("drop_idx"))
+                    )
                 )
+            redirect_sink = ev_rows.select(
+                F.lit(r).alias("round"), "seq",
+                F.col("ev.event_idx").alias("event_idx"),
+                F.col("ev.pre_url").alias("pre_url"),
+                F.col("ev.final_raw").alias("final_url"),
+                F.col("ev.clean_final").alias("clean_final"),
+                F.col("ev.status_code").alias("status_code"),
+                F.col("ev.redirects_before").alias("redirects_before"),
             )
             return crawled, errors, redirect_sink
 
-        crawled, errors, redirect_sink = _build_sinks(drops)
+        crawled, errors, redirect_sink = _build_sinks(drops, n_drops, drop_pairs)
 
         if on_round_live is not None:
             # mid-round delivery: callbacks fire now (pre-commit) and
@@ -573,10 +637,15 @@ def run_crawl(
                 # except in the pathological queued-url == later-page-
                 # landing case (COVERAGE.md).
                 inserts.unpersist()
-                drops.unpersist()
-                inserts, drops = _resolve(links.unionByName(qc))
+                if n_drops and (drop_pairs is None or n_drops > 5000):
+                    drops.unpersist()
+                inserts, drops, n_drops, drop_pairs = _resolve(
+                    links.unionByName(qc)
+                )
                 n_inserts = inserts.count()
-                crawled, errors, redirect_sink = _build_sinks(drops)
+                crawled, errors, redirect_sink = _build_sinks(
+                    drops, n_drops, drop_pairs
+                )
                 tm.mark("queued-reresolve")
 
         # crawl-global cookie jar: fold every domain any chain cookied
@@ -684,7 +753,8 @@ def run_crawl(
 
         expanded.unpersist()
         inserts.unpersist()
-        drops.unpersist()
+        if n_drops and (drop_pairs is None or n_drops > 5000):
+            drops.unpersist()
         for df in round_persists:
             df.unpersist()
         frontier = store.read_table(spark, r, "next_frontier")
