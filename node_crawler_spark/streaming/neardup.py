@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
 from node_crawler_spark.queries import (
-    MH_JACCARD,
+    MH_JACCARD_PPM,
     _exact_jaccard,
     _minhash_bands,
     _shingles_from,
@@ -94,8 +94,8 @@ def neardup_fold(batch_df: DataFrame, batch_id: int, state_dir: str,
     all_sh = old_sh.unionByName(sh_new).distinct()
     flagged = (
         _exact_jaccard(all_sh, pairs)
-        .where(F.col("jaccard") >= MH_JACCARD)
-        .select("doc_a", "doc_b", "jaccard")
+        .where(F.col("jaccard_ppm") >= MH_JACCARD_PPM)
+        .select("doc_a", "doc_b", "jaccard_ppm")
     )
     flagged.coalesce(1).write.mode("append").parquet(dups_dir)
     bands_new.coalesce(1).write.mode("append").parquet(f"{state_dir}/bands")

@@ -86,12 +86,12 @@ def test_uncapped_join_explodes_capped_join_does_not(spark, adv_dir):
 
 def test_true_near_dup_found_with_true_jaccard(spark, adv_dir):
     out = {
-        (r.doc_a, r.doc_b): r.jaccard
+        (r.doc_a, r.doc_b): r.jaccard_ppm
         for r in ngram_jaccard_pairs(spark, adv_dir).collect()
     }
     # 9 bigrams each, 8 shared ⇒ jaccard 8/10 = 0.8 — TRUE value,
     # computed over the full shingle sets (not the capped subset)
-    assert out == {(1000, 1001): 0.8}
+    assert out == {(1000, 1001): 800000}
 
 
 def test_rerank_counts_hot_shingles_too(spark, adv_dir):
@@ -108,7 +108,7 @@ def test_rerank_counts_hot_shingles_too(spark, adv_dir):
     )
     sh2 = sh.unionByName(boiler_sh).distinct()
     res = {
-        (r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+        (r.doc_a, r.doc_b): (r.n_common, r.jaccard_ppm)
         for r in _exact_jaccard(sh2, None, df_cap=SHINGLE_DF_CAP)
         .where((F.col("doc_a") == 1000) & (F.col("doc_b") == 1001))
         .collect()
@@ -119,4 +119,4 @@ def test_rerank_counts_hot_shingles_too(spark, adv_dir):
     # 18, sizes = 19 each ⇒ union = 20 ⇒ j = 0.9 — hot shingles DO
     # count in the rerank
     assert n_common == 18
-    assert jac == 0.9
+    assert jac == 900000

@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from node_crawler_spark.queries import (
     D_PPJOIN_SQL,
-    MH_JACCARD,
+    MH_JACCARD_PPM,
     _SHINGLES_CTE,
 )
 
@@ -32,12 +32,11 @@ inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
           JOIN shingles sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
           GROUP BY p.doc_a, p.doc_b)
 SELECT doc_a, doc_b,
-       ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6)
-         AS jaccard
+       n_common * 1000000 // (sa.n_sh + sb.n_sh - n_common) AS jaccard_ppm
 FROM inter JOIN sizes sa ON sa.doc_id = doc_a
            JOIN sizes sb ON sb.doc_id = doc_b
-WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6)
-        >= {MH_JACCARD}
+WHERE n_common * 1000000 // (sa.n_sh + sb.n_sh - n_common)
+        >= {MH_JACCARD_PPM}
 ORDER BY doc_a, doc_b
 """
 

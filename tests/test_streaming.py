@@ -607,7 +607,7 @@ def test_incremental_neardup_stream_equals_single_shot(spark, tmp_path):
     batch2-internal = all pairs), and a replayed fold must change
     nothing (state and sink rows are pure functions of the text)."""
     from node_crawler_spark.queries import (
-        MH_JACCARD,
+        MH_JACCARD_PPM,
         _exact_jaccard,
         _minhash_bands,
         _shingles_from,
@@ -650,7 +650,7 @@ def test_incremental_neardup_stream_equals_single_shot(spark, tmp_path):
     run("b2", b2)
 
     streamed = sorted(
-        (r.doc_a, r.doc_b, r.jaccard)
+        (r.doc_a, r.doc_b, r.jaccard_ppm)
         for r in neardup_flagged(spark, dups).collect()
     )
 
@@ -671,10 +671,10 @@ def test_incremental_neardup_stream_equals_single_shot(spark, tmp_path):
         .distinct()
     )
     single = sorted(
-        (r.doc_a, r.doc_b, r.jaccard)
+        (r.doc_a, r.doc_b, r.jaccard_ppm)
         for r in _exact_jaccard(sh, pairs)
-        .where(F.col("jaccard") >= MH_JACCARD)
-        .select("doc_a", "doc_b", "jaccard")
+        .where(F.col("jaccard_ppm") >= MH_JACCARD_PPM)
+        .select("doc_a", "doc_b", "jaccard_ppm")
         .collect()
     )
     assert streamed == single
@@ -690,7 +690,7 @@ def test_incremental_neardup_stream_equals_single_shot(spark, tmp_path):
     n_state = spark.read.parquet(f"{state}/shingles").distinct().count()
     neardup_fold(spark.createDataFrame(b2, schema), 99, state, dups)
     assert sorted(
-        (r.doc_a, r.doc_b, r.jaccard)
+        (r.doc_a, r.doc_b, r.jaccard_ppm)
         for r in neardup_flagged(spark, dups).collect()
     ) == single
     assert (
