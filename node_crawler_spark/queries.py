@@ -4953,8 +4953,10 @@ def t_bm25_search(spark, sf_dir):
     for t in BM25_TERMS:
         total = total + F.coalesce(F.col(f"s_{t}"), F.lit(0.0))
     return (
-        pivoted.select("doc_id", F.round(total, 6).alias("bm25"))
-        .orderBy(F.col("bm25").desc(), "doc_id")
+        pivoted.select(
+            "doc_id", F.floor(total * F.lit(1000000.0)).alias("bm25_e6")
+        )
+        .orderBy(F.col("bm25_e6").desc(), "doc_id")
         .limit(BM25_TOP)
     )
 
@@ -4981,9 +4983,9 @@ pivoted AS (
   SELECT doc_id,
          {pivots}
   FROM per_term GROUP BY doc_id)
-SELECT doc_id, ROUND({total}, 6) AS bm25
+SELECT doc_id, CAST(FLOOR(({total}) * 1000000.0) AS BIGINT) AS bm25_e6
 FROM pivoted
-ORDER BY bm25 DESC, doc_id
+ORDER BY bm25_e6 DESC, doc_id
 LIMIT {top}
 """.format(
     terms=_BM25_IN,
@@ -5192,12 +5194,15 @@ def sk_kmv_merge(spark, sf_dir):
     merged = topk(h0.unionAll(h1).distinct())
     ws, w_est = sketch_stats(whole, "whole")
     ms, m_est = sketch_stats(merged, "merged")
+    # estimates reported as floor(est * 100) BIGINT — FLOOR of a
+    # bit-exact IEEE double is engine-independent, ROUND's decimal
+    # re-rendering is not (the r3 driver-env hash-fail class)
     return ws.crossJoin(ms).select(
         F.lit(KMV_K).alias("k"),
         "whole_kth",
         "merged_kth",
-        F.round(w_est, 2).alias("whole_est"),
-        F.round(m_est, 2).alias("merged_est"),
+        F.floor(w_est * F.lit(100.0)).alias("whole_est_e2"),
+        F.floor(m_est * F.lit(100.0)).alias("merged_est_e2"),
         F.expr(
             "whole_kth = merged_kth AND whole_k = merged_k"
         ).alias("merge_invariant"),
@@ -5227,10 +5232,10 @@ ws AS (SELECT MAX(hv) AS whole_kth, CAST(COUNT(*) AS BIGINT) AS whole_k
 ms AS (SELECT MAX(hv) AS merged_kth, CAST(COUNT(*) AS BIGINT) AS merged_k
        FROM sk_m)
 SELECT {KMV_K} AS k, whole_kth, merged_kth,
-       ROUND((whole_k - 1) * {float(_KMV_SPACE)!r} / whole_kth, 2)
-         AS whole_est,
-       ROUND((merged_k - 1) * {float(_KMV_SPACE)!r} / merged_kth, 2)
-         AS merged_est,
+       CAST(FLOOR(CAST(whole_k - 1 AS DOUBLE) * {float(_KMV_SPACE)!r}
+                  / whole_kth * 100.0) AS BIGINT) AS whole_est_e2,
+       CAST(FLOOR(CAST(merged_k - 1 AS DOUBLE) * {float(_KMV_SPACE)!r}
+                  / merged_kth * 100.0) AS BIGINT) AS merged_est_e2,
        whole_kth = merged_kth AND whole_k = merged_k AS merge_invariant
 FROM ws CROSS JOIN ms
 """
@@ -5281,10 +5286,12 @@ def sk_kmv_distinct(spark, sf_dir):
             "lang",
             "n_exact",
             "k_used",
-            F.round(est, 2).alias("kmv_estimate"),
-            F.round(
-                F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4
-            ).alias("rel_err"),
+            F.floor(est * F.lit(100.0)).alias("kmv_estimate_e2"),
+            F.floor(
+                F.abs(est - F.col("n_exact"))
+                / F.col("n_exact")
+                * F.lit(1000000.0)
+            ).alias("rel_err_ppm"),
         )
         .orderBy("lang")
     )
@@ -5306,10 +5313,11 @@ kth AS (SELECT lang, MAX(hv) AS kth_hash, COUNT(*) AS k_used
         FROM rk WHERE rn <= {KMV_K} GROUP BY lang),
 exact AS (SELECT lang, COUNT(DISTINCT g) AS n_exact FROM bi GROUP BY lang)
 SELECT e.lang, n_exact, k_used,
-       ROUND(CAST(k_used - 1 AS DOUBLE) * {float(_KMV_SPACE)} / kth_hash, 2)
-         AS kmv_estimate,
-       ROUND(ABS(CAST(k_used - 1 AS DOUBLE) * {float(_KMV_SPACE)} / kth_hash
-                 - n_exact) / n_exact, 4) AS rel_err
+       CAST(FLOOR(CAST(k_used - 1 AS DOUBLE) * {float(_KMV_SPACE)} / kth_hash
+                  * 100.0) AS BIGINT) AS kmv_estimate_e2,
+       CAST(FLOOR(ABS(CAST(k_used - 1 AS DOUBLE) * {float(_KMV_SPACE)}
+                      / kth_hash - n_exact) / n_exact * 1000000.0)
+            AS BIGINT) AS rel_err_ppm
 FROM exact e JOIN kth ON e.lang = kth.lang
 ORDER BY e.lang
 """
@@ -6939,12 +6947,12 @@ def g_clustering_coeff(spark, sf_dir):
             F.coalesce("n_triangles", F.lit(0)).alias("n_tri"),
         )
     )
-    coeff = (F.lit(2) * F.col("n_tri")).cast("double") / (
-        F.col("deg") * (F.col("deg") - F.lit(1))
-    ).cast("double")
+    coeff = F.expr("2 * n_tri * 1000000L div (deg * (deg - 1))")
     return (
-        per_node.select("part", "deg", "n_tri", F.round(coeff, 6).alias("clust_coeff"))
-        .orderBy(F.col("clust_coeff").desc(), "part")
+        per_node.select(
+            "part", "deg", "n_tri", coeff.alias("clust_coeff_ppm")
+        )
+        .orderBy(F.col("clust_coeff_ppm").desc(), "part")
         .limit(TRI_TOP_K)
     )
 
@@ -6988,11 +6996,11 @@ ORDER BY n_triangles DESC, part LIMIT {TRI_TOP_K}
 G_CLUST_SQL = f"""
 WITH {_TRI_BASE_CTE}
 SELECT node AS part, deg, COALESCE(n_triangles, 0) AS n_tri,
-       ROUND(CAST(2 * COALESCE(n_triangles, 0) AS DOUBLE)
-             / CAST(deg * (deg - 1) AS DOUBLE), 6) AS clust_coeff
+       2 * COALESCE(n_triangles, 0) * 1000000
+           // (deg * (deg - 1)) AS clust_coeff_ppm
 FROM deg LEFT JOIN counts ON counts.part = deg.node
 WHERE deg >= 2
-ORDER BY clust_coeff DESC, part LIMIT {TRI_TOP_K}
+ORDER BY clust_coeff_ppm DESC, part LIMIT {TRI_TOP_K}
 """
 
 
@@ -7137,12 +7145,12 @@ def sk_hll_merge(spark, sf_dir):
         F.lit(HLL_M).alias("m"),
         w_total.alias("whole_s"),
         m_total.alias("merged_s"),
-        F.round(F.lit(_HLL_NUM) / w_total.cast("double"), 2).alias(
-            "whole_est"
-        ),
-        F.round(F.lit(_HLL_NUM) / m_total.cast("double"), 2).alias(
-            "merged_est"
-        ),
+        F.floor(
+            F.lit(_HLL_NUM) / w_total.cast("double") * F.lit(100.0)
+        ).alias("whole_est_e2"),
+        F.floor(
+            F.lit(_HLL_NUM) / m_total.cast("double") * F.lit(100.0)
+        ).alias("merged_est_e2"),
         (
             (w_total == m_total) & (F.col("w_m") == F.col("g_m"))
         ).alias("merge_invariant"),
@@ -7178,10 +7186,12 @@ ms AS (SELECT CAST(SUM(1::BIGINT << ({HLL_RHO_CAP} - r)) AS BIGINT) AS sne,
 SELECT {HLL_M} AS m,
        ws.sne + ({HLL_M} - ws.mu) * {cap} AS whole_s,
        ms.sne + ({HLL_M} - ms.mu) * {cap} AS merged_s,
-       ROUND({_HLL_NUM!r} / (ws.sne + ({HLL_M} - ws.mu) * {cap}), 2)
-         AS whole_est,
-       ROUND({_HLL_NUM!r} / (ms.sne + ({HLL_M} - ms.mu) * {cap}), 2)
-         AS merged_est,
+       CAST(FLOOR({_HLL_NUM!r}
+                  / CAST(ws.sne + ({HLL_M} - ws.mu) * {cap} AS DOUBLE)
+                  * 100.0) AS BIGINT) AS whole_est_e2,
+       CAST(FLOOR({_HLL_NUM!r}
+                  / CAST(ms.sne + ({HLL_M} - ms.mu) * {cap} AS DOUBLE)
+                  * 100.0) AS BIGINT) AS merged_est_e2,
        ws.sne + ({HLL_M} - ws.mu) * {cap}
          = ms.sne + ({HLL_M} - ms.mu) * {cap}
          AND ws.mu = ms.mu AS merge_invariant
@@ -7250,10 +7260,12 @@ def sk_hll_distinct(spark, sf_dir):
             "lang",
             "n_exact",
             F.col("m_used").alias("regs_used"),
-            F.round(est, 2).alias("hll_estimate"),
-            F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4).alias(
-                "rel_err"
-            ),
+            F.floor(est * F.lit(100.0)).alias("hll_estimate_e2"),
+            F.floor(
+                F.abs(est - F.col("n_exact"))
+                / F.col("n_exact")
+                * F.lit(1000000.0)
+            ).alias("rel_err_ppm"),
         )
         .orderBy("lang")
     )
@@ -7281,12 +7293,12 @@ exact AS (
   SELECT lang, COUNT(*) AS n_exact
   FROM words WHERE length(g) > 0 GROUP BY lang)
 SELECT e.lang, n_exact, m_used AS regs_used,
-       ROUND({_HLL_NUM!r} / CAST(s_nonempty
-             + ({HLL_M} - m_used) * ({1 << HLL_RHO_CAP}::BIGINT) AS DOUBLE), 2)
-         AS hll_estimate,
-       ROUND(ABS({_HLL_NUM!r} / CAST(s_nonempty
+       CAST(FLOOR({_HLL_NUM!r} / CAST(s_nonempty
              + ({HLL_M} - m_used) * ({1 << HLL_RHO_CAP}::BIGINT) AS DOUBLE)
-             - n_exact) / n_exact, 4) AS rel_err
+             * 100.0) AS BIGINT) AS hll_estimate_e2,
+       CAST(FLOOR(ABS({_HLL_NUM!r} / CAST(s_nonempty
+             + ({HLL_M} - m_used) * ({1 << HLL_RHO_CAP}::BIGINT) AS DOUBLE)
+             - n_exact) / n_exact * 1000000.0) AS BIGINT) AS rel_err_ppm
 FROM exact e JOIN sketch USING (lang)
 ORDER BY e.lang
 """
@@ -7871,12 +7883,11 @@ def o_key_skew(spark, sf_dir):
                 F.expr("top_cnt * 1000000L DIV total").alias(
                     f"top{SKEW_TOP_N}_ppm"
                 ),
-                F.round(
+                F.floor(
                     (F.col("s2").cast("double") / F.col("total"))
                     / F.col("total")
-                    * 1000000,
-                    3,
-                ).alias("hhi_ppm"),
+                    * F.lit(1000000000.0)
+                ).alias("hhi_ppb"),
             )
         )
     out = outs[0]
@@ -7896,7 +7907,8 @@ def _skew_sql() -> str:
 SELECT '{label}' AS profile, n_keys, total, max_cnt,
        max_cnt * 1000000 // total AS top1_ppm,
        top_cnt * 1000000 // total AS top{SKEW_TOP_N}_ppm,
-       ROUND(CAST(s2 AS DOUBLE) / total / total * 1000000, 3) AS hhi_ppm
+       CAST(FLOOR(CAST(s2 AS DOUBLE) / total / total * 1000000000.0)
+            AS BIGINT) AS hhi_ppb
 FROM (
   SELECT COUNT(*) AS n_keys, SUM(cnt) AS total, MAX(cnt) AS max_cnt,
          SUM(cnt * cnt) AS s2
@@ -8114,9 +8126,7 @@ def t_line_dedup(spark, sf_dir):
         "doc_id",
         "n_lines",
         "n_kept",
-        F.round(F.col("n_kept").cast("double") / F.col("n_lines"), 6).alias(
-            "kept_ratio"
-        ),
+        F.expr("n_kept * 1000000L div n_lines").alias("kept_ppm"),
         F.md5(
             F.array_join(F.transform("_kl", lambda s: s["line"]), " ")
         ).alias("kept_fp"),
@@ -8149,8 +8159,8 @@ marked AS (
 SELECT doc_id,
        COUNT(*) AS n_lines,
        SUM(CASE WHEN is_boiler THEN 0 ELSE 1 END) AS n_kept,
-       ROUND(CAST(SUM(CASE WHEN is_boiler THEN 0 ELSE 1 END) AS DOUBLE)
-             / COUNT(*), 6) AS kept_ratio,
+       SUM(CASE WHEN is_boiler THEN 0 ELSE 1 END) * 1000000
+           // COUNT(*) AS kept_ppm,
        md5(coalesce(string_agg(CASE WHEN NOT is_boiler THEN line END,
                                ' ' ORDER BY line_no), '')) AS kept_fp
 FROM marked GROUP BY doc_id ORDER BY doc_id
@@ -8703,11 +8713,15 @@ def t_rrf_fusion(spark, sf_dir):
     norm = lambda c: F.sqrt(
         F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
     )
+    # rank key is floor(cos * 1e4) BIGINT, not ROUND — the rank order
+    # must agree with the oracle even where cross-engine decimal
+    # rounding of the raw cosine would tie-break differently
     dense = v.crossJoin(F.broadcast(q)).select(
         "vec_id",
-        F.round(dot / (norm(F.col("emb")) * norm(F.col("q_emb"))), 4).alias(
-            "cos"
-        ),
+        F.floor(
+            dot / (norm(F.col("emb")) * norm(F.col("q_emb")))
+            * F.lit(10000.0)
+        ).alias("cos"),
     )
     dense_top = dense.orderBy(F.col("cos").desc(), "vec_id").limit(RRF_TOP)
     dense_r = dense_top.select(
@@ -8751,10 +8765,11 @@ q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_emb FROM embeddings
       WHERE vec_id = 0),
 dense AS (
   SELECT vec_id,
-         ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), q_emb)
+         CAST(FLOOR(list_dot_product(CAST(embedding AS DOUBLE[]), q_emb)
                / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                         CAST(embedding AS DOUBLE[])))
-                  * sqrt(list_dot_product(q_emb, q_emb))), 4) AS cos
+                  * sqrt(list_dot_product(q_emb, q_emb)))
+               * 10000.0) AS BIGINT) AS cos
   FROM embeddings, q WHERE vec_id <> 0),
 dense_r AS (
   SELECT vec_id AS id,
@@ -8932,11 +8947,9 @@ def t_bpe_encode(spark, sf_dir):
         "n_words",
         "n_char_syms",
         "n_bpe_tokens",
-        F.round(
-            F.col("n_bpe_tokens").cast("double")
-            / F.col("n_char_syms").cast("double"),
-            6,
-        ).alias("compression"),
+        F.expr("n_bpe_tokens * 1000000L div n_char_syms").alias(
+            "compression_ppm"
+        ),
         F.md5(
             F.array_join(F.transform("_tl", lambda s: s["toks"]), " ")
         ).alias("encoded_fp"),
@@ -8998,8 +9011,7 @@ SELECT doc_id,
        COUNT(*) AS n_words,
        CAST(SUM(n_syms) AS BIGINT) AS n_char_syms,
        CAST(SUM(n_toks) AS BIGINT) AS n_bpe_tokens,
-       ROUND(CAST(SUM(n_toks) AS DOUBLE) / CAST(SUM(n_syms) AS DOUBLE), 6)
-         AS compression,
+       SUM(n_toks) * 1000000 // SUM(n_syms) AS compression_ppm,
        md5(string_agg(toks, ' ' ORDER BY pos)) AS encoded_fp
 FROM docw JOIN enc USING (w)
 GROUP BY doc_id ORDER BY doc_id
@@ -10570,12 +10582,12 @@ def g_harmonic_hyperball(spark, sf_dir):
     return (
         est.select(
             "node",
-            F.round("n1", 2).alias("ball_r1"),
-            F.round("n2", 2).alias("ball_r2"),
-            F.round("n3", 2).alias("ball_r3"),
-            F.round(harmonic, 4).alias("harmonic"),
+            F.floor(F.col("n1") * F.lit(100.0)).alias("ball_r1_e2"),
+            F.floor(F.col("n2") * F.lit(100.0)).alias("ball_r2_e2"),
+            F.floor(F.col("n3") * F.lit(100.0)).alias("ball_r3_e2"),
+            F.floor(harmonic * F.lit(10000.0)).alias("harmonic_e4"),
         )
-        .orderBy(F.col("harmonic").desc(), "node")
+        .orderBy(F.col("harmonic_e4").desc(), "node")
         .limit(20)
     )
 
@@ -10786,12 +10798,15 @@ def _hb_sql() -> str:
     return (
         _hb_est_sql()
         + """
-SELECT node, ROUND(n1, 2) AS ball_r1, ROUND(n2, 2) AS ball_r2,
-       ROUND(n3, 2) AS ball_r3,
-       ROUND((n1 - n0) / 1.0 + (n2 - n1) / 2.0 + (n3 - n2) / 3.0, 4)
-         AS harmonic
+SELECT node,
+       CAST(FLOOR(n1 * 100.0) AS BIGINT) AS ball_r1_e2,
+       CAST(FLOOR(n2 * 100.0) AS BIGINT) AS ball_r2_e2,
+       CAST(FLOOR(n3 * 100.0) AS BIGINT) AS ball_r3_e2,
+       CAST(FLOOR(((n1 - n0) / 1.0 + (n2 - n1) / 2.0 + (n3 - n2) / 3.0)
+                  * 10000.0) AS BIGINT) AS harmonic_e4
 FROM est
-ORDER BY ROUND((n1 - n0) / 1.0 + (n2 - n1) / 2.0 + (n3 - n2) / 3.0, 4) DESC,
+ORDER BY CAST(FLOOR(((n1 - n0) / 1.0 + (n2 - n1) / 2.0 + (n3 - n2) / 3.0)
+                    * 10000.0) AS BIGINT) DESC,
          node
 LIMIT 20"""
     )
