@@ -611,12 +611,8 @@ def t_filter_agreement(spark, sf_dir):
         .select(
             "doc_id",
             (
-                F.round(
-                    F.col("sb").cast("double")
-                    / F.col("n_tokens").cast("double"),
-                    6,
-                )
-                <= SURPRISAL_MAX_BITS
+                F.expr("sb * 1000000L div n_tokens")
+                <= F.lit(SURPRISAL_MAX_PPM)
             ).alias("lm_keep"),
         )
     )
@@ -659,8 +655,7 @@ tot AS (SELECT CAST(SUM(vcnt) AS BIGINT) AS total FROM vocab),
 bits AS (SELECT doc_id, length(bin(total // vcnt)) - 1 AS bits
          FROM toks JOIN vocab USING (w) CROSS JOIN tot),
 lm_keep AS (SELECT doc_id,
-       ROUND(CAST(SUM(bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
-         <= {SURPRISAL_MAX_BITS} AS lm_keep
+       SUM(bits) * 1000000 // COUNT(*) <= {SURPRISAL_MAX_PPM} AS lm_keep
   FROM bits GROUP BY doc_id),
 cells AS (SELECT rule_keep, lm_keep, CAST(COUNT(*) AS BIGINT) AS n_docs
           FROM rule_keep JOIN lm_keep USING (doc_id)
@@ -2053,7 +2048,7 @@ def sim_ivf_cell_stats(spark, sf_dir):
     exact BIGINT ppm (the balance number), and the mean / minimum
     cosine of members to their own centroid (the tightness numbers —
     mean via decimal(24,10) sums so the reduction order can't drift,
-    min is order-free; both ROUND(…,6) doubles out).
+    min is order-free; both emitted as floor(x·1e6) BIGINTs).
 
     100 TB posture: training is _ivf_trained_cents' map-only argmax
     passes (K tiny centroids collected per iteration, the bounded
@@ -2081,8 +2076,10 @@ def sim_ivf_cell_stats(spark, sf_dir):
             "cell",
             "n",
             F.expr("n * 1000000L div total_vecs").alias("share_ppm"),
-            F.round(F.expr("cast(s as double) / n"), 6).alias("mean_cos"),
-            F.round("mn", 6).alias("min_cos"),
+            F.floor(
+                F.expr("cast(s as double) / n") * F.lit(1000000.0)
+            ).alias("mean_cos_e6"),
+            F.floor(F.col("mn") * F.lit(1000000.0)).alias("min_cos_e6"),
         )
         .orderBy("cell")
     )
@@ -2104,8 +2101,9 @@ per AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
         FROM scored GROUP BY cell),
 total AS (SELECT CAST(SUM(n) AS BIGINT) AS total_vecs FROM per)
 SELECT cell, n, n * 1000000 // total_vecs AS share_ppm,
-       ROUND(CAST(s AS DOUBLE) / n, 6) AS mean_cos,
-       ROUND(mn, 6) AS min_cos
+       CAST(FLOOR(CAST(s AS DOUBLE) / n * 1000000.0) AS BIGINT)
+         AS mean_cos_e6,
+       CAST(FLOOR(mn * 1000000.0) AS BIGINT) AS min_cos_e6
 FROM per CROSS JOIN total ORDER BY cell
 """
 
@@ -2377,13 +2375,13 @@ def sim_ann_pq_recall(spark, sf_dir):
         .select(
             "n_true",
             "n_hit_adc",
-            F.round(
-                F.col("n_hit_adc").cast("double") / F.col("n_true"), 4
-            ).alias("recall_adc"),
+            F.expr("n_hit_adc * 1000000L div n_true").alias(
+                "recall_adc_ppm"
+            ),
             "n_hit_rerank",
-            F.round(
-                F.col("n_hit_rerank").cast("double") / F.col("n_true"), 4
-            ).alias("recall_rerank"),
+            F.expr("n_hit_rerank * 1000000L div n_true").alias(
+                "recall_rerank_ppm"
+            ),
         )
     )
 
@@ -2500,11 +2498,11 @@ found_rr AS MATERIALIZED (
   ORDER BY e.d, e.vec_id LIMIT 10)
 SELECT (SELECT COUNT(*) FROM truth) AS n_true,
        (SELECT COUNT(*) FROM truth t JOIN found_adc f ON f.vec_id = t.vec_id) AS n_hit_adc,
-       ROUND(CAST((SELECT COUNT(*) FROM truth t JOIN found_adc f ON f.vec_id = t.vec_id) AS DOUBLE)
-             / (SELECT COUNT(*) FROM truth), 4) AS recall_adc,
+       (SELECT COUNT(*) FROM truth t JOIN found_adc f ON f.vec_id = t.vec_id) * 1000000
+             // (SELECT COUNT(*) FROM truth) AS recall_adc_ppm,
        (SELECT COUNT(*) FROM truth t JOIN found_rr f ON f.vec_id = t.vec_id) AS n_hit_rerank,
-       ROUND(CAST((SELECT COUNT(*) FROM truth t JOIN found_rr f ON f.vec_id = t.vec_id) AS DOUBLE)
-             / (SELECT COUNT(*) FROM truth), 4) AS recall_rerank
+       (SELECT COUNT(*) FROM truth t JOIN found_rr f ON f.vec_id = t.vec_id) * 1000000
+             // (SELECT COUNT(*) FROM truth) AS recall_rerank_ppm
 """
 
 
@@ -2689,9 +2687,7 @@ def sim_ann_ivfpq_recall(spark, sf_dir):
         .select(
             "n_true",
             "n_hit",
-            F.round(
-                F.col("n_hit").cast("double") / F.col("n_true"), 4
-            ).alias("recall"),
+            F.expr("n_hit * 1000000L div n_true").alias("recall_ppm"),
         )
     )
 
@@ -2715,8 +2711,8 @@ truth AS MATERIALIZED (
   ORDER BY ({full_d}), a.vec_id LIMIT 10)
 SELECT (SELECT COUNT(*) FROM truth) AS n_true,
        (SELECT COUNT(*) FROM truth t JOIN found f ON f.vec_id = t.vec_id) AS n_hit,
-       ROUND(CAST((SELECT COUNT(*) FROM truth t JOIN found f ON f.vec_id = t.vec_id) AS DOUBLE)
-             / (SELECT COUNT(*) FROM truth), 4) AS recall
+       (SELECT COUNT(*) FROM truth t JOIN found f ON f.vec_id = t.vec_id) * 1000000
+             // (SELECT COUNT(*) FROM truth) AS recall_ppm
 """
 
 
@@ -2838,7 +2834,7 @@ def sim_ann_ivfpq_nprobe(spark, sf_dir):
         row = hit.agg(F.count(F.lit(1)).alias("n_hit")).select(
             F.lit(np_).alias("nprobe"),
             "n_hit",
-            F.round(F.col("n_hit").cast("double") / 10, 4).alias("recall"),
+            F.expr("n_hit * 1000000L div 10").alias("recall_ppm"),
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("nprobe")
@@ -2881,7 +2877,7 @@ found{np_} AS MATERIALIZED (
         selects.append(
             f"SELECT {np_} AS nprobe, "
             f"(SELECT COUNT(*) FROM truth t JOIN found{np_} f ON f.vec_id = t.vec_id) AS n_hit, "
-            f"ROUND(CAST((SELECT COUNT(*) FROM truth t JOIN found{np_} f ON f.vec_id = t.vec_id) AS DOUBLE) / 10, 4) AS recall"
+            f"(SELECT COUNT(*) FROM truth t JOIN found{np_} f ON f.vec_id = t.vec_id) * 1000000 // 10 AS recall_ppm"
         )
     np_block = ",\n".join(per_np)
     sel_block = " UNION ALL ".join(selects)
@@ -4610,10 +4606,12 @@ def dedup_semantic_sweep(spark, sf_dir):
     _cents, assigned = _ivf_trained_cents(v)
     assigned = assigned.localCheckpoint(eager=False)
     a, b = assigned.alias("a"), assigned.alias("b")
-    cos = F.round(
+    # cosine quantized ONCE to floor(x * 1e6) BIGINT ppm — the sweep's
+    # threshold predicates are then pure integer comparisons
+    cos = F.floor(
         _arr_dot(F.col("a.emb"), F.col("b.emb"))
-        / (_arr_norm(F.col("a.emb")) * _arr_norm(F.col("b.emb"))),
-        4,
+        / (_arr_norm(F.col("a.emb")) * _arr_norm(F.col("b.emb")))
+        * F.lit(1000000.0)
     )
     pairs = (
         a.join(
@@ -4621,19 +4619,19 @@ def dedup_semantic_sweep(spark, sf_dir):
             (F.col("a.cell") == F.col("b.cell"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(F.col("b.vec_id").alias("vec_id"), cos.alias("cos"))
+        .select(F.col("b.vec_id").alias("vec_id"), cos.alias("cos_ppm"))
         .localCheckpoint()
     )
-    mc = pairs.groupBy("vec_id").agg(F.max("cos").alias("mc"))
+    mc = pairs.groupBy("vec_id").agg(F.max("cos_ppm").alias("mc"))
     pair_aggs = [
         F.sum(
-            F.when(F.col("cos") * 1000000 >= t, 1).otherwise(0)
+            F.when(F.col("cos_ppm") >= t, 1).otherwise(0)
         ).alias(f"p{t}")
         for t in SEMDEDUP_SWEEP_PPM
     ]
     rem_aggs = [
         F.sum(
-            F.when(F.col("mc") * 1000000 >= t, 1).otherwise(0)
+            F.when(F.col("mc") >= t, 1).otherwise(0)
         ).alias(f"r{t}")
         for t in SEMDEDUP_SWEEP_PPM
     ]
@@ -4671,15 +4669,16 @@ def dedup_semantic_sweep(spark, sf_dir):
 def _semdedup_sweep_sql() -> str:
     ctes, _cfin, afin = _ivf_trained_ctes()
     cos = (
-        f"ROUND(({_dot_sql('a.emb', 'b.emb')}) / "
-        f"(sqrt({_dot_sql('a.emb', 'a.emb')}) * sqrt({_dot_sql('b.emb', 'b.emb')})), 4)"
+        f"CAST(FLOOR(({_dot_sql('a.emb', 'b.emb')}) / "
+        f"(sqrt({_dot_sql('a.emb', 'a.emb')}) * sqrt({_dot_sql('b.emb', 'b.emb')}))"
+        f" * 1000000.0) AS BIGINT)"
     )
     p_cols = ", ".join(
-        f"CAST(SUM(CASE WHEN cos * 1000000 >= {t} THEN 1 ELSE 0 END) AS BIGINT) AS p{t}"
+        f"CAST(SUM(CASE WHEN cos_ppm >= {t} THEN 1 ELSE 0 END) AS BIGINT) AS p{t}"
         for t in SEMDEDUP_SWEEP_PPM
     )
     r_cols = ", ".join(
-        f"CAST(SUM(CASE WHEN mc * 1000000 >= {t} THEN 1 ELSE 0 END) AS BIGINT) AS r{t}"
+        f"CAST(SUM(CASE WHEN mc >= {t} THEN 1 ELSE 0 END) AS BIGINT) AS r{t}"
         for t in SEMDEDUP_SWEEP_PPM
     )
     unpivot = "\nUNION ALL ".join(
@@ -4690,10 +4689,10 @@ def _semdedup_sweep_sql() -> str:
     return f"""
 WITH {ctes},
 pairs AS MATERIALIZED (
-  SELECT b.vec_id, {cos} AS cos
+  SELECT b.vec_id, {cos} AS cos_ppm
   FROM {afin} a JOIN {afin} b
     ON a.cell = b.cell AND a.vec_id < b.vec_id),
-mc AS (SELECT vec_id, MAX(cos) AS mc FROM pairs GROUP BY vec_id),
+mc AS (SELECT vec_id, MAX(cos_ppm) AS mc FROM pairs GROUP BY vec_id),
 pa AS (SELECT {p_cols} FROM pairs),
 ra AS (SELECT {r_cols} FROM mc),
 nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM {afin}),
@@ -5030,7 +5029,7 @@ def t_corpus_mix(spark, sf_dir):
         "source",
         "n_docs",
         "n_tokens",
-        F.round(entropy, 6).alias("lang_entropy"),
+        F.floor(entropy * F.lit(1000000.0)).alias("lang_entropy_e6"),
     ).orderBy("source")
 
 
@@ -5043,11 +5042,11 @@ fold AS (SELECT source, SUM(docs) AS n_docs, SUM(toks) AS n_tokens,
                 list_sort(list({'lang': lang, 'docs': docs})) AS ld
          FROM sl GROUP BY source)
 SELECT source, n_docs, n_tokens,
-       ROUND(-list_aggregate(
+       CAST(FLOOR(-list_aggregate(
                list_transform(ld, s ->
                  (CAST(s['docs'] AS DOUBLE) / n_docs)
                    * ln(CAST(s['docs'] AS DOUBLE) / n_docs)),
-               'sum'), 6) AS lang_entropy
+               'sum') * 1000000.0) AS BIGINT) AS lang_entropy_e6
 FROM fold
 ORDER BY source
 """
@@ -5099,29 +5098,46 @@ def w_running_totals(spark, sf_dir):
     left-folds by construction, so even pre-rounding bits agree. One
     hash(user_id) Exchange serves both window specs."""
     e = _t(spark, sf_dir, "events")
+    # value is a 2-decimal quantity stored as double: snap each row to
+    # exact BIGINT cents first (round-to-integer never sits on a .5
+    # boundary here), then every window aggregate is exact integer
+    # arithmetic — no float accumulation, no terminal rounding at all
+    cents = F.round(F.col("value") * F.lit(100.0), 0).cast("long")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     mov = w.rowsBetween(-2, Window.currentRow)
+    ec = e.select("event_id", "user_id", "ts", cents.alias("_c"))
     return (
-        e.select(
+        ec.select(
             "event_id",
             "user_id",
             "ts",
-            F.round(F.sum("value").over(run), 6).alias("running_sum"),
-            F.round(F.avg("value").over(mov), 6).alias("moving_avg3"),
+            F.sum("_c").over(run).alias("running_sum_cents"),
+            F.expr(
+                "sum(_c) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+                "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 10000L div "
+                "count(_c) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+                "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+            ).alias("moving_avg3_e6"),
         )
         .orderBy("user_id", "ts", "event_id")
     )
 
 
 W_RUNNING_SQL = """
+WITH ec AS (
+  SELECT event_id, user_id, ts,
+         CAST(ROUND(value * 100.0, 0) AS BIGINT) AS _c
+  FROM events)
 SELECT event_id, user_id, ts,
-       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
-         AS running_sum,
-       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg3
-FROM events
+       SUM(_c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS running_sum_cents,
+       SUM(_c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 10000
+         // COUNT(_c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3_e6
+FROM ec
 ORDER BY user_id, ts, event_id
 """
 
@@ -5333,8 +5349,9 @@ def t_sample_weighted(spark, sf_dir):
     (selection probability ∝ weight), the standard corpus-mixing
     primitive for quality- or length-weighted subsets. Deterministic
     end to end: u comes from the portable md5 hash (not rand()), the
-    rank key is ROUND(ln(u)/w, 10) (monotone transform of u^(1/w))
-    with doc_id tiebreak, so the sample is reproducible across
+    rank key is floor(ln(u)/w * 1e10) BIGINT (monotone transform of
+    u^(1/w); floored scaled integer, not ROUND — the cross-engine
+    decimal-rounding class) with doc_id tiebreak, reproducible across
     engines, runs and cluster sizes — and the oracle checks the
     MEMBERSHIP, not just counts. Scale shape: orderBy+limit compiles
     to TakeOrderedAndProject (per-partition top-K then one K-row
@@ -5344,10 +5361,10 @@ def t_sample_weighted(spark, sf_dir):
         (_phash(F.col("doc_id").cast("string"), "ws") + 1).cast("double")
         / F.lit(float(_KMV_SPACE))
     )
-    pkey = F.round(F.log(u) / F.col("n_chars"), 10)
+    pkey = F.floor(F.log(u) / F.col("n_chars") * F.lit(1e10))
     return (
-        d.select("doc_id", "lang", "n_chars", pkey.alias("pkey"))
-        .orderBy(F.col("pkey").desc(), "doc_id")
+        d.select("doc_id", "lang", "n_chars", pkey.alias("pkey_e10"))
+        .orderBy(F.col("pkey_e10").desc(), "doc_id")
         .limit(WEIGHTED_SAMPLE_K)
     )
 
@@ -5357,9 +5374,10 @@ WITH h AS (SELECT doc_id, lang, n_chars,
                   CAST({_phash_sql("CAST(doc_id AS VARCHAR)", "ws")} + 1
                        AS DOUBLE) / {float(_KMV_SPACE)} AS u
            FROM documents)
-SELECT doc_id, lang, n_chars, ROUND(ln(u) / n_chars, 10) AS pkey
+SELECT doc_id, lang, n_chars,
+       CAST(FLOOR(ln(u) / n_chars * 1e10) AS BIGINT) AS pkey_e10
 FROM h
-ORDER BY pkey DESC, doc_id
+ORDER BY pkey_e10 DESC, doc_id
 LIMIT {WEIGHTED_SAMPLE_K}
 """
 
@@ -5953,31 +5971,30 @@ def t_sampling_temperature(spark, sf_dir):
     0.5 because sqrt is IEEE-754 correctly rounded — the ONLY
     transcendental either engine computes here, so the result is
     bit-identical where a general pow() could differ in the last ulp.
-    The tempered normalizer sums 6-decimal-quantized sqrt values as
-    exact DECIMALs (order-independent); shares divide once and round
-    once. One tiny hash agg + a one-row broadcast — scan-shaped."""
+    Each sqrt is quantized ONCE to exact BIGINT micro-units
+    (floor(sqrt·1e6) of a correctly-rounded double is
+    engine-identical); from there the normalizer sum, both shares and
+    the boost are pure integer floor-divisions — no decimal rounding
+    anywhere. One tiny hash agg + a one-row broadcast — scan-shaped."""
     d = _t(spark, sf_dir, "documents")
     per = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    sq = F.round(F.sqrt(F.col("n_docs").cast("double")), 6)
-    per = per.select("lang", "n_docs", sq.alias("_sq"))
+    sq = F.floor(F.sqrt(F.col("n_docs").cast("double")) * F.lit(1000000.0))
+    per = per.select("lang", "n_docs", sq.alias("_sq_e6"))
     tot = per.agg(
         F.sum("n_docs").alias("_n"),
-        F.sum(F.col("_sq").cast("decimal(18,6)")).alias("_z"),
+        F.sum("_sq_e6").alias("_z"),
     )
     return (
         per.crossJoin(F.broadcast(tot))
         .select(
             "lang",
             "n_docs",
-            F.round(F.col("n_docs") / F.col("_n"), 6).alias("p_raw"),
-            F.round(
-                F.col("_sq") / F.col("_z").cast("double"), 6
-            ).alias("p_temp"),
-            F.round(
-                (F.col("_sq") / F.col("_z").cast("double"))
-                / (F.col("n_docs") / F.col("_n")),
-                6,
-            ).alias("boost"),
+            F.expr("n_docs * 1000000L div _n").alias("p_raw_ppm"),
+            F.expr("_sq_e6 * 1000000L div _z").alias("p_temp_ppm"),
+            F.expr(
+                "(_sq_e6 * 1000000L div _z) * 1000000L div "
+                "(n_docs * 1000000L div _n)"
+            ).alias("boost_e6"),
         )
         .orderBy("lang")
     )
@@ -5985,16 +6002,15 @@ def t_sampling_temperature(spark, sf_dir):
 
 T_TEMPERATURE_SQL = """
 WITH per AS (SELECT lang, COUNT(*) AS n_docs,
-                    ROUND(sqrt(CAST(COUNT(*) AS DOUBLE)), 6) AS _sq
+                    CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000.0)
+                         AS BIGINT) AS _sq_e6
              FROM documents GROUP BY lang),
-tot AS (SELECT SUM(n_docs) AS _n,
-               SUM(CAST(_sq AS DECIMAL(18,6))) AS _z
-        FROM per)
+tot AS (SELECT SUM(n_docs) AS _n, SUM(_sq_e6) AS _z FROM per)
 SELECT lang, n_docs,
-       ROUND(CAST(n_docs AS DOUBLE) / _n, 6) AS p_raw,
-       ROUND(_sq / CAST(_z AS DOUBLE), 6) AS p_temp,
-       ROUND((_sq / CAST(_z AS DOUBLE))
-             / (CAST(n_docs AS DOUBLE) / _n), 6) AS boost
+       n_docs * 1000000 // _n AS p_raw_ppm,
+       _sq_e6 * 1000000 // _z AS p_temp_ppm,
+       (_sq_e6 * 1000000 // _z) * 1000000
+         // (n_docs * 1000000 // _n) AS boost_e6
 FROM per, tot ORDER BY lang
 """
 
@@ -6093,7 +6109,7 @@ ORDER BY src_a, src_b
 """
 
 
-PRIOR_K = 20.0  # pseudo-count for the source-prior shrinkage
+PRIOR_K = 20  # pseudo-count for the source-prior shrinkage (integer)
 
 
 def t_domain_prior(spark, sf_dir):
@@ -6102,39 +6118,47 @@ def t_domain_prior(spark, sf_dir):
     each source's mean quality is shrunk toward the global mean by an
     empirical-Bayes pseudo-count (small sources get the global prior,
     big sources earn their own), then blended 50/50 back into every
-    document's score. Shape: one per-doc scalar pass → one hash agg
-    per source → a one-row global agg broadcast in → a broadcast join
-    back to docs. Means are computed as exact DECIMAL(18,6) sums cast
-    to double before one ROUND — order-independent on both engines.
+    document's score. Everything is exact BIGINT micro-units end to
+    end: doc_score_e6 = chars*1e6 div words (an integer ratio), the
+    per-source SUM is order-independent integer arithmetic, the
+    shrunk prior uses n·mean = sum exactly so
+    prior_e6 = (s·g_n + K·g_s) div ((n+K)·g_n), and the blend is an
+    integer average — no float, no ROUND, nothing for cross-engine
+    decimal rounding to disagree on. Shape: one per-doc scalar pass →
+    one hash agg per source → a one-row global agg broadcast in → a
+    broadcast join back to docs.
 
     100 TB posture: two partial-aggregating shuffles (source ≪ docs)
-    and a broadcast of the source table; no window, no Python."""
+    and a broadcast of the source table; no window, no Python. The
+    s·g_n product stays under 2^63 past sf1; a 10^10-doc deployment
+    would divide first (the g_effective_diameter discipline)."""
     d = _t(spark, sf_dir, "documents")
-    score = F.round(
-        F.col("n_chars").cast("double")
-        / F.size(F.split(F.trim("text"), r"\s+")),
-        6,
+    docs = d.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "n_chars * 1000000L div "
+            "size(split(trim(text), '\\\\s+'))"
+        ).alias("doc_score_e6"),
     )
-    docs = d.select("doc_id", "source", score.alias("doc_score"))
-    dec = F.col("doc_score").cast("decimal(18,6)")
     per_src = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("_mean"),
+        F.sum("doc_score_e6").alias("_s"),
     )
     glob = docs.agg(
-        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("_g")
+        F.sum("doc_score_e6").alias("_gs"),
+        F.count(F.lit(1)).alias("_gn"),
     )
     prior = (
         per_src.crossJoin(F.broadcast(glob))
         .select(
             "source",
             "n_docs",
-            F.round("_mean", 6).alias("source_mean"),
-            F.round(
-                (F.col("n_docs") * F.col("_mean") + PRIOR_K * F.col("_g"))
-                / (F.col("n_docs") + PRIOR_K),
-                6,
-            ).alias("source_prior"),
+            F.expr("_s div n_docs").alias("source_mean_e6"),
+            F.expr(
+                f"(_s * _gn + {PRIOR_K} * _gs) div "
+                f"((n_docs + {PRIOR_K}) * _gn)"
+            ).alias("source_prior_e6"),
         )
     )
     return (
@@ -6142,21 +6166,12 @@ def t_domain_prior(spark, sf_dir):
         .select(
             "doc_id",
             "source",
-            "doc_score",
-            "source_mean",
-            "source_prior",
-            # 50/50 blend in exact micro-unit integers, then ONE IEEE
-            # division — 0.5*(a+b) of two 6-decimal values ties at the
-            # 7th digit half the time, the exact sensitivity class the
-            # r2 verdict banned; integer sum + a single shared double
-            # op is bit-identical on both engines.
-            (
-                (
-                    F.round(F.col("doc_score") * 1e6).cast("long")
-                    + F.round(F.col("source_prior") * 1e6).cast("long")
-                ).cast("double")
-                / F.lit(2000000.0)
-            ).alias("adj_score"),
+            "doc_score_e6",
+            "source_mean_e6",
+            "source_prior_e6",
+            F.expr("(doc_score_e6 + source_prior_e6) div 2").alias(
+                "adj_score_e6"
+            ),
         )
         .orderBy("doc_id")
     )
@@ -6165,27 +6180,21 @@ def t_domain_prior(spark, sf_dir):
 T_DOMAIN_PRIOR_SQL = f"""
 WITH docs AS (
   SELECT doc_id, source,
-         ROUND(CAST(n_chars AS DOUBLE)
-               / len(string_split_regex(trim(text), '\\s+')), 6) AS doc_score
+         n_chars * 1000000
+           // len(string_split_regex(trim(text), '\\s+')) AS doc_score_e6
   FROM documents),
 per_src AS (
-  SELECT source, COUNT(*) AS n_docs,
-         CAST(SUM(CAST(doc_score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
-           AS _mean
+  SELECT source, COUNT(*) AS n_docs, SUM(doc_score_e6) AS _s
   FROM docs GROUP BY source),
 gm AS (
-  SELECT CAST(SUM(CAST(doc_score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
-           AS _g
-  FROM docs),
+  SELECT SUM(doc_score_e6) AS _gs, COUNT(*) AS _gn FROM docs),
 prior AS (
-  SELECT source, n_docs, ROUND(_mean, 6) AS source_mean,
-         ROUND((n_docs * _mean + {PRIOR_K} * _g) / (n_docs + {PRIOR_K}), 6)
-           AS source_prior
+  SELECT source, n_docs, _s // n_docs AS source_mean_e6,
+         (_s * _gn + {PRIOR_K} * _gs)
+           // ((n_docs + {PRIOR_K}) * _gn) AS source_prior_e6
   FROM per_src, gm)
-SELECT doc_id, docs.source, doc_score, source_mean, source_prior,
-       CAST(CAST(ROUND(doc_score * 1000000) AS BIGINT)
-            + CAST(ROUND(source_prior * 1000000) AS BIGINT) AS DOUBLE)
-         / 2000000.0 AS adj_score
+SELECT doc_id, docs.source, doc_score_e6, source_mean_e6, source_prior_e6,
+       (doc_score_e6 + source_prior_e6) // 2 AS adj_score_e6
 FROM docs JOIN prior ON docs.source = prior.source
 ORDER BY doc_id
 """
@@ -6658,7 +6667,10 @@ ORDER BY dist
 """
 
 
-SURPRISAL_MAX_BITS = 12.0  # keep docs whose mean token surprisal ≤ this
+# keep docs whose mean token surprisal ≤ 12 bits — threshold held in
+# integer ppm so the keep predicate is exact BIGINT floor-division on
+# both engines (never a ROUND(double) comparison)
+SURPRISAL_MAX_PPM = 12_000_000
 
 
 def t_zipf_surprisal(spark, sf_dir):
@@ -6696,9 +6708,7 @@ def t_zipf_surprisal(spark, sf_dir):
             .alias("bits"),
         )
     )
-    mean_bits = F.round(
-        F.col("sum_bits").cast("double") / F.col("n_tokens").cast("double"), 6
-    )
+    mean_bits = F.expr("sum_bits * 1000000L div n_tokens")
     return (
         bits.groupBy("doc_id")
         .agg(
@@ -6709,8 +6719,8 @@ def t_zipf_surprisal(spark, sf_dir):
             "doc_id",
             "n_tokens",
             "sum_bits",
-            mean_bits.alias("mean_bits"),
-            (mean_bits <= SURPRISAL_MAX_BITS).alias("keep"),
+            mean_bits.alias("mean_bits_ppm"),
+            (mean_bits <= F.lit(SURPRISAL_MAX_PPM)).alias("keep"),
         )
         .orderBy("doc_id")
     )
@@ -6729,15 +6739,14 @@ docagg AS (
   SELECT doc_id, COUNT(*) AS n_tokens, SUM(bits) AS sum_bits
   FROM bits GROUP BY doc_id)
 SELECT doc_id, n_tokens, sum_bits,
-       ROUND(CAST(sum_bits AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS mean_bits,
-       ROUND(CAST(sum_bits AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
-         <= {SURPRISAL_MAX_BITS} AS keep
+       sum_bits * 1000000 // n_tokens AS mean_bits_ppm,
+       sum_bits * 1000000 // n_tokens <= {SURPRISAL_MAX_PPM} AS keep
 FROM docagg ORDER BY doc_id
 """
 
 
 BOILER_MIN_DF = 5  # shingle is boilerplate when ≥ this many docs of a source share it
-BOILER_KEEP_RATIO = 0.5  # keep docs that retain ≥ this after the strip
+BOILER_KEEP_PPM = 500000  # keep docs retaining ≥ this ppm after the strip
 
 
 def t_boilerplate(spark, sf_dir):
@@ -6780,18 +6789,16 @@ def t_boilerplate(spark, sf_dir):
             F.sum((F.col("df") >= BOILER_MIN_DF).cast("long")).alias("n_boiler"),
         )
     )
-    ratio = F.round(
-        F.lit(1.0)
-        - F.col("n_boiler").cast("double") / F.col("n_shingles").cast("double"),
-        6,
+    ratio = F.expr(
+        "(n_shingles - n_boiler) * 1000000L div n_shingles"
     )
     return per_doc.select(
         "doc_id",
         "source",
         "n_shingles",
         "n_boiler",
-        ratio.alias("retained_ratio"),
-        (ratio >= BOILER_KEEP_RATIO).alias("keep"),
+        ratio.alias("retained_ppm"),
+        (ratio >= F.lit(BOILER_KEEP_PPM)).alias("keep"),
     ).orderBy("doc_id")
 
 
@@ -6813,10 +6820,9 @@ per_doc AS (
   FROM sh JOIN dfx ON sh.source = dfx.source AND sh.shingle = dfx.shingle
   GROUP BY doc_id, sh.source)
 SELECT doc_id, source, n_shingles, n_boiler,
-       ROUND(1.0 - CAST(n_boiler AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6)
-         AS retained_ratio,
-       ROUND(1.0 - CAST(n_boiler AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6)
-         >= {BOILER_KEEP_RATIO} AS keep
+       (n_shingles - n_boiler) * 1000000 // n_shingles AS retained_ppm,
+       (n_shingles - n_boiler) * 1000000 // n_shingles
+         >= {BOILER_KEEP_PPM} AS keep
 FROM per_doc ORDER BY doc_id
 """
 
@@ -7490,9 +7496,9 @@ def t_collocations_pmi(spark, sf_dir):
         .crossJoin(F.broadcast(tot_b))
         .select(
             "w1", "w2", "n_xy", "nx", "ny",
-            F.round(score, 6).alias("pmi_ratio"),
+            F.floor(score * F.lit(1000000.0)).alias("pmi_ratio_e6"),
         )
-        .orderBy(F.col("pmi_ratio").desc(), "w1", "w2")
+        .orderBy(F.col("pmi_ratio_e6").desc(), "w1", "w2")
         .limit(PMI_TOP_K)
     )
 
@@ -7517,13 +7523,13 @@ uni AS (
 tot AS (SELECT SUM(cnt) AS n_total FROM uni),
 totb AS (SELECT SUM(len(w) - 1) AS b_total FROM w2)
 SELECT w1, w2, n_xy, u1.cnt AS nx, u2.cnt AS ny,
-       ROUND(CAST(n_xy AS DOUBLE) * CAST(n_total AS DOUBLE)
+       CAST(FLOOR(CAST(n_xy AS DOUBLE) * CAST(n_total AS DOUBLE)
              * CAST(n_total AS DOUBLE) / CAST(b_total AS DOUBLE)
-             / CAST(u1.cnt AS DOUBLE) / CAST(u2.cnt AS DOUBLE), 6)
-         AS pmi_ratio
+             / CAST(u1.cnt AS DOUBLE) / CAST(u2.cnt AS DOUBLE)
+             * 1000000.0) AS BIGINT) AS pmi_ratio_e6
 FROM bi JOIN uni u1 ON u1.t = bi.w1
         JOIN uni u2 ON u2.t = bi.w2, tot, totb
-ORDER BY pmi_ratio DESC, w1, w2 LIMIT {PMI_TOP_K}
+ORDER BY pmi_ratio_e6 DESC, w1, w2 LIMIT {PMI_TOP_K}
 """
 
 
@@ -8601,14 +8607,15 @@ def t_dsir_importance(spark, sf_dir):
             F.sum("w_bits").alias("score_bits"),
         )
     )
-    mean = F.round(
-        F.col("score_bits").cast("double") / F.col("n_feats").cast("double"), 6
-    )
+    # score_bits may be negative: Spark `div` and DuckDB `//` both
+    # truncate toward zero on integers, so the quotient is exact and
+    # engine-identical either sign
+    mean = F.expr("score_bits * 1000000L div n_feats")
     return scored.select(
         "doc_id",
         "n_feats",
         "score_bits",
-        mean.alias("mean_bits"),
+        mean.alias("mean_bits_ppm"),
         (F.col("score_bits") >= 0).alias("keep"),
     ).orderBy("doc_id")
 
@@ -8637,8 +8644,7 @@ scored AS (
   SELECT doc_id, COUNT(*) AS n_feats, SUM(w_bits) AS score_bits
   FROM bi JOIN wtab USING (b) GROUP BY doc_id)
 SELECT doc_id, n_feats, score_bits,
-       ROUND(CAST(score_bits AS DOUBLE) / CAST(n_feats AS DOUBLE), 6)
-         AS mean_bits,
+       score_bits * 1000000 // n_feats AS mean_bits_ppm,
        score_bits >= 0 AS keep
 FROM scored ORDER BY doc_id
 """
@@ -8829,15 +8835,14 @@ def t_quality_classifier(spark, sf_dir):
             F.sum("w").alias("logit_micro"),
         )
     )
-    mean = F.round(
-        F.col("logit_micro").cast("double") / F.col("n_terms").cast("double"),
-        6,
-    )
+    # logit_micro may be negative: both engines' integer division
+    # truncates toward zero, so the ppm mean is exact and identical
+    mean = F.expr("logit_micro * 1000000L div n_terms")
     return scored.select(
         "doc_id",
         "n_terms",
         "logit_micro",
-        mean.alias("mean_w_micro"),
+        mean.alias("mean_w_ppm"),
         (F.col("logit_micro") >= 0).alias("keep"),
     ).orderBy("doc_id")
 
@@ -8859,8 +8864,7 @@ agg AS (
   SELECT doc_id, COUNT(*) AS n_terms, SUM(w) AS logit_micro
   FROM weighted GROUP BY doc_id)
 SELECT doc_id, n_terms, CAST(logit_micro AS BIGINT) AS logit_micro,
-       ROUND(CAST(logit_micro AS DOUBLE) / CAST(n_terms AS DOUBLE), 6)
-         AS mean_w_micro,
+       CAST(logit_micro AS BIGINT) * 1000000 // n_terms AS mean_w_ppm,
        logit_micro >= 0 AS keep
 FROM agg ORDER BY doc_id
 """
@@ -9880,14 +9884,14 @@ def o_corpus_drift(spark, sf_dir):
             "bucket",
             "n_old",
             "n_new",
-            F.round(
+            F.floor(
                 F.expr(
                     "CAST(t_new * (n_old + 1) AS DOUBLE) "
                     "/ (t_old + n_buckets)"
-                ),
-                4,
-            ).alias("exp_new"),
-            F.round(
+                )
+                * F.lit(10000.0)
+            ).alias("exp_new_e4"),
+            F.floor(
                 F.expr(
                     "(n_new - CAST(t_new * (n_old + 1) AS DOUBLE) "
                     "/ (t_old + n_buckets)) "
@@ -9895,9 +9899,9 @@ def o_corpus_drift(spark, sf_dir):
                     "/ (t_old + n_buckets)) "
                     "/ (CAST(t_new * (n_old + 1) AS DOUBLE) "
                     "/ (t_old + n_buckets))"
-                ),
-                6,
-            ).alias("chi2_contrib"),
+                )
+                * F.lit(1000000.0)
+            ).alias("chi2_contrib_e6"),
         )
         .orderBy("bucket")
     )
@@ -9919,14 +9923,14 @@ tot AS (
          COUNT(*) AS n_buckets
   FROM per)
 SELECT bucket, n_old, n_new,
-       ROUND(CAST(t_new * (n_old + 1) AS DOUBLE) / (t_old + n_buckets), 4)
-         AS exp_new,
-       ROUND((n_new - CAST(t_new * (n_old + 1) AS DOUBLE)
+       CAST(FLOOR(CAST(t_new * (n_old + 1) AS DOUBLE) / (t_old + n_buckets)
+                  * 10000.0) AS BIGINT) AS exp_new_e4,
+       CAST(FLOOR((n_new - CAST(t_new * (n_old + 1) AS DOUBLE)
                 / (t_old + n_buckets))
              * (n_new - CAST(t_new * (n_old + 1) AS DOUBLE)
                 / (t_old + n_buckets))
-             / (CAST(t_new * (n_old + 1) AS DOUBLE) / (t_old + n_buckets)),
-             6) AS chi2_contrib
+             / (CAST(t_new * (n_old + 1) AS DOUBLE) / (t_old + n_buckets))
+             * 1000000.0) AS BIGINT) AS chi2_contrib_e6
 FROM per, tot
 ORDER BY bucket
 """
@@ -10181,18 +10185,19 @@ def sim_jl_projection(spark, sf_dir):
     return (
         p.select(
             "vec_id",
-            F.round(F.sqrt("s_orig"), 4).alias("orig_norm"),
-            F.round(
-                F.expr(f"sqrt(({proj_sq}) / {JL_K}.0) / sqrt(s_orig)"), 6
-            ).alias("norm_ratio"),
-            F.round(
+            F.floor(F.sqrt("s_orig") * F.lit(10000.0)).alias("orig_norm_e4"),
+            F.floor(
+                F.expr(f"sqrt(({proj_sq}) / {JL_K}.0) / sqrt(s_orig)")
+                * F.lit(1000000.0)
+            ).alias("norm_ratio_e6"),
+            F.floor(
                 F.expr(
                     f"abs(sqrt(({proj_sq}) / {JL_K}.0) / sqrt(s_orig) - 1.0)"
-                ),
-                6,
-            ).alias("distortion"),
+                )
+                * F.lit(1000000.0)
+            ).alias("distortion_e6"),
         )
-        .orderBy(F.col("distortion").desc(), "vec_id")
+        .orderBy(F.col("distortion_e6").desc(), "vec_id")
         .limit(20)
     )
 
@@ -10213,13 +10218,15 @@ p AS (
   SELECT vec_id, ({orig_sq}) AS s_orig,
          {projs}
   FROM v)
-SELECT vec_id, ROUND(sqrt(s_orig), 4) AS orig_norm,
-       ROUND(sqrt(({proj_sq}) / {JL_K}.0) / sqrt(s_orig), 6) AS norm_ratio,
-       ROUND(abs(sqrt(({proj_sq}) / {JL_K}.0) / sqrt(s_orig) - 1.0), 6)
-         AS distortion
+SELECT vec_id,
+       CAST(FLOOR(sqrt(s_orig) * 10000.0) AS BIGINT) AS orig_norm_e4,
+       CAST(FLOOR(sqrt(({proj_sq}) / {JL_K}.0) / sqrt(s_orig) * 1000000.0)
+            AS BIGINT) AS norm_ratio_e6,
+       CAST(FLOOR(abs(sqrt(({proj_sq}) / {JL_K}.0) / sqrt(s_orig) - 1.0)
+                  * 1000000.0) AS BIGINT) AS distortion_e6
 FROM p
-ORDER BY ROUND(abs(sqrt(({proj_sq}) / {JL_K}.0) / sqrt(s_orig) - 1.0), 6)
-           DESC, vec_id
+ORDER BY CAST(FLOOR(abs(sqrt(({proj_sq}) / {JL_K}.0) / sqrt(s_orig) - 1.0)
+                    * 1000000.0) AS BIGINT) DESC, vec_id
 LIMIT 20"""
 
 
@@ -13037,8 +13044,8 @@ def sim_centroid_drift(spark, sf_dir):
             "label",
             "n_old",
             "n_new",
-            F.round(F.sqrt(d2), SIM_DRIFT_ROUND).alias("drift_l2"),
-            F.round(cosine, SIM_DRIFT_ROUND).alias("cent_cosine"),
+            F.floor(F.sqrt(d2) * F.lit(1000000.0)).alias("drift_l2_e6"),
+            F.floor(cosine * F.lit(1000000.0)).alias("cent_cosine_e6"),
         )
         .orderBy("label")
     )
@@ -13070,11 +13077,11 @@ cents AS (
          [{a}] AS c0, [{b}] AS c1
   FROM v GROUP BY label)
 SELECT label, n_old, n_new,
-       ROUND(sqrt({d2}), {SIM_DRIFT_ROUND}) AS drift_l2,
-       ROUND(({_dot_sql('c0', 'c1')})
+       CAST(FLOOR(sqrt({d2}) * 1000000.0) AS BIGINT) AS drift_l2_e6,
+       CAST(FLOOR(({_dot_sql('c0', 'c1')})
              / (sqrt({_dot_sql('c0', 'c0')})
-                * sqrt({_dot_sql('c1', 'c1')})),
-             {SIM_DRIFT_ROUND}) AS cent_cosine
+                * sqrt({_dot_sql('c1', 'c1')}))
+             * 1000000.0) AS BIGINT) AS cent_cosine_e6
 FROM cents
 WHERE n_old > 0 AND n_new > 0
 ORDER BY label
