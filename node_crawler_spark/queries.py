@@ -7055,10 +7055,9 @@ def g_clustering_by_degree(spark, sf_dir):
             F.expr("shiftleft(1L, band - 1)").alias("min_deg"),
             "n_nodes",
             "sum_tri",
-            F.expr(
-                "round(cast(2 * sum_tri as double) "
-                "/ cast(sum_pairs as double), 6)"
-            ).alias("band_clust"),
+            F.expr("2 * sum_tri * 1000000L div sum_pairs").alias(
+                "band_clust_ppm"
+            ),
         )
         .orderBy("band")
     )
@@ -7076,8 +7075,7 @@ bands AS (
          CAST(SUM(deg * (deg - 1)) AS BIGINT) AS sum_pairs
   FROM per_node GROUP BY 1)
 SELECT band, (1::BIGINT << (band - 1)) AS min_deg, n_nodes, sum_tri,
-       ROUND(CAST(2 * sum_tri AS DOUBLE) / CAST(sum_pairs AS DOUBLE), 6)
-         AS band_clust
+       2 * sum_tri * 1000000 // sum_pairs AS band_clust_ppm
 FROM bands ORDER BY band
 """
 
@@ -9958,11 +9956,14 @@ def sim_matryoshka_overlap(spark, sf_dir):
     )
 
     def topk(a_expr: str, b_expr: str):
+        # rank key is floor(cos * 1e4) BIGINT (not ROUND) so the
+        # top-k membership can't drift on cross-engine rounding
         cos = F.expr(
-            f"round(aggregate(zip_with({a_expr}, {b_expr}, (a, b) -> a * b), "
+            f"floor(aggregate(zip_with({a_expr}, {b_expr}, (a, b) -> a * b), "
             f"0.0D, (acc, x) -> acc + x) "
             f"/ (sqrt(aggregate({a_expr}, 0.0D, (acc, x) -> acc + x * x)) "
-            f"* sqrt(aggregate({b_expr}, 0.0D, (acc, x) -> acc + x * x))), 4)"
+            f"* sqrt(aggregate({b_expr}, 0.0D, (acc, x) -> acc + x * x))) "
+            f"* 10000.0)"
         )
         return (
             v.crossJoin(F.broadcast(q))
@@ -9997,16 +9998,17 @@ v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
       WHERE vec_id <> 0),
 fullk AS (
   SELECT vec_id,
-         ROUND(list_dot_product(emb, q_emb)
+         FLOOR(list_dot_product(emb, q_emb)
                / (sqrt(list_dot_product(emb, emb))
-                  * sqrt(list_dot_product(q_emb, q_emb))), 4) AS c
+                  * sqrt(list_dot_product(q_emb, q_emb))) * 10000.0) AS c
   FROM v, q ORDER BY c DESC, vec_id LIMIT 10),
 trunck AS (
   SELECT vec_id,
-         ROUND(list_dot_product(emb[1:{MRL_DIMS}], q_emb[1:{MRL_DIMS}])
+         FLOOR(list_dot_product(emb[1:{MRL_DIMS}], q_emb[1:{MRL_DIMS}])
                / (sqrt(list_dot_product(emb[1:{MRL_DIMS}], emb[1:{MRL_DIMS}]))
                   * sqrt(list_dot_product(q_emb[1:{MRL_DIMS}],
-                                          q_emb[1:{MRL_DIMS}]))), 4) AS c
+                                          q_emb[1:{MRL_DIMS}]))) * 10000.0)
+           AS c
   FROM v, q ORDER BY c DESC, vec_id LIMIT 10)
 SELECT 10 AS k,
        (SELECT COUNT(*) FROM fullk JOIN trunck USING (vec_id)) AS n_overlap,
@@ -11503,8 +11505,9 @@ def g_degree_assortativity(spark, sf_dir):
     products bounded by |V|² — no float accumulation anywhere), and
     the only float operations are one IEEE sqrt of an exact integer
     and one division at the very end, both correctly rounded by every
-    IEEE-754 engine, then ROUND(…,6). The integer moment columns ARE
-    the output alongside r, so the gate pins the exact parts exactly.
+    IEEE-754 engine, then floor(r·1e6) BIGINT. The integer moment
+    columns ARE the output alongside r, so the gate pins the exact
+    parts exactly.
 
     100 TB posture: two hash degree aggregates + one join of each
     degree table back onto the edge list (the linkgraph shuffle
@@ -11539,10 +11542,10 @@ def g_degree_assortativity(spark, sf_dir):
         "sxx",
         "syy",
         F.expr(
-            "round((m * sxy - sx * sy) / "
+            "floor((m * sxy - sx * sy) / "
             "(sqrt(cast(m * sxx - sx * sx as double)) * "
-            "sqrt(cast(m * syy - sy * sy as double))), 6)"
-        ).alias("assortativity_r"),
+            "sqrt(cast(m * syy - sy * sy as double))) * 1000000.0)"
+        ).alias("assortativity_r_e6"),
     )
 
 
@@ -11561,10 +11564,10 @@ mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
                CAST(SUM(y * y) AS BIGINT) AS syy
         FROM xy)
 SELECT m, sx, sy, sxy, sxx, syy,
-       ROUND((m * sxy - sx * sy) /
+       CAST(FLOOR((m * sxy - sx * sy) /
              (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) *
-              sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6)
-         AS assortativity_r
+              sqrt(CAST(m * syy - sy * sy AS DOUBLE))) * 1000000.0)
+            AS BIGINT) AS assortativity_r_e6
 FROM mom
 """
 
