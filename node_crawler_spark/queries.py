@@ -6682,8 +6682,8 @@ def t_zipf_surprisal(spark, sf_dir):
     length(bin(total DIV cnt)) - 1 (floor(log2(floor(a/b))) ==
     floor(log2(a/b)) for a ≥ b ≥ 1), so there is no log(), no pow(),
     and no float accumulation anywhere — per-doc sums are BIGINT,
-    order-independent, bit-identical across engines; only the final
-    mean is one IEEE division + ROUND(,6).
+    order-independent, bit-identical across engines; the mean and the
+    keep predicate are exact BIGINT ppm floor-divisions.
 
     Plan: two hash aggregates (vocabulary, per-doc) + one frequency
     join on term. The join is left unhinted: AQE broadcasts the vocab
@@ -9943,8 +9943,9 @@ def sim_matryoshka_overlap(spark, sf_dir):
     index tier; before adopting that, you measure what truncation does
     to retrieval). Top-10 cosine retrieval for the vec_id=0 query is
     run twice — full 64 dims and the first MRL_DIMS dims — and the
-    audit reports the top-k overlap and both top-1 ids. Same rounded-
-    cosine + vec_id tiebreak ordering as sim_cosine_topk (both
+    audit reports the top-k overlap and both top-1 ids. Same quantized-
+    cosine (floor·1e4 BIGINT) + vec_id tiebreak top-k shape as
+    sim_cosine_topk (both
     TakeOrdered top-k selections, never a global sort); dot products
     are the shared left-fold == list_dot_product association."""
     e = _t(spark, sf_dir, "embeddings")
