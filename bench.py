@@ -357,11 +357,12 @@ def main() -> None:
     # recorded parsed: null).
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_full.json")
-    try:
-        with open(sidecar, "w") as f:
-            json.dump(full, f, indent=1)
-    except OSError:
-        pass
+    if queries or crawl:  # never clobber the full record with a
+        try:              # controls-only probe run
+            with open(sidecar, "w") as f:
+                json.dump(full, f, indent=1)
+        except OSError:
+            pass
     print(json.dumps(full))
 
     compact = {
