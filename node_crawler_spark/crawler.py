@@ -36,16 +36,17 @@ consumers; the scale path is the sink tables themselves
 
 Mid-crawl ordering (exact since r4): a url queue()d from a callback
 of page X re-enters the SAME round's insert resolution anchored at
-(X.seq, kind=2, call order) — after X's own links, before every later
-page's — matching the reference's sequential insertion point
-(crawler.js:157 fires the callback after the page's links queued;
-queue() pushes immediately, :576-618). Delivery therefore happens
-mid-round, before the round commits (the reference also fires events
-before the crawl "commits" anything). Remaining caveat (COVERAGE.md):
-a url queued from an onRedirect callback also anchors at kind=2
-(after the page's links), whereas the reference's onRedirect fires
-before link extraction; and in the pathological case where a queued
-url equals a LATER same-round page's redirect landing, that page's
+X's seq, at the reference's sequential insertion point — a
+terminal-callback queue() after X's own links (crawler.js:157 fires
+the callback after the page's links queued; queue() pushes
+immediately, :576-618), an onRedirect-callback queue() right after
+that hop's landing insert and BEFORE X's links (:484-492 inserts the
+landing, fires onRedirect, and link extraction happens later at
+:157) — before every later page's inserts either way. Delivery
+therefore happens mid-round, before the round commits (the reference
+also fires events before the crawl "commits" anything). Remaining
+caveat (COVERAGE.md): in the pathological case where a queued url
+equals a LATER same-round page's redirect landing, that page's
 already-delivered events can't be retracted (the committed sinks are
 consistent either way).
 
@@ -98,6 +99,7 @@ class Crawler:
         self._pending: list = []        # queue()d outside any callback
         self._anchored: list = []       # queue()d from a callback: (anchor_seq, ...)
         self._delivering_seq = None     # seq of the event being delivered
+        self._delivering_event = None   # redirect event_idx, None if terminal
         self._handlers: dict[str, list[Callable]] = {e: [] for e in _EVENTS}
         self._started = False
         self._killed = False
@@ -115,13 +117,16 @@ class Crawler:
         """Callable any time (crawler.js queue(), :576-618). Pre-start
         calls collect seeds. Calls from inside a callback anchor at the
         event's page: the url joins the CURRENT round's insert stream
-        right after that page's own links — the reference's exact
-        insertion point. Rare non-callback mid-crawl calls fall back to
-        the next round's frontier. The queue-gate chain
+        at the reference's exact insertion point — right after the
+        page's own links from a terminal pageCrawl/error callback,
+        right after the firing hop's landing insert (before the links)
+        from an onRedirect callback. Rare non-callback mid-crawl calls
+        fall back to the next round's frontier. The queue-gate chain
         (external/exclude/robots/seen) applies in every case."""
         if self._delivering_seq is not None:
             self._anchored.append(
-                (self._delivering_seq, url, referrer, is_external)
+                (self._delivering_seq, self._delivering_event,
+                 url, referrer, is_external)
             )
         elif self._started:
             self._pending.append((url, referrer, is_external))
@@ -215,7 +220,11 @@ class Crawler:
                 if self._killed:
                     break
                 self._delivering_seq = row.seq
+                self._delivering_event = (
+                    row.event_idx if event == "redirect" else None
+                )
                 for cb in h[event]:
                     cb(row)
         finally:
             self._delivering_seq = None
+            self._delivering_event = None

@@ -18,9 +18,16 @@ Reference semantics (file:line = /root/reference/crawler.js):
     *after* the onRedirect event fired.
   * Ordering: with workers=1 the async FIFO queue is exactly
     seq-ordered BFS; within one page the seen inserts are its redirect
-    landing first, then its links in document order — so the global
-    insert stream of a round sorts by (parent_seq, kind, pos), and new
-    seqs continue the global counter (SURVEY.md §2.7 O1).
+    landings in hop order — each immediately followed by any urls
+    queue()d from its onRedirect callback (:484-492 inserts the
+    landing FIRST, then fires onRedirect) — then its links in document
+    order (:157), then urls queue()d from the terminal callback. The
+    global insert stream of a round therefore sorts by
+    (parent_seq, band, pos) where ``band`` is a pure ORDERING column
+    (landing of hop e → 2e, onRedirect-queued at hop e → 2e+1, links →
+    BAND_LINKS, terminal-queued → BAND_QUEUED) while ``kind`` stays
+    the SEMANTIC label (0 landing / 1 link / 2 queued). New seqs
+    continue the global counter (SURVEY.md §2.7 O1).
 
 Scale posture: everything is per-round-sized (the new candidate set),
 not seen-set-sized. The one global ordering window runs over the
@@ -41,6 +48,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _PROF = _os.environ.get("NC_SPARK_PROFILE", "") == "1"
+
+# Ordering bands of the insert stream (docstring above): landings and
+# onRedirect-queued urls interleave at 2e / 2e+1 per hop e; links and
+# terminal-queued urls sort after every hop. 1<<30 keeps the bands
+# int-typed with room for max_redirects hops below.
+BAND_LINKS = 1 << 30
+BAND_QUEUED = (1 << 30) + 1
 
 
 def _pmark(label, t0):
@@ -224,6 +238,7 @@ def link_candidates(expanded: DataFrame, cfg: CrawlConfig) -> DataFrame:
     return c.select(
         "parent_seq",
         F.lit(1).alias("kind"),
+        F.lit(BAND_LINKS).alias("band"),
         F.col("pos"),
         "ins_url",
         F.col("parent_page_url").alias("referrer"),
@@ -236,29 +251,36 @@ def link_candidates(expanded: DataFrame, cfg: CrawlConfig) -> DataFrame:
 def queued_candidates(spark, items, frontier: DataFrame, cfg: CrawlConfig) -> DataFrame:
     """Mid-crawl ``queue()`` calls anchored at the enqueueing page
     (crawler.js:576-618 invoked from inside a callback): candidates at
-    stream position (parent_seq = the page's seq, kind=2, pos = call
-    order) — AFTER the page's own links (crawler.js:157 queues links
-    before the terminal callback fires) and BEFORE every later page's
-    links, reproducing the reference's sequential insertion point
-    exactly. Gate chain identical to queue(): external gate →
-    canonicalize (urlData.href, fragment KEPT in the seen key — the P2
-    asymmetry, same as seeds) → exclude patterns ('gi') → robots
-    extension; the seen probe + first-wins happen in
-    resolve_round_inserts with the rest of the round's stream.
+    the reference's exact sequential insertion point. A queue() from
+    the TERMINAL pageCrawl/error callback slots AFTER the page's own
+    links (crawler.js:157 queues links before the terminal callback
+    fires) — band BAND_QUEUED; a queue() from an onRedirect callback
+    slots right after that hop's landing insert and BEFORE the page's
+    links (:484-492 inserts the landing, then fires onRedirect, then
+    link extraction happens much later at :157) — band 2*event_idx+1.
+    Both are BEFORE every later page's inserts. Gate chain identical
+    to queue(): external gate → canonicalize (urlData.href, fragment
+    KEPT in the seen key — the P2 asymmetry, same as seeds) → exclude
+    patterns ('gi') → robots extension; the seen probe + first-wins
+    happen in resolve_round_inserts with the rest of the round's
+    stream.
 
-    ``items``: [(anchor_seq, url, referrer, is_external), ...] in call
-    order. ``frontier``: the round's scheduled frontier — joined
-    (broadcast, tiny side) to give each queued url depth = anchor
-    page's depth + 1, like a link of that page."""
+    ``items``: [(anchor_seq, event_idx_or_None, url, referrer,
+    is_external), ...] in call order — event_idx is the redirect
+    event's index when the call came from an onRedirect callback, None
+    from a terminal callback. ``frontier``: the round's scheduled
+    frontier — joined (broadcast, tiny side) to give each queued url
+    depth = anchor page's depth + 1, like a link of that page."""
     from node_crawler_spark.functions.urlkit import canonicalize_url
 
     rows = [
-        (int(a), i, u, ref, bool(ext))
-        for i, (a, u, ref, ext) in enumerate(items)
+        (int(a), BAND_QUEUED if e is None else 2 * int(e) + 1,
+         i, u, ref, bool(ext))
+        for i, (a, e, u, ref, ext) in enumerate(items)
     ]
     c = spark.createDataFrame(
         rows,
-        "parent_seq long, pos int, raw string, referrer string, "
+        "parent_seq long, band int, pos int, raw string, referrer string, "
         "is_external boolean",
     )
     if not cfg.crawl_external:  # F3 (crawler.js:584-586)
@@ -276,6 +298,7 @@ def queued_candidates(spark, items, frontier: DataFrame, cfg: CrawlConfig) -> Da
     return F.broadcast(c).join(depth_map, "parent_seq").select(
         "parent_seq",
         F.lit(2).alias("kind"),
+        "band",
         "pos",
         "ins_url",
         "referrer",
@@ -294,6 +317,7 @@ def landing_candidates(fetched: DataFrame) -> DataFrame:
         F.explode("events").alias("ev"),
     ).select(
         "parent_seq", "kind",
+        (F.col("ev.event_idx") * 2).alias("band"),
         F.col("ev.event_idx").alias("pos"),
         F.col("ev.clean_final").alias("ins_url"),
         F.lit(None).cast("string").alias("referrer"),
@@ -307,7 +331,7 @@ def assign_global_seq(
     first_occurrence: DataFrame, max_seq: int, large_round: bool
 ) -> DataFrame:
     """O1 — dense global rank over the round's first-occurrence insert
-    stream, ordered by (parent_seq, kind, pos).
+    stream, ordered by (parent_seq, band, pos).
 
     Small rounds: one single-partition window (cheapest job count).
     Large rounds (``large_round=True``, driver decides from the
@@ -317,7 +341,7 @@ def assign_global_seq(
     buckets in parallel, then add per-bucket offsets (a P-row collect).
     No single-partition shuffle at any size.
     """
-    order_cols = [F.col("parent_seq"), F.col("kind"), F.col("pos")]
+    order_cols = [F.col("parent_seq"), F.col("band"), F.col("pos")]
     if not large_round:
         return first_occurrence.withColumn(
             "_new_seq", F.lit(max_seq) + F.row_number().over(Window.orderBy(*order_cols))
@@ -370,22 +394,30 @@ def _sequential_walk(rows):
     keep_keys: list[tuple[int, int, int]] = []
     drop_pairs: list[tuple[int, int]] = []
     for pseq in sorted(by_page):
-        page_rows = sorted(by_page[pseq], key=lambda r: (r.kind, r.pos))
+        page_rows = sorted(by_page[pseq], key=lambda r: (r.band, r.pos))
         drop_at = None
+        drop_band = None
         for row in page_rows:
-            if drop_at is not None:
-                break  # crawler.js:497-500 — page finished at the drop
+            if drop_at is not None and row.band > drop_band + 1:
+                # crawler.js:497-500 — page finished at the drop. Rows
+                # at band drop_band+1 are the DROPPING hop's own
+                # onRedirect-queued urls: its callback fired before
+                # the wasAdded return (:491), so they still insert.
+                break
             if row.kind == 0:  # landing insert (D3)
+                if drop_at is not None:
+                    break  # a later hop never fires after a drop
                 if row.in_seen or row.ins_url in added:
                     drop_at = row.pos
+                    drop_band = row.band
                     drop_pairs.append((pseq, row.pos))
                 else:
                     added.add(row.ins_url)
-                    keep_keys.append((pseq, row.kind, row.pos))
-            else:  # link insert (D1/D2)
+                    keep_keys.append((pseq, row.band, row.pos))
+            else:  # link / queued insert (D1/D2, queue() :576-618)
                 if not row.in_seen and row.ins_url not in added:
                     added.add(row.ins_url)
-                    keep_keys.append((pseq, row.kind, row.pos))
+                    keep_keys.append((pseq, row.band, row.pos))
     return keep_keys, drop_pairs
 
 
@@ -439,7 +471,7 @@ def resolve_round_inserts(
             # whose union would otherwise recompute the links lineage
             # (explode + url gates) once per branch
             links = links.localCheckpoint()
-        w = Window.partitionBy("ins_url").orderBy("parent_seq", "kind", "pos")
+        w = Window.partitionBy("ins_url").orderBy("parent_seq", "band", "pos")
         probed = (
             mark_seen(links, seen_keys, bloom)
             .withColumn("_rank", F.row_number().over(w))
@@ -494,7 +526,7 @@ def resolve_round_inserts(
     )
     t0 = _pmark("marked.ckpt", t0)
     stream = marked_all.where(F.col("_core")).drop("_seen", "_core")
-    w_rest = Window.partitionBy("ins_url").orderBy("parent_seq", "kind", "pos")
+    w_rest = Window.partitionBy("ins_url").orderBy("parent_seq", "band", "pos")
     rest_probed = (
         marked_all.where(~F.col("_core"))
         .withColumn("_rank", F.row_number().over(w_rest))
@@ -516,7 +548,7 @@ def resolve_round_inserts(
     # the walk input is a filter+projection of the checkpointed
     # marked_all — no extra materialization needed
     marked = marked_all.where(F.col("_core")).select(
-        "parent_seq", "kind", "pos", "ins_url",
+        "parent_seq", "kind", "band", "pos", "ins_url",
         F.col("_seen").alias("in_seen"),
     )
     n_contested = marked.count()
@@ -526,13 +558,13 @@ def resolve_round_inserts(
         t0 = _pmark("contested.walk.driver", t0)
         n_drops = len(drop_pairs)
         keep_df = spark.createDataFrame(
-            keep_keys or [], "parent_seq long, kind int, pos int"
+            keep_keys or [], "parent_seq long, band int, pos int"
         )
         drops = spark.createDataFrame(
             drop_pairs or [], "parent_seq long, drop_idx int"
         )
         contested_keep = stream.join(
-            F.broadcast(keep_df), ["parent_seq", "kind", "pos"], "left_semi"
+            F.broadcast(keep_df), ["parent_seq", "band", "pos"], "left_semi"
         )
     else:
         import pandas as pd
@@ -542,12 +574,12 @@ def resolve_round_inserts(
                 list(pdf.itertuples(index=False))
             )
             keep = pd.DataFrame(
-                keep_keys, columns=["parent_seq", "kind", "pos"]
+                keep_keys, columns=["parent_seq", "band", "pos"]
             ).assign(keep=True, drop_idx=None)
             drp = pd.DataFrame(
                 drop_pairs, columns=["parent_seq", "drop_idx"]
-            ).assign(kind=None, pos=None, keep=False)
-            cols = ["parent_seq", "kind", "pos", "keep", "drop_idx"]
+            ).assign(band=None, pos=None, keep=False)
+            cols = ["parent_seq", "band", "pos", "keep", "drop_idx"]
             return pd.concat(
                 [keep[cols], drp[cols]], ignore_index=True
             )
@@ -557,17 +589,17 @@ def resolve_round_inserts(
             .groupBy("_g")
             .applyInPandas(
                 lambda _key, pdf: walk_pdf(pdf.drop(columns=["_g"])),
-                "parent_seq long, kind int, pos int, keep boolean, drop_idx int",
+                "parent_seq long, band int, pos int, keep boolean, drop_idx int",
             )
             .localCheckpoint()
         )
         t0 = _pmark("contested.walk.executor", t0)
-        keep_df = walked.where(F.col("keep")).select("parent_seq", "kind", "pos")
+        keep_df = walked.where(F.col("keep")).select("parent_seq", "band", "pos")
         drops = walked.where(~F.col("keep")).select("parent_seq", "drop_idx")
         n_drops = drops.count()  # rare path; walked is checkpointed
         drop_pairs = None  # executor-side only — not available locally
         contested_keep = stream.join(
-            keep_df, ["parent_seq", "kind", "pos"], "left_semi"
+            keep_df, ["parent_seq", "band", "pos"], "left_semi"
         )
     rest_keep = rest_probed.where(~F.col("_collides")).drop(
         "_seen", "_core", "_rank", "_collides"

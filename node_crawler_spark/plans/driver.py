@@ -236,12 +236,15 @@ def run_crawl(
     sink tables (crawled/errors/redirects DataFrames, passed in the
     dict) are resolved but BEFORE the round commits. This is the exact
     reference-order path for mid-crawl queue(): it may return a list of
-    ``(anchor_seq, url, referrer, is_external)`` tuples — urls queued
-    from a page's callback, anchored at that page's seq. They re-enter
-    THIS round's insert resolution at stream position (anchor_seq,
-    kind=2, call order): after the enqueueing page's own links, before
-    every later page's (crawler.js:157 fires the callback after the
-    page's links queued; queue() pushes immediately, :576-618). When it
+    ``(anchor_seq, event_idx_or_None, url, referrer, is_external)``
+    tuples — urls queued from a page's callback, anchored at that
+    page's seq. They re-enter THIS round's insert resolution at the
+    reference's sequential insertion point: a terminal-callback
+    queue() after the enqueueing page's own links (band BAND_QUEUED;
+    crawler.js:157 fires the callback after the page's links queued;
+    queue() pushes immediately, :576-618), an onRedirect-callback
+    queue() right after that hop's landing insert and BEFORE the
+    page's links (band 2*event_idx+1; :484-492). When it
     returns queued urls the round's insert stream is re-resolved with
     them included — ordering, first-wins dedup, seen probe and the
     redirect-drop walk all see the queued rows at their exact
@@ -628,7 +631,9 @@ def run_crawl(
             if anchored:
                 qc = queued_candidates(spark, anchored, scheduled, cfg)
                 # pass 2: the queued rows join the round's insert stream
-                # at (anchor_seq, kind=2, call order) — re-resolve the
+                # at their anchor bands (terminal → after the page's
+                # links, onRedirect → after that hop's landing) —
+                # re-resolve the
                 # whole stream so ordering/dedup/drops are exact. Pages
                 # whose callbacks already fired were, by construction,
                 # not dropped in pass 1; a queued url can only drop a

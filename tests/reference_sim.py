@@ -72,7 +72,8 @@ class SimResult:
 
 
 def simulate(cfg, seeds, pages_rows, http_rows, workers: int = 1,
-             completion_order=None, on_page_crawl=None) -> SimResult:
+             completion_order=None, on_page_crawl=None,
+             on_redirect=None) -> SimResult:
     """``workers`` models the reference's K-worker async queue
     (crawler.js:23-26): up to K pages are dispatched FIFO as a batch;
     ``completion_order`` (a callable batch→batch) permutes the order
@@ -246,6 +247,18 @@ def simulate(cfg, seeds, pages_rows, http_rows, workers: int = 1,
                 if not was:
                     seen.append(clean)
                     seen_set.add(clean)
+                if on_redirect is not None:
+                    # crawler.js:484-492 — the landing seen-insert
+                    # happens FIRST, then onRedirect fires (even when
+                    # wasAdded drops the page), so a queue() from the
+                    # callback inserts right here: after this event's
+                    # landing, before the next hop's and before the
+                    # page's links
+                    def _rqueue(url, referrer=None, is_external=False):
+                        return enqueue(url, referrer,
+                                       bool(is_external), page.depth + 1)
+
+                    on_redirect(ev, _rqueue)
                 page.redirects.append(page.url)
                 page.url = clean
                 if was:

@@ -194,3 +194,55 @@ def test_midround_queue_exact_insertion_matches_sim(spark, tmp_path):
                    for c_ in sorted(sim.crawled, key=lambda x: x["seq"])]
     # the queued /x was crawled and ITS links followed
     assert f"{BASE}/x1" in {u for _s, u in log}
+
+
+def test_redirect_callback_queue_inserts_before_links(spark, tmp_path):
+    """The last r4 ordering deviation: crawler.js:484-492 fires
+    onRedirect right after the landing's seen-insert — BEFORE the
+    landing page's links are extracted and queued (:157). A queue()
+    from the onRedirect callback must therefore slot between the
+    landing insert and the page's own links (engine: ordering band
+    2*event_idx+1), and first-wins against a later page's link to the
+    same url. Pinned against the simulator running the identical
+    callback."""
+    s = Scenario(name="facade_redirect_queue", cfg=CrawlConfig(retries=0),
+                 seeds=[f"{BASE}/r", f"{BASE}/b"])
+    s.page(f"{BASE}/r", status=301, location="/final", content_type=None,
+           store_body=False)
+    s.page(f"{BASE}/final", _links("/rl"))
+    s.page(f"{BASE}/b", _links("/q", "/bl"))  # /q loses to the queued /q
+    s.page(f"{BASE}/rl", _links())
+    s.page(f"{BASE}/bl", _links())
+    s.page(f"{BASE}/q", _links("/q1"))
+    s.page(f"{BASE}/q1", _links())
+    pages, http = s.dfs(spark)
+
+    def drive(queue_fn, seq):
+        if seq == 1:  # /r's redirect event
+            queue_fn(f"{BASE}/q")
+
+    c = Crawler(spark, pages, http, str(tmp_path / "rq"), retries=0)
+    c.on("redirect", lambda row: drive(c.queue, row.seq))
+    log = []
+    c.on("pageCrawl", lambda row: log.append((row.seq, row.url)))
+    for seed in s.seeds:
+        c.queue(seed)
+    res = c.start()
+
+    sim = simulate(
+        s.cfg, s.seeds, s.pages, s.http,
+        on_redirect=lambda ev, q: drive(q, ev["seq"]),
+    )
+    seen_rows = sorted(res.seen(spark).collect(), key=lambda r: r.seq)
+    # exact global insertion order: r b final q rl bl q1 — the queued
+    # /q sits between /r's landing and /r's own link /rl, and /b's
+    # duplicate link to /q vanished (first wins at the earlier anchor)
+    assert [r.url for r in seen_rows] == sim.seen
+    assert sim.seen == [f"{BASE}/r", f"{BASE}/b", f"{BASE}/final",
+                        f"{BASE}/q", f"{BASE}/rl", f"{BASE}/bl",
+                        f"{BASE}/q1"]
+    assert [r.seq for r in seen_rows] == list(range(1, len(sim.seen) + 1))
+    assert log == [(c_["seq"], c_["url"])
+                   for c_ in sorted(sim.crawled, key=lambda x: x["seq"])]
+    # the queued /q was crawled and ITS links followed
+    assert f"{BASE}/q1" in {u for _s, u in log}
