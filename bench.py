@@ -357,10 +357,30 @@ def main() -> None:
     # recorded parsed: null).
     sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_full.json")
-    if queries or crawl:  # never clobber the full record with a
-        try:              # controls-only probe run
+    if queries or crawl:
+        # Partial runs (--skip-queries / --skip-crawl) MERGE over the
+        # last full record instead of clobbering the half they didn't
+        # re-measure; controls-only probe runs never touch the file.
+        record = full
+        if not (queries and crawl):
+            try:
+                with open(sidecar) as f:
+                    prev = json.load(f)
+            except (OSError, ValueError):
+                prev = {}
+            record = dict(prev) if prev else dict(full)
+            record["box_state_controls"] = controls
+            record["scaling_recorded"] = full["scaling_recorded"]
+            if queries:
+                record["queries"] = queries
+            if crawl:
+                record["crawl"] = crawl
+                record["value"] = crawl["urls_per_sec"]
+            if "scaling" in full:
+                record["scaling"] = full["scaling"]
+        try:
             with open(sidecar, "w") as f:
-                json.dump(full, f, indent=1)
+                json.dump(record, f, indent=1)
         except OSError:
             pass
     print(json.dumps(full))
@@ -375,15 +395,22 @@ def main() -> None:
         "queries": {k: queries[k] for k in HEADLINE_QUERIES if k in queries},
         "crawl": crawl,
         "box_state_controls": controls,
-        "scaling_eff_recorded": {"2_to_8": 0.545, "8_to_32": 0.26,
-                                 "box_codegen_ceiling_2_to_8": 0.64},
+        # single source: the recorded (or just-measured) scaling dict
+        # above — no second literal copy to drift out of sync
+        "scaling_eff_recorded": {
+            "2_to_8": full["scaling_recorded"]["efficiency_2_to_8"],
+            "8_to_32": full["scaling_recorded"]["efficiency_8_to_32"],
+            "box_codegen_ceiling_2_to_8": full["scaling_recorded"][
+                "spark_ceiling_controls_2_to_8"]["codegen_long"],
+        },
         "full_record": "BENCH_full.json",
     }
     if "scaling" in full:
         compact["scaling_eff_recorded"] = {
             "2_to_8": full["scaling"]["efficiency_2_to_8"],
             "8_to_32": full["scaling"]["efficiency_8_to_32"],
-            "box_codegen_ceiling_2_to_8": 0.64,
+            "box_codegen_ceiling_2_to_8": full["scaling_recorded"][
+                "spark_ceiling_controls_2_to_8"]["codegen_long"],
         }
     print(json.dumps(compact))
 

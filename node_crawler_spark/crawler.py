@@ -150,7 +150,19 @@ class Crawler:
     def start(self):
         """Run the crawl, delivering each round's events as it
         commits. Returns the CrawlResult (sink tables, the scale
-        path)."""
+        path).
+
+        Delivery semantics: events fire BEFORE the round commits —
+        required for exact queue() anchoring (a callback's urls join
+        the enqueueing round's own expansion, crawler.js:576-618), and
+        matching the reference, where callbacks run mid-crawl and a
+        throwing callback aborts the crawl. The distributed price the
+        in-process reference never pays: if the driver dies after
+        delivery but before the round's commit, resume re-runs the
+        round and re-fires its events — delivery is AT-LEAST-ONCE
+        across crash/resume (exactly-once within a run). External
+        consumers that resume a crawl should dedupe on (round, seq,
+        event_idx), which is stable across re-runs. See COVERAGE.md."""
         from node_crawler_spark.plans.driver import run_crawl
 
         self._started = True

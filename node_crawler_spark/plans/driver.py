@@ -43,9 +43,14 @@ class _Timer:
         self._j0 = self._jobs()
 
     def _jobs(self) -> int:
+        """High-water COUNT of job ids allocated so far (ids are a
+        0-based contiguous SparkContext counter, so count = max+1);
+        ``max(ids)`` alone would report the first phase of a fresh
+        session as 0 jobs after it ran job id 0."""
         if self._tracker is None:
             return 0
-        return max(self._tracker.getJobIdsForGroup() or [0])
+        ids = self._tracker.getJobIdsForGroup()
+        return (max(ids) + 1) if ids else 0
 
     def mark(self, name: str) -> None:
         t = time.perf_counter()
@@ -472,22 +477,44 @@ def run_crawl(
             # improves — each pass can only ADD cookies / move a
             # setter earlier, so the fixpoint is monotone and bounded
             # by the round's cookie-setting chains (practically ≤2).
-            for _pass in range(8):
-                setters = expanded.select(
+            def _merge_setters(exp, state):
+                setters = exp.select(
                     "seq", F.explode("jar").alias("domain")
                 ).groupBy("domain").agg(F.min("seq").alias("setter_seq"))
-                merged = (
-                    cookie_state.unionByName(setters)
+                return (
+                    state.unionByName(setters)
                     .groupBy("domain")
                     .agg(F.min("setter_seq").alias("setter_seq"))
                     .localCheckpoint()
                 )
+
+            converged = False
+            for _pass in range(8):
+                merged = _merge_setters(expanded, cookie_state)
                 if merged.exceptAll(cookie_state).isEmpty():
+                    converged = True
                     break
                 cookie_state = merged
                 n_cookie_domains = cookie_state.count()
                 expanded.unpersist()
                 expanded, no_landings = _fetch_expand(cookie_state)
+            if not converged:
+                # pass bound exhausted (a >8-deep same-round unlock
+                # chain): fold the FINAL fetch's setters so the
+                # committed jar is still complete for next round, and
+                # say so — silent truncation here would 403 next-round
+                # pages invisibly.
+                merged = _merge_setters(expanded, cookie_state)
+                if not merged.exceptAll(cookie_state).isEmpty():
+                    print(
+                        "[node_crawler_spark] WARN: sequential-cookies "
+                        "fixpoint hit the 8-pass bound without "
+                        "converging this round; committing the folded "
+                        "jar (this round's fetches may predate it)",
+                        flush=True,
+                    )
+                    cookie_state = merged
+                    n_cookie_domains = cookie_state.count()
 
         links = link_candidates(expanded, cfg)
         landings = landing_candidates(expanded)

@@ -12982,9 +12982,6 @@ FROM agg
 """
 
 
-SIM_DRIFT_ROUND = 6
-
-
 def sim_centroid_drift(spark, sf_dir):
     """Embedding-centroid drift between crawl batches (the dense-space
     twin of o_corpus_drift's length-histogram chi-square: split the

@@ -58,17 +58,51 @@ DRIVER_PROVEN_ROUND_SAFE = {
     "w_funnel",
     "dedup_semantic",
     "w_retention_cohorts",
+    # hash-green in CORRECTNESS_r03 with ROUND(...,6) in its oracle;
+    # invisible to the pre-r4 regex (nested parens), caught by the
+    # paren-matching scanner.
+    "pipeline_curate",
 }
 
-# F.round(<anything>, <nonzero scale>) — tolerates nested parens one
-# level deep in the first argument; scale-0 snaps are allowed.
-_SPARK_ROUND = re.compile(
-    r"F\.round\((?:[^()]|\([^()]*\))*,(?!\s*0\s*\))", re.S
-)
-# SQL ROUND(..., k>=1)
-_SQL_ROUND = re.compile(
-    r"(?i)\bround\s*\((?:[^()]|\([^()]*\))*,\s*[1-9]"
-)
+# Call-open markers; the scale argument is extracted by a real
+# paren-matching scan (_scaled_round) — a bounded regex over the
+# argument list cannot traverse arbitrarily nested parentheses (e.g.
+# `F.round(F.abs(a - F.col("b")) / n, 4)`), which is exactly the form
+# the r3 hash failures used.
+_SPARK_ROUND_OPEN = re.compile(r"F\.round\s*\(")
+_SQL_ROUND_OPEN = re.compile(r"(?i)\bround\s*\(")
+
+
+def _scaled_round(text: str, opener: re.Pattern) -> bool:
+    """True iff any ROUND(...) call in ``text`` carries a scale
+    argument other than a literal 0 (scale omitted == 0 == allowed).
+
+    Walks the argument list with a parenthesis-depth counter (skipping
+    quoted strings), so nesting depth in the first argument is
+    irrelevant — the last TOP-LEVEL comma-separated argument is the
+    scale whenever at least one top-level comma exists."""
+    for m in opener.finditer(text):
+        i, depth = m.end(), 1
+        last_arg_start, saw_comma, scale = i, False, None
+        while i < len(text) and depth:
+            c = text[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0 and saw_comma:
+                    scale = text[last_arg_start:i]
+            elif c == "," and depth == 1:
+                saw_comma, last_arg_start = True, i + 1
+            elif c in "'\"":
+                q = c
+                i += 1
+                while i < len(text) and text[i] != q:
+                    i += 1
+            i += 1
+        if scale is not None and scale.strip() != "0":
+            return True
+    return False
 
 
 def _function_sources() -> dict[str, str]:
@@ -90,7 +124,7 @@ def test_no_new_spark_round_outside_proven_set():
         if name in DRIVER_PROVEN_ROUND_SAFE:
             continue
         body = funcs.get(getattr(fn, "__name__", ""), "")
-        if _SPARK_ROUND.search(body):
+        if _scaled_round(body, _SPARK_ROUND_OPEN):
             offenders.append(name)
     assert offenders == [], (
         f"F.round(x, k>=1) reintroduced in not-driver-proven queries "
@@ -105,12 +139,38 @@ def test_no_new_sql_round_outside_proven_set():
     for name, sql in oracles.items():
         if name in DRIVER_PROVEN_ROUND_SAFE:
             continue
-        if _SQL_ROUND.search(sql):
+        if _scaled_round(sql, _SQL_ROUND_OPEN):
             offenders.append(name)
     assert offenders == [], (
         f"ROUND(x, k>=1) reintroduced in not-driver-proven oracles "
         f"{offenders} — mirror the Spark side's integer/floored form"
     )
+
+
+def test_scanner_catches_nested_forms():
+    """The detector must traverse arbitrarily nested first arguments —
+    the r3 hash-failing forms themselves — and must still allow
+    scale-0 snaps and scale-omitted calls."""
+    flagged = [
+        'F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4)',
+        'ROUND(ABS(x - f(y)) / n, 4)',
+        'ROUND(SUM(CASE WHEN f(x) THEN 1 END) / c, 4)',
+        "F.round(F.col('a'), 2)",
+        "round(x / y, 6)",
+    ]
+    allowed = [
+        "F.round(F.abs(a - b) * 100, 0)",
+        "ROUND(SUM(CASE WHEN f(x) THEN 1 END) / c, 0)",
+        "ROUND(x / y)",
+        "F.round(expr)",
+        "x_round(a, 4)",  # not a ROUND call (SQL \\b guard)
+    ]
+    for s in flagged:
+        opener = _SPARK_ROUND_OPEN if s.startswith("F.") else _SQL_ROUND_OPEN
+        assert _scaled_round(s, opener), f"missed: {s}"
+    for s in allowed:
+        opener = _SPARK_ROUND_OPEN if s.startswith("F.") else _SQL_ROUND_OPEN
+        assert not _scaled_round(s, opener), f"false positive: {s}"
 
 
 def test_allowlist_matches_registry():
