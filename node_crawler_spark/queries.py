@@ -5185,10 +5185,11 @@ def sk_kmv_merge(spark, sf_dir):
         )
 
     def topk(hdf):
-        rn = F.row_number().over(Window.orderBy("hv"))
-        return hdf.withColumn("rn", rn).where(F.col("rn") <= KMV_K).select(
-            "hv"
-        )
+        # TakeOrderedAndProject: partition-local K-smallest + one
+        # K-row final merge — the distributed shape the contract
+        # describes. (A row_number over a global Window here would
+        # move EVERY distinct hash into one partition first.)
+        return hdf.orderBy("hv").limit(KMV_K)
 
     def sketch_stats(sk, prefix):
         est = (
@@ -7866,10 +7867,13 @@ def o_key_skew(spark, sf_dir):
             .groupBy(F.col(key).alias("k"))
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        rn = F.row_number().over(
-            Window.orderBy(F.col("cnt").desc(), F.col("k"))
+        # TakeOrderedAndProject top-N (partition-local heads + one
+        # N-row merge): a global-window row_number here would drag
+        # EVERY distinct key into a single partition — the exact skew
+        # trap this profiler exists to measure.
+        top = cnts.orderBy(F.col("cnt").desc(), F.col("k")).limit(
+            SKEW_TOP_N
         )
-        top = cnts.withColumn("_rn", rn).where(F.col("_rn") <= SKEW_TOP_N)
         stats = cnts.agg(
             F.count(F.lit(1)).alias("n_keys"),
             F.sum("cnt").alias("total"),
@@ -10347,9 +10351,11 @@ def t_ccnet_perplexity(spark, sf_dir):
     −log2 p(w_i|w_{i−1}) ≈ ilog2(ctx_count + V) − ilog2(bigram_count
     + 1) with ilog2(x) = length(bin(x)) − 1 — no log(), no float
     accumulation; per-doc score is milli-bits per bigram by BIGINT
-    floor division. Terciles come from ntile(3) over the total order
-    (score, doc_id) — a rank op; the O1 two-phase rank substitutes at
-    open-web cardinality, same note as o_key_skew's top-k.
+    floor division. Terciles are computed as the O1 two-phase rank
+    over the total order (score, doc_id) — range-bucketed parallel
+    row_number + P-row offset collect, then the NTILE bucket as pure
+    arithmetic on the global rank — so no single-partition window
+    exists at any cardinality (the plan ntile(3) would produce).
 
     Scale shape: the bigram-count and context-count tables are
     corpus-wide aggregates joined back onto the per-doc bigram
@@ -10399,15 +10405,76 @@ def t_ccnet_perplexity(spark, sf_dir):
         F.sum(F.col("m") * F.col("bits")).alias("total_bits"),
     )
     mbits = F.expr("total_bits * 1000L div n_bigrams")
-    w = Window.orderBy(mbits, F.col("doc_id"))
+    # checkpoint the per-doc frame: it feeds the scalar agg, the
+    # bucket counts, and the final projection — without this the
+    # bigram explosion upstream would run three times
+    pd2 = per_doc.withColumn("mbits_per_bg", mbits).localCheckpoint()
+    # Exact NTILE(3) over (mbits, doc_id) WITHOUT the single-partition
+    # global window ntile() plans: two-phase rank (assign_global_seq
+    # discipline, operators/expand.py:330). The composite integer key
+    # mbits*(maxdoc+1)+doc_id orders identically to (mbits, doc_id)
+    # and is unique, so range buckets rank in parallel, per-bucket
+    # offsets are a P-row collect, and the tercile is pure arithmetic
+    # on the global rank (sizes base+1 ×r then base, r = n mod 3 —
+    # the NTILE contract).
+    sc_row = pd2.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("doc_id").alias("maxdoc"),
+        F.min(F.col("mbits_per_bg")).alias("mlo"),
+        F.max(F.col("mbits_per_bg")).alias("mhi"),
+    ).first()
+    n = int(sc_row.n or 0)
+    out_cols = [
+        "doc_id",
+        "n_bigrams",
+        "total_bits",
+        "mbits_per_bg",
+    ]
+    if n == 0:
+        return pd2.select(
+            *out_cols, F.lit("tail").alias("bucket")
+        ).orderBy("doc_id")
+    wmul = int(sc_row.maxdoc) + 1
+    lo = int(sc_row.mlo) * wmul
+    hi = int(sc_row.mhi) * wmul + int(sc_row.maxdoc)
+    span = max(hi - lo + 1, 1)
+    P = spark.sparkContext.defaultParallelism * 4
+    b = pd2.withColumn(
+        "_ck", F.col("mbits_per_bg") * F.lit(wmul) + F.col("doc_id")
+    ).withColumn(
+        "_bkt",
+        F.least(
+            F.lit(P - 1),
+            ((F.col("_ck") - F.lit(lo)) * F.lit(P) / F.lit(span)).cast(
+                "int"
+            ),
+        ),
+    )
+    counts = {
+        r._bkt: r["count"] for r in b.groupBy("_bkt").count().collect()
+    }
+    offsets, acc = {}, 0
+    for k in range(P):
+        offsets[k] = acc
+        acc += counts.get(k, 0)
+    omap = F.create_map(
+        *[x for k in sorted(offsets) for x in (F.lit(k), F.lit(offsets[k]))]
+    )
+    wloc = Window.partitionBy("_bkt").orderBy("_ck")
+    base, rem = n // 3, n % 3
+    ranked = b.withColumn(
+        "_rn", omap[F.col("_bkt")] + F.row_number().over(wloc)
+    )
+    nt = F.expr(
+        f"CASE WHEN _rn <= {rem * (base + 1)}L "
+        f"THEN (_rn - 1) div {base + 1}L + 1 "
+        f"ELSE {rem} + (_rn - 1 - {rem * (base + 1)}L) div "
+        f"{max(base, 1)}L + 1 END"
+    )
     return (
-        per_doc.withColumn("mbits_per_bg", mbits)
-        .withColumn("nt", F.ntile(3).over(w))
+        ranked.withColumn("nt", nt)
         .select(
-            "doc_id",
-            "n_bigrams",
-            "total_bits",
-            "mbits_per_bg",
+            *out_cols,
             F.expr(
                 "CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' "
                 "ELSE 'tail' END"
@@ -12422,31 +12489,55 @@ def o_warc_gaps(spark, sf_dir):
     on every row (expected = max_id − min_id + 1 over the observed
     span). Top-K widest gaps, then earliest-first.
 
-    100 TB posture: ONE global sort-by-id is the only heavy op — and
-    it is the two-phase O1-rank shape at open-web cardinality (here
-    lead() over a range partition; ids are near-sorted on arrival so
-    the range exchange moves little); the scalar span/count reduce is
-    order-free; top-K is TakeOrderedAndProject."""
+    100 TB posture: successor pairs come from a lead() PARTITIONED by
+    id-range bucket (parallel at any cardinality) plus a boundary
+    stitch over the ≤P+1-row bucket-edge frame — the only global
+    window in the plan runs on that tiny frame, never on the id
+    stream; the scalar span/count reduce is order-free; top-K is
+    TakeOrderedAndProject."""
     ev = _t(spark, sf_dir, "events").select("event_id")
     kept = ev.where(F.expr(f"event_id % {WARCGAP_DROP_MOD} != 0"))
-    w = Window.orderBy("event_id")
-    gaps = (
-        kept.withColumn("nxt", F.lead("event_id").over(w))
-        .where(F.expr("nxt - event_id > 1"))
-        .select(
-            F.expr("event_id + 1").alias("gap_start"),
-            F.expr("nxt - 1").alias("gap_end"),
-            F.expr("nxt - event_id - 1").alias("width"),
-        )
-    )
-    span = kept.agg(
+    # id-range buckets: successor pairs WITHIN a bucket come from a
+    # partitioned lead() (parallel), pairs ACROSS bucket boundaries
+    # from stitching each bucket's max to the next non-empty bucket's
+    # min over the ≤P+1-row bucket-edge frame — the only global
+    # window left runs on that tiny frame, never on the id stream.
+    sc_row = kept.agg(
         F.count(F.lit(1)).alias("n_present"),
         F.min("event_id").alias("lo"),
         F.max("event_id").alias("hi"),
-    ).select(
-        "n_present",
-        F.expr("hi - lo + 1").alias("n_expected"),
-        F.expr("n_present * 1000000L div (hi - lo + 1)").alias(
+    ).first()
+    n_present = int(sc_row.n_present or 0)
+    lo = int(sc_row.lo) if sc_row.lo is not None else 0
+    hi = int(sc_row.hi) if sc_row.hi is not None else 0
+    span_n = max(hi - lo + 1, 1)
+    P = spark.sparkContext.defaultParallelism * 4
+    bsize = max(span_n // P, 1)
+    b = kept.withColumn("_bkt", F.expr(f"(event_id - {lo}L) div {bsize}L"))
+    wloc = Window.partitionBy("_bkt").orderBy("event_id")
+    inner = (
+        b.withColumn("nxt", F.lead("event_id").over(wloc))
+        .where(F.expr("nxt - event_id > 1"))
+        .select("event_id", "nxt")
+    )
+    edges = b.groupBy("_bkt").agg(
+        F.min("event_id").alias("bmin"), F.max("event_id").alias("bmax")
+    )
+    wedge = Window.orderBy("_bkt")
+    cross = (
+        edges.withColumn("nmin", F.lead("bmin").over(wedge))
+        .where(F.expr("nmin - bmax > 1"))
+        .select(F.col("bmax").alias("event_id"), F.col("nmin").alias("nxt"))
+    )
+    gaps = inner.unionByName(cross).select(
+        F.expr("event_id + 1").alias("gap_start"),
+        F.expr("nxt - 1").alias("gap_end"),
+        F.expr("nxt - event_id - 1").alias("width"),
+    )
+    span = spark.range(1).select(
+        F.lit(n_present).alias("n_present"),
+        F.lit(hi - lo + 1).cast("long").alias("n_expected"),
+        F.lit(n_present * 1000000 // span_n).cast("long").alias(
             "completeness_ppm"
         ),
     )
