@@ -10439,16 +10439,14 @@ def t_ccnet_perplexity(spark, sf_dir):
     hi = int(sc_row.mhi) * wmul + int(sc_row.maxdoc)
     span = max(hi - lo + 1, 1)
     P = spark.sparkContext.defaultParallelism * 4
+    # divide-first bucket (the g_effective_diameter lesson, PLANS.md:
+    # multiply-first (_ck-lo)*P overflows BIGINT at open-web _ck);
+    # ceil(span/P) keeps bucket ids strictly inside 0..P-1
+    csize = (span + P - 1) // P
     b = pd2.withColumn(
         "_ck", F.col("mbits_per_bg") * F.lit(wmul) + F.col("doc_id")
     ).withColumn(
-        "_bkt",
-        F.least(
-            F.lit(P - 1),
-            ((F.col("_ck") - F.lit(lo)) * F.lit(P) / F.lit(span)).cast(
-                "int"
-            ),
-        ),
+        "_bkt", F.expr(f"cast((_ck - {lo}L) div {csize}L as int)")
     )
     counts = {
         r._bkt: r["count"] for r in b.groupBy("_bkt").count().collect()
@@ -12491,7 +12489,7 @@ def o_warc_gaps(spark, sf_dir):
 
     100 TB posture: successor pairs come from a lead() PARTITIONED by
     id-range bucket (parallel at any cardinality) plus a boundary
-    stitch over the ≤P+1-row bucket-edge frame — the only global
+    stitch over the ≤P-row bucket-edge frame — the only global
     window in the plan runs on that tiny frame, never on the id
     stream; the scalar span/count reduce is order-free; top-K is
     TakeOrderedAndProject."""
@@ -12500,7 +12498,7 @@ def o_warc_gaps(spark, sf_dir):
     # id-range buckets: successor pairs WITHIN a bucket come from a
     # partitioned lead() (parallel), pairs ACROSS bucket boundaries
     # from stitching each bucket's max to the next non-empty bucket's
-    # min over the ≤P+1-row bucket-edge frame — the only global
+    # min over the ≤P-row bucket-edge frame — the only global
     # window left runs on that tiny frame, never on the id stream.
     sc_row = kept.agg(
         F.count(F.lit(1)).alias("n_present"),
@@ -12512,8 +12510,12 @@ def o_warc_gaps(spark, sf_dir):
     hi = int(sc_row.hi) if sc_row.hi is not None else 0
     span_n = max(hi - lo + 1, 1)
     P = spark.sparkContext.defaultParallelism * 4
-    bsize = max(span_n // P, 1)
-    b = kept.withColumn("_bkt", F.expr(f"(event_id - {lo}L) div {bsize}L"))
+    # ceil(span/P): bucket ids strictly inside 0..P-1, so the edge
+    # frame is <=P rows (floor-div could mint up to 2P-1 buckets)
+    bsize = (span_n + P - 1) // P
+    b = kept.withColumn(
+        "_bkt", F.expr(f"(event_id - {lo}L) div {bsize}L")
+    ).localCheckpoint()
     wloc = Window.partitionBy("_bkt").orderBy("event_id")
     inner = (
         b.withColumn("nxt", F.lead("event_id").over(wloc))
