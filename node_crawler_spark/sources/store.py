@@ -94,7 +94,8 @@ class SnapshotStore:
         """
         manifest: dict = {"round": r, "tables": {}, **(extra or {})}
         known_counts = known_counts or {}
-        for name, df in tables.items():
+
+        def _write_one(name: str, df: DataFrame) -> DataFrame:
             path = self._round_dir(r, name)
             if name == "seen_delta":
                 df = df.withColumn(
@@ -116,6 +117,31 @@ class SnapshotStore:
                 ).partitionBy("bucket").parquet(path)
             else:
                 df.write.mode("overwrite").parquet(path)
+            return df
+
+        # The table writes are independent jobs over already-materialized
+        # round intermediates (the driver's counts forced every shared
+        # localCheckpoint before commit), so submit them CONCURRENTLY:
+        # on this box that overlaps the per-job scheduling floor that
+        # dominates small-round commits (BENCH/BASELINE.md §6/§13); on a
+        # cluster it overlaps the per-table output-commit barriers. The
+        # manifest publish below still happens strictly after every
+        # write returns — atomicity is unchanged.
+        if len(tables) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(tables)) as pool:
+                futures = {
+                    name: pool.submit(_write_one, name, df)
+                    for name, df in tables.items()
+                }
+            written = {name: f.result() for name, f in futures.items()}
+        else:
+            written = {n: _write_one(n, df) for n, df in tables.items()}
+
+        for name in tables:
+            df = written[name]
+            path = self._round_dir(r, name)
             entry: dict = {"schema": df.schema.json()}
             if lineage or name in lineage_tables:
                 # per-partition lineage straight from the parquet footers
