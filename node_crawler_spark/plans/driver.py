@@ -299,6 +299,18 @@ def run_crawl(
         cookie_state = store.read_table(spark, last, "cookies")
         if cookie_state is None:
             cookie_state = spark.createDataFrame([], cookie_schema)
+        elif cfg.sequential_cookies and "setter_seq" not in cookie_state.columns:
+            # resume across a mode flip: a cookie committed by an earlier
+            # (non-sequential) run is crawl-globally visible, which in
+            # sequential terms is a setter BEFORE every remaining page —
+            # setter_seq 0 encodes exactly that
+            cookie_state = cookie_state.select(
+                "domain", F.lit(0).cast("long").alias("setter_seq")
+            )
+        elif not cfg.sequential_cookies and "setter_seq" in cookie_state.columns:
+            # the reverse flip: earlier-round cookies become globally
+            # visible, which is the non-sequential contract verbatim
+            cookie_state = cookie_state.select("domain").distinct()
         cookie_state = cookie_state.localCheckpoint()
         n_cookie_domains = cookie_state.count()
     else:
@@ -663,11 +675,20 @@ def run_crawl(
                 # re-resolve the
                 # whole stream so ordering/dedup/drops are exact. Pages
                 # whose callbacks already fired were, by construction,
-                # not dropped in pass 1; a queued url can only drop a
-                # LATER page (larger parent_seq), so the sinks rebuilt
-                # below never contradict an already-delivered event
-                # except in the pathological queued-url == later-page-
-                # landing case (COVERAGE.md).
+                # not dropped in pass 1, so the REBUILT SINKS are
+                # reference-exact (the walk drops any page whose later
+                # landing collides with a queued url — including the
+                # queueing page ITSELF, when a RETRY attempt's chain
+                # lands on a url its earlier attempt's onRedirect
+                # callback queued; crawler.js:497-500 fires onRedirect
+                # once per attempt, AFTER that attempt's landing
+                # seen-insert). The live event stream, however, already
+                # delivered pass-1 events: when a queued url equals a
+                # LATER landing — a later page's, or a later attempt's
+                # of the queueing page itself — the dropped page's
+                # terminal event has already fired. Documented
+                # deviation (COVERAGE.md): sinks exact, stream
+                # over-delivers in exactly this pathological case.
                 inserts.unpersist()
                 if n_drops and (drop_pairs is None or n_drops > 5000):
                     drops.unpersist()

@@ -254,10 +254,20 @@ def export_warc(
     h = http_meta.where(F.col("attempt") == 0).select(
         "url", "status_code", "content_type", "location", "set_cookie"
     )
+    # LEFT join: redirect hops (30x rows) legitimately have no stored
+    # page body, so warc_ts comes back NULL for them — strftime on a
+    # NaT would fail the whole partition. WARC-Date is mandatory
+    # (ISO 28500 §5.4), so such records get the deterministic epoch
+    # sentinel instead of dropping the redirect from the archive.
     combined = h.join(
         pages.select("url", "warc_ts", "html"), "url", "left"
-    ).select("url", "warc_ts", "html", "status_code", "content_type",
-             "location", "set_cookie")
+    ).select(
+        "url",
+        F.coalesce(
+            "warc_ts", F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+        ).alias("warc_ts"),
+        "html", "status_code", "content_type", "location", "set_cookie",
+    )
 
     os.makedirs(out_dir, exist_ok=True)
     suffix = ".warc.gz" if per_record_gzip else ".warc"
@@ -343,6 +353,23 @@ def _uri_header_safe(url: str) -> str:
         )
 
 
+def _http_value_safe(key: str, value: str) -> str:
+    """The HTTP header block inside a response record is also written
+    latin-1, and ``Location:`` carries a crawled URL — the same
+    non-latin-1 IRI crash as WARC-Target-URI (ADVICE r3), one builder
+    later. URL-valued headers get the percent-encoding guard
+    (byte-preserving for every already-writable value); any other
+    header value falls back to latin-1 'replace', mirroring the read
+    path's decode policy, instead of failing the export partition."""
+    if key.lower() == "location":
+        return _uri_header_safe(value)
+    try:
+        value.encode("latin-1")
+        return value
+    except UnicodeEncodeError:
+        return value.encode("latin-1", "replace").decode("latin-1")
+
+
 def warc_response_record(
     url: str,
     ts: datetime,
@@ -355,7 +382,7 @@ def warc_response_record(
               401: "Unauthorized"}.get(status, "Status")
     hh = http_headers or [("Content-Type", "text/html; charset=utf-8")]
     http_head = f"HTTP/1.1 {status} {reason}\r\n" + "".join(
-        f"{k}: {v}\r\n" for k, v in hh
+        f"{k}: {_http_value_safe(k, v)}\r\n" for k, v in hh
     )
     payload = http_head.encode("latin-1") + b"\r\n" + body
     date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")

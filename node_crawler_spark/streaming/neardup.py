@@ -34,7 +34,6 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
 
 from node_crawler_spark.queries import (
     MH_JACCARD_PPM,
@@ -42,13 +41,11 @@ from node_crawler_spark.queries import (
     _minhash_bands,
     _shingles_from,
 )
+from node_crawler_spark.streaming._state import read_state_or_empty
 
 
 def _read_state(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    try:
-        return spark.read.parquet(path).distinct()
-    except AnalysisException:  # first batch: no state yet
-        return spark.createDataFrame([], schema)
+    return read_state_or_empty(spark, path, schema).distinct()
 
 
 def neardup_fold(batch_df: DataFrame, batch_id: int, state_dir: str,

@@ -123,3 +123,37 @@ def test_sequential_cookies_resume_bit_identical(spark, tmp_path):
     )
     assert _tables(spark, resumed) == want
     assert resumed.max_seq == full.max_seq
+
+
+def test_resume_across_cookie_mode_flip(spark, tmp_path):
+    """Resuming with sequential_cookies flipped must not crash on the
+    stored jar schema (code-review finding): the committed table is
+    reconciled to the config's mode — a pre-flip cookie is visible to
+    every remaining page either way (setter_seq 0 going to sequential;
+    domain-distinct going to non-sequential)."""
+    from node_crawler_spark.sources.store import SnapshotStore
+
+    seeds = [f"{BASE}/make-cookie"]
+    for first, then in ((False, True), (True, False)):
+        tag = f"flip_{int(first)}"
+        cfg1 = CrawlConfig(sequential_cookies=first, max_rounds=1)
+        # round 1 sets the cookie; /account (requires_cookie) is only
+        # REACHED in round 2, after the mode flip
+        s = Scenario(name="seq_cookie_flip", cfg=cfg1, seeds=seeds)
+        s.page(f"{BASE}/make-cookie", _links("/account"),
+               set_cookie="sid=abc")
+        s.page(f"{BASE}/account", _links(), requires_cookie=True)
+        pages, http = s.dfs(spark)
+        run_crawl(spark, cfg1, pages, http, seeds, str(tmp_path / tag))
+        assert SnapshotStore(str(tmp_path / tag)).last_committed_round() == 1
+
+        cfg2 = CrawlConfig(sequential_cookies=then)
+        resumed = run_crawl(
+            spark, cfg2, pages, http, seeds, str(tmp_path / tag), resume=True
+        )
+        # the cookie set in round 1 is visible after resume in both
+        # directions: /account (requires_cookie) crawls, never 403s
+        crawled = {r.url for r in resumed.crawled(spark).collect()}
+        errors = {r.url for r in resumed.errors(spark).collect()}
+        assert f"{BASE}/account" in crawled, (first, then)
+        assert f"{BASE}/account" not in errors, (first, then)

@@ -535,3 +535,87 @@ def test_non_latin1_url_exports_do_not_crash():
     # pure-ASCII and latin-1 URLs are untouched (golden round-trips)
     assert _uri_header_safe("http://a.com/x?y=1#z") == "http://a.com/x?y=1#z"
     assert _uri_header_safe("http://a.com/café") == "http://a.com/café"
+
+
+def test_non_latin1_http_header_values_do_not_crash():
+    """The HTTP header block is latin-1 too: a redirect row exports a
+    ``Location:`` header carrying the landing URL (export_warc), so a
+    non-latin-1 redirect target used to crash the partition the same
+    way the Target-URI did. Location gets the percent-encoding guard;
+    arbitrary header values (Set-Cookie etc.) fall back to latin-1
+    'replace' rather than raising."""
+    from datetime import datetime
+
+    from node_crawler_spark.sources.warc import (
+        iter_warc_records,
+        warc_response_record,
+    )
+
+    ts = datetime(2026, 1, 1, 0, 0, 0)
+    blob = warc_response_record(
+        "http://example.com/start",
+        ts,
+        b"",
+        status=301,
+        http_headers=[
+            ("Content-Type", "text/html"),
+            ("Location", "http://example.com/日本語"),
+            ("Set-Cookie", "name=café✓"),
+        ],
+    )
+    (hdrs, payload), = list(iter_warc_records(blob))
+    http_head = payload.split(b"\r\n\r\n", 1)[0].decode("latin-1")
+    assert "Location: http://example.com/%E6%97%A5%E6%9C%AC%E8%AA%9E" in http_head
+    assert "Set-Cookie: name=café?" in http_head  # replace, not crash
+    # latin-1-safe headers stay byte-identical
+    blob2 = warc_response_record(
+        "http://example.com/", ts, b"", status=301,
+        http_headers=[("Location", "http://example.com/café")],
+    )
+    (_, payload2), = list(iter_warc_records(blob2))
+    assert b"Location: http://example.com/caf\xe9" in payload2
+
+
+def test_export_redirect_hop_without_stored_body(spark, tmp_path):
+    """Redirect hops (30x rows) have no page-store body, so the export
+    join leaves their warc_ts NULL — strftime on the NaT used to fail
+    the partition. They now export with the deterministic epoch
+    WARC-Date and their (guarded) Location header, and round-trip
+    through read_warc."""
+    import os
+
+    from node_crawler_spark.config import CrawlConfig
+    from node_crawler_spark.sources.fixtures import BASE, Scenario, _links
+    from node_crawler_spark.sources.warc import (
+        export_warc,
+        iter_warc_records,
+        read_warc,
+        warc_tables,
+    )
+
+    s = Scenario(name="hop_export", cfg=CrawlConfig(retries=0),
+                 seeds=[f"{BASE}/r"])
+    s.page(f"{BASE}/r", status=301, location="/café/日本語",
+           content_type=None, store_body=False)
+    s.page(f"{BASE}/café/日本語", _links())
+    pages, http = s.dfs(spark)
+    out = str(tmp_path / "w")
+    export_warc(pages, http, out, per_record_gzip=False).collect()
+
+    locations, dates = [], []
+    for root, _d, files in os.walk(out):
+        for f in files:
+            if not f.endswith(".warc"):
+                continue
+            blob = open(os.path.join(root, f), "rb").read()
+            for hdrs, payload in iter_warc_records(blob):
+                dates.append(hdrs["warc-date"])
+                locations += [
+                    line for line in payload.split(b"\r\n")
+                    if line.startswith(b"Location:")
+                ]
+    # latin-1 chars byte-preserved, beyond-latin-1 percent-encoded
+    assert locations == [b"Location: /caf\xe9/%E6%97%A5%E6%9C%AC%E8%AA%9E"]
+    assert "1970-01-01T00:00:00Z" in dates  # the body-less hop's sentinel
+    bp, bh = warc_tables(read_warc(spark, out))
+    assert bh.count() == 2
