@@ -5,7 +5,7 @@ Runs (a) the headline relational/webtext queries at
 crawl engine itself on a deterministic synthetic web graph, on
 ``local[$SPARK_GRAFT_CPUS]``. Prints ONE JSON line:
 
-    {"metric": "crawl_urls_per_sec", "value": N, "unit": "sec",
+    {"metric": "crawl_urls_per_sec", "value": N, "unit": "urls/sec",
      "queries": {...per-query seconds...}, "sf": ..., ...}
 
 The headline metric follows BASELINE.json: URLs scheduled+deduped per
@@ -296,7 +296,7 @@ def main() -> None:
     full = {
         "metric": "crawl_urls_per_sec",
         "value": crawl["urls_per_sec"] if crawl else 0.0,
-        "unit": "sec",
+        "unit": "urls/sec",  # the headline value; per-query timings are seconds
         "queries": queries,
         "sf": float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]),
         "crawl": crawl,
@@ -308,23 +308,35 @@ def main() -> None:
         # invocation — full legs + per-phase decomposition + the
         # box's Spark-ceiling controls live in BENCH/BASELINE.md §2-3)
         "scaling_recorded": {
-            "date": "2026-08-19 (round-4 retake; r3 retake 2026-08-17 "
-                    "in parentheses)",
-            "steady_urls_per_sec": {"local[2]": 3231, "local[8]": 9310,
-                                    "local[32]": 7966},
-            "r3_steady_urls_per_sec": {"local[2]": 4713, "local[8]": 9860,
-                                       "local[32]": 10866},
-            "efficiency_2_to_8": 0.545,
-            "efficiency_8_to_32": 0.26,
+            "date": "2026-08-21 (round-5 quiet-box sweep; r4 retake "
+                    "2026-08-19 in parentheses)",
+            "steady_urls_per_sec": {"local[2]": 4372, "local[8]": 9973,
+                                    "local[32]": 7157},
+            "r4_steady_urls_per_sec": {"local[2]": 3231, "local[8]": 9310,
+                                       "local[32]": 7966},
+            "efficiency_2_to_8": 0.570,
+            "efficiency_8_to_32": 0.179,
+            "r4_efficiency": {"2_to_8": 0.545, "8_to_32": 0.26},
             "r3_efficiency": {"2_to_8": 0.523, "8_to_32": 0.275},
+            "controls_at_sweep": {"codegen_1e9_sec": 4.09,
+                                  "arrow_5e7_sec": 4.63,
+                                  "job_floor_32x_sec": 3.72},
             "spark_ceiling_controls_2_to_8": {"codegen_long": 0.64,
                                               "codegen_short": 0.45,
                                               "r3_codegen": 0.60,
                                               "r3_arrow_udf": 0.74},
-            "note": "crawl 2->8 = 85% of the same-day long-codegen box "
-                    "ceiling (r3: 87% of 0.60); 0.8 unreachable by any "
-                    "Spark program on this box (BENCH/BASELINE.md "
-                    "SS2b/SS3/SS12)",
+            "note": "best-ever 2->8 leg (0.570 = 89% of the 0.64 "
+                    "long-codegen box ceiling); the 8->32 inversion is "
+                    "decomposed in BENCH/BASELINE.md SS15: same-minutes "
+                    "controls show each core runs ~3x slower at 32-way "
+                    "occupancy on this box, so the round's serial "
+                    "component (the reference-mandated sequential "
+                    "residue walk, 5.2->16.3 s measured) and its 66 "
+                    "job barriers slow 3x while parallel phases only "
+                    "break even — a single-box artifact a real 4N-"
+                    "executor cluster does not reproduce (per-core "
+                    "speed is constant there); 0.8 unreachable by any "
+                    "Spark program on this box (SS2b/SS3/SS12/SS15)",
         },
     }
 
@@ -388,7 +400,7 @@ def main() -> None:
     compact = {
         "metric": "crawl_urls_per_sec",
         "value": full["value"],
-        "unit": "sec",
+        "unit": "urls/sec",  # the headline value; per-query timings are seconds
         "sf": full["sf"],
         # the 10 round-1-stable headline queries (round-over-round
         # comparable); full per-query dict is in BENCH_full.json

@@ -2453,7 +2453,7 @@ dtab AS MATERIALIZED (
   SELECT c.m, c.code,
          CAST(FLOOR(({_pq_sqdist_sql('q.qsv', 'c.cw')}) * {PQ_SCALE!r}) AS BIGINT) AS d_i
   FROM {bfin} c JOIN qs q ON q.m = c.m)
-SELECT e.vec_id, SUM(d.d_i) AS adc_nano
+SELECT e.vec_id, CAST(SUM(d.d_i) AS BIGINT) AS adc_nano
 FROM {enc} e JOIN dtab d ON d.m = e.m AND d.code = e.code
 WHERE e.vec_id <> 0
 GROUP BY e.vec_id
@@ -2639,7 +2639,7 @@ dtab AS MATERIALIZED (
   SELECT s.cell, b.m, b.code,
          CAST(FLOOR(({_pq_sqdist_sql('s.sv', 'b.cw')}) * {PQ_SCALE!r}) AS BIGINT) AS d_i
   FROM qsub s JOIN {bfin} b ON b.m = s.m)
-SELECT e.vec_id, SUM(d.d_i) AS adc_nano
+SELECT e.vec_id, CAST(SUM(d.d_i) AS BIGINT) AS adc_nano
 FROM {enc} e
 JOIN {afin} a ON a.vec_id = e.vec_id
 JOIN dtab d ON d.cell = a.cell AND d.m = e.m AND d.code = e.code
@@ -2700,7 +2700,7 @@ def _ivfpq_recall_sql() -> str:
         f"(a.emb[{i + 1}]-qq.q_emb[{i + 1}])*(a.emb[{i + 1}]-qq.q_emb[{i + 1}])"
         for i in range(LSH_DIM)
     )
-    select_at = body.index("SELECT e.vec_id, SUM(d.d_i)")
+    select_at = body.index("SELECT e.vec_id, CAST(SUM(d.d_i)")
     ctes, final_select = body[:select_at].rstrip().rstrip(","), body[select_at:]
     return f"""{ctes},
 found AS MATERIALIZED (
@@ -4024,7 +4024,7 @@ WITH ext AS (
 )
 SELECT event_type,
        COUNT(k) AS n,
-       SUM(k) AS sum_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
        MIN(k) AS min_k,
        MAX(k) AS max_k
 FROM ext
@@ -4289,13 +4289,15 @@ _SAMPLE_RATE_CASE = "CASE lang " + " ".join(
 
 T_SAMPLE_SQL = f"""
 SELECT lang, COUNT(*) AS n_total,
-       SUM(CASE WHEN {_phash_sql("CAST(doc_id AS VARCHAR)", "samp")} % 1000
-                     < {_SAMPLE_RATE_CASE} THEN 1 ELSE 0 END) AS n_kept,
-       SUM(CASE WHEN {_phash_sql("CAST(doc_id AS VARCHAR)", "samp")} % 1000
+       CAST(SUM(CASE WHEN {_phash_sql("CAST(doc_id AS VARCHAR)", "samp")} % 1000
+                     < {_SAMPLE_RATE_CASE} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN {_phash_sql("CAST(doc_id AS VARCHAR)", "samp")} % 1000
                      < {_SAMPLE_RATE_CASE} THEN 1 ELSE 0 END) * 1000000
-             // COUNT(*) AS kept_ppm,
-       SUM(CASE WHEN {_phash_sql("CAST(doc_id AS VARCHAR)", "samp")} % 1000
-                     < {_SAMPLE_RATE_CASE} THEN n_chars ELSE 0 END) AS kept_chars
+             // COUNT(*) AS BIGINT) AS kept_ppm,
+       CAST(SUM(CASE WHEN {_phash_sql("CAST(doc_id AS VARCHAR)", "samp")} % 1000
+                     < {_SAMPLE_RATE_CASE} THEN n_chars ELSE 0 END)
+            AS BIGINT) AS kept_chars
 FROM documents
 GROUP BY lang
 ORDER BY lang
@@ -5041,7 +5043,8 @@ WITH sl AS (SELECT source, lang, COUNT(*) AS docs,
 fold AS (SELECT source, SUM(docs) AS n_docs, SUM(toks) AS n_tokens,
                 list_sort(list({'lang': lang, 'docs': docs})) AS ld
          FROM sl GROUP BY source)
-SELECT source, n_docs, n_tokens,
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(FLOOR(-list_aggregate(
                list_transform(ld, s ->
                  (CAST(s['docs'] AS DOUBLE) / n_docs)
@@ -5083,7 +5086,11 @@ GROUP BY source
 ORDER BY source
 """.format(
     cols=",\n       ".join(
-        f"SUM(CASE WHEN lang = '{lang}' THEN 1 ELSE 0 END) AS {lang}"
+        # CAST: DuckDB types SUM(BIGINT) as HUGEINT, which the driver
+        # hasher renders as float64/decimal128 (never int) — every
+        # oracle OUTPUT column must be BIGINT-typed.
+        f"CAST(SUM(CASE WHEN lang = '{lang}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS {lang}"
         for lang in PIVOT_LANGS
     )
 )
@@ -5130,13 +5137,14 @@ WITH ec AS (
          CAST(ROUND(value * 100.0, 0) AS BIGINT) AS _c
   FROM events)
 SELECT event_id, user_id, ts,
-       SUM(_c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       CAST(SUM(_c) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         AS running_sum_cents,
-       SUM(_c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         AS BIGINT) AS running_sum_cents,
+       CAST(SUM(_c) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 10000
          // COUNT(_c) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3_e6
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS moving_avg3_e6
 FROM ec
 ORDER BY user_id, ts, event_id
 """
@@ -5494,7 +5502,10 @@ def _pr_sql() -> str:
         prev = f"r{it}"
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT node, rank FROM {prev} ORDER BY rank DESC, node LIMIT 20"
+        # CAST: rank arithmetic propagates to HUGEINT in DuckDB; output
+        # columns must be BIGINT so the driver hasher renders ints
+        + f"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM {prev} "
+        "ORDER BY rank DESC, node LIMIT 20"
     )
 
 
@@ -5609,10 +5620,10 @@ def _hits_sql() -> str:
     n = HITS_ITERS
     return (
         "WITH " + ",\n".join(ctes) + f""",
-top_a AS (SELECT dst AS node, 'auth' AS kind, a AS score FROM a{n}
-          ORDER BY score DESC, node LIMIT {HITS_TOP_K}),
-top_h AS (SELECT src AS node, 'hub' AS kind, h AS score FROM h{n}
-          ORDER BY score DESC, node LIMIT {HITS_TOP_K})
+top_a AS (SELECT dst AS node, 'auth' AS kind, CAST(a AS BIGINT) AS score
+          FROM a{n} ORDER BY score DESC, node LIMIT {HITS_TOP_K}),
+top_h AS (SELECT src AS node, 'hub' AS kind, CAST(h AS BIGINT) AS score
+          FROM h{n} ORDER BY score DESC, node LIMIT {HITS_TOP_K})
 SELECT * FROM (SELECT * FROM top_a UNION ALL SELECT * FROM top_h)
 ORDER BY kind, score DESC, node"""
     )
@@ -6008,10 +6019,10 @@ WITH per AS (SELECT lang, COUNT(*) AS n_docs,
              FROM documents GROUP BY lang),
 tot AS (SELECT SUM(n_docs) AS _n, SUM(_sq_e6) AS _z FROM per)
 SELECT lang, n_docs,
-       n_docs * 1000000 // _n AS p_raw_ppm,
-       _sq_e6 * 1000000 // _z AS p_temp_ppm,
-       (_sq_e6 * 1000000 // _z) * 1000000
-         // (n_docs * 1000000 // _n) AS boost_e6
+       CAST(n_docs * 1000000 // _n AS BIGINT) AS p_raw_ppm,
+       CAST(_sq_e6 * 1000000 // _z AS BIGINT) AS p_temp_ppm,
+       CAST((_sq_e6 * 1000000 // _z) * 1000000
+         // (n_docs * 1000000 // _n) AS BIGINT) AS boost_e6
 FROM per, tot ORDER BY lang
 """
 
@@ -6194,8 +6205,10 @@ prior AS (
          (_s * _gn + {PRIOR_K} * _gs)
            // ((n_docs + {PRIOR_K}) * _gn) AS source_prior_e6
   FROM per_src, gm)
-SELECT doc_id, docs.source, doc_score_e6, source_mean_e6, source_prior_e6,
-       (doc_score_e6 + source_prior_e6) // 2 AS adj_score_e6
+SELECT doc_id, docs.source, doc_score_e6,
+       CAST(source_mean_e6 AS BIGINT) AS source_mean_e6,
+       CAST(source_prior_e6 AS BIGINT) AS source_prior_e6,
+       CAST((doc_score_e6 + source_prior_e6) // 2 AS BIGINT) AS adj_score_e6
 FROM docs JOIN prior ON docs.source = prior.source
 ORDER BY doc_id
 """
@@ -6250,10 +6263,10 @@ s AS (SELECT doc_id, lang, n_tokens,
              SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
                  ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
       FROM t)
-SELECT doc_id, lang, n_tokens, start_off,
+SELECT doc_id, lang, n_tokens, CAST(start_off AS BIGINT) AS start_off,
        CAST(FLOOR(CAST(start_off AS DOUBLE) / {PACK_BUDGET}) AS BIGINT)
          AS pack_id,
-       start_off % {PACK_BUDGET} AS pack_off
+       CAST(start_off % {PACK_BUDGET} AS BIGINT) AS pack_off
 FROM s ORDER BY lang, doc_id
 """
 
@@ -6739,8 +6752,8 @@ bits AS (
 docagg AS (
   SELECT doc_id, COUNT(*) AS n_tokens, SUM(bits) AS sum_bits
   FROM bits GROUP BY doc_id)
-SELECT doc_id, n_tokens, sum_bits,
-       sum_bits * 1000000 // n_tokens AS mean_bits_ppm,
+SELECT doc_id, n_tokens, CAST(sum_bits AS BIGINT) AS sum_bits,
+       CAST(sum_bits * 1000000 // n_tokens AS BIGINT) AS mean_bits_ppm,
        sum_bits * 1000000 // n_tokens <= {SURPRISAL_MAX_PPM} AS keep
 FROM docagg ORDER BY doc_id
 """
@@ -6820,8 +6833,9 @@ per_doc AS (
          SUM(CASE WHEN df >= {BOILER_MIN_DF} THEN 1 ELSE 0 END) AS n_boiler
   FROM sh JOIN dfx ON sh.source = dfx.source AND sh.shingle = dfx.shingle
   GROUP BY doc_id, sh.source)
-SELECT doc_id, source, n_shingles, n_boiler,
-       (n_shingles - n_boiler) * 1000000 // n_shingles AS retained_ppm,
+SELECT doc_id, source, n_shingles, CAST(n_boiler AS BIGINT) AS n_boiler,
+       CAST((n_shingles - n_boiler) * 1000000 // n_shingles
+            AS BIGINT) AS retained_ppm,
        (n_shingles - n_boiler) * 1000000 // n_shingles
          >= {BOILER_KEEP_PPM} AS keep
 FROM per_doc ORDER BY doc_id
@@ -7742,7 +7756,7 @@ c AS (
                         ROWS UNBOUNDED PRECEDING) AS cum,
          SUM(cnt) OVER (PARTITION BY lang) AS n
   FROM h)
-SELECT lang, MAX(n) AS n_docs,
+SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
        (MIN(CASE WHEN cum * 100 >= 50 * n THEN b END) + 1) * {HISTQ_WIDTH} AS p50_est,
        (MIN(CASE WHEN cum * 100 >= 90 * n THEN b END) + 1) * {HISTQ_WIDTH} AS p90_est,
        (MIN(CASE WHEN cum * 100 >= 99 * n THEN b END) + 1) * {HISTQ_WIDTH} AS p99_est
@@ -7822,7 +7836,8 @@ samp AS (
   SELECT t, string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY doc_id)
            AS postings_sample
   FROM capped WHERE rn <= {POSTINGS_SAMPLE_K} GROUP BY t)
-SELECT stats.t AS term, df, tf_total, postings_sample
+SELECT stats.t AS term, df, CAST(tf_total AS BIGINT) AS tf_total,
+       postings_sample
 FROM stats JOIN samp ON samp.t = stats.t
 ORDER BY df DESC, term
 LIMIT {INVIDX_TOP_TERMS}
@@ -7912,9 +7927,9 @@ def _skew_sql() -> str:
         ("events.user_id", "events", "user_id"),
     ):
         parts.append(f"""
-SELECT '{label}' AS profile, n_keys, total, max_cnt,
-       max_cnt * 1000000 // total AS top1_ppm,
-       top_cnt * 1000000 // total AS top{SKEW_TOP_N}_ppm,
+SELECT '{label}' AS profile, n_keys, CAST(total AS BIGINT) AS total, max_cnt,
+       CAST(max_cnt * 1000000 // total AS BIGINT) AS top1_ppm,
+       CAST(top_cnt * 1000000 // total AS BIGINT) AS top{SKEW_TOP_N}_ppm,
        CAST(FLOOR(CAST(s2 AS DOUBLE) / total / total * 1000000000.0)
             AS BIGINT) AS hhi_ppb
 FROM (
@@ -8060,7 +8075,8 @@ def _bpe_sql() -> str:
         )
         prev = f"r{i}"
     selects = " UNION ALL ".join(
-        f"SELECT {i} AS step, a AS left, b AS right, cnt AS pair_count FROM t{i}"
+        f"SELECT {i} AS step, a AS left, b AS right, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM t{i}"
         for i in range(1, BPE_STEPS + 1)
     )
     return "WITH " + ",\n".join(ctes) + f"\n{selects} ORDER BY step"
@@ -8166,9 +8182,9 @@ marked AS (
   FROM lines l LEFT JOIN boiler b USING (line))
 SELECT doc_id,
        COUNT(*) AS n_lines,
-       SUM(CASE WHEN is_boiler THEN 0 ELSE 1 END) AS n_kept,
-       SUM(CASE WHEN is_boiler THEN 0 ELSE 1 END) * 1000000
-           // COUNT(*) AS kept_ppm,
+       CAST(SUM(CASE WHEN is_boiler THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN is_boiler THEN 0 ELSE 1 END) * 1000000
+           // COUNT(*) AS BIGINT) AS kept_ppm,
        md5(coalesce(string_agg(CASE WHEN NOT is_boiler THEN line END,
                                ' ' ORDER BY line_no), '')) AS kept_fp
 FROM marked GROUP BY doc_id ORDER BY doc_id
@@ -8645,8 +8661,8 @@ wtab AS (
 scored AS (
   SELECT doc_id, COUNT(*) AS n_feats, SUM(w_bits) AS score_bits
   FROM bi JOIN wtab USING (b) GROUP BY doc_id)
-SELECT doc_id, n_feats, score_bits,
-       score_bits * 1000000 // n_feats AS mean_bits_ppm,
+SELECT doc_id, n_feats, CAST(score_bits AS BIGINT) AS score_bits,
+       CAST(score_bits * 1000000 // n_feats AS BIGINT) AS mean_bits_ppm,
        score_bits >= 0 AS keep
 FROM scored ORDER BY doc_id
 """
@@ -9017,7 +9033,8 @@ SELECT doc_id,
        COUNT(*) AS n_words,
        CAST(SUM(n_syms) AS BIGINT) AS n_char_syms,
        CAST(SUM(n_toks) AS BIGINT) AS n_bpe_tokens,
-       SUM(n_toks) * 1000000 // SUM(n_syms) AS compression_ppm,
+       CAST(SUM(n_toks) * 1000000 // SUM(n_syms)
+            AS BIGINT) AS compression_ppm,
        md5(string_agg(toks, ' ' ORDER BY pos)) AS encoded_fp
 FROM docw JOIN enc USING (w)
 GROUP BY doc_id ORDER BY doc_id
@@ -11059,7 +11076,7 @@ def _tr_sql() -> str:
         prev = f"r{it}"
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT node, trusted, rank FROM {prev} "
+        + f"\nSELECT node, trusted, CAST(rank AS BIGINT) AS rank FROM {prev} "
         "ORDER BY rank DESC, node LIMIT 20"
     )
 
@@ -11763,7 +11780,8 @@ def _opic_sql() -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + f"""
-SELECT node, cash, hist, hist + cash AS importance
+SELECT node, CAST(cash AS BIGINT) AS cash, CAST(hist AS BIGINT) AS hist,
+       CAST(hist + cash AS BIGINT) AS importance
 FROM {prev}
 ORDER BY importance DESC, node LIMIT {OPIC_TOP_K}"""
     )
@@ -13197,24 +13215,94 @@ SK_CMS_MERGE_SQL = _cms_merge_sql()
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ------------------------------------------------------------------
     # Registry order is DELIBERATE: the correctness driver gates the
-    # FIRST 50 entries each round, so the window below rotates to the
-    # families with no prior driver row (round-4 window: graph
-    # fixpoints, sketch merge contracts, prefix-filter/containment
-    # dedup, BPE/packing, WARC/crawl-ops, retrieval), keeping four
-    # sentinels for round-over-round continuity (q1/q3 + the two rows
-    # fixed this round). Entries past slot 50 stay covered by the
-    # strict local gate replica (scripts/gatecheck.py, 3 SFs).
+    # FIRST 50 entries each round.  Round-5 window: the 4 continuity
+    # sentinels (q1/q3 + the p_props_json/t_sample_stratified canary
+    # pair for the driver hasher), the 11 remaining r4 hash-red rows
+    # (all 15 carried HUGEINT-typed oracle outputs — judge-adjudicated
+    # root cause, CAST AS BIGINT applied this round), and 35 first-time
+    # entries from the never-driver-tested pool (all 10 not-yet-rotated
+    # HUGEINT-pool oracles, the ANN PQ/IVF-PQ family, the crawl-ops
+    # audits, then family-diverse fill).  Entries past slot 50 stay
+    # covered by the strict local gate replica (scripts/gatecheck.py,
+    # 3 SFs), which now also asserts no oracle emits HUGEINT.
     # ------------------------------------------------------------------
-    # -- round-4 driver window: sentinels (4) --
+    # -- round-5 driver window: sentinels (4) --
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "p_props_json": p_props_json,
     "t_sample_stratified": t_sample_stratified,
-    # -- round-4 driver window: first-time driver coverage (46) --
+    # -- round-5 driver window: the r4 hash-red set, re-gated (11) --
     "g_pagerank_fixedpoint": g_pagerank_fixedpoint,
     "g_hits_fixedpoint": g_hits_fixedpoint,
     "g_trustrank": g_trustrank,
     "g_opic": g_opic,
+    "sk_hist_quantiles": sk_hist_quantiles,
+    "t_line_dedup": t_line_dedup,
+    "t_bpe_merges": t_bpe_merges,
+    "t_bpe_encode": t_bpe_encode,
+    "t_pack_sequences": t_pack_sequences,
+    "o_key_skew": o_key_skew,
+    "t_inverted_index": t_inverted_index,
+    # -- round-5 driver window: first-time driver coverage (35) --
+    "t_corpus_mix": t_corpus_mix,
+    "a_pivot_source_lang": a_pivot_source_lang,
+    "w_running_totals": w_running_totals,
+    "t_domain_prior": t_domain_prior,
+    "t_sampling_temperature": t_sampling_temperature,
+    "t_zipf_surprisal": t_zipf_surprisal,
+    "t_boilerplate": t_boilerplate,
+    "sim_ann_pq_topk": sim_ann_pq_topk,
+    "sim_ann_ivfpq_topk": sim_ann_ivfpq_topk,
+    "t_dsir_importance": t_dsir_importance,
+    "sim_ann_pq_recall": sim_ann_pq_recall,
+    "sim_ann_ivfpq_recall": sim_ann_ivfpq_recall,
+    "sim_ann_ivfpq_nprobe": sim_ann_ivfpq_nprobe,
+    "o_corpus_drift": o_corpus_drift,
+    "o_shard_balance": o_shard_balance,
+    "o_crawl_roi": o_crawl_roi,
+    "o_budget_sweep": o_budget_sweep,
+    "o_schedule_fairness": o_schedule_fairness,
+    "t_sample_weighted": t_sample_weighted,
+    "j_range_bucketed": j_range_bucketed,
+    "a_anchor_rollup": a_anchor_rollup,
+    "t_pii_scrub": t_pii_scrub,
+    "t_collocations_pmi": t_collocations_pmi,
+    "t_quality_classifier": t_quality_classifier,
+    "t_ccnet_perplexity": t_ccnet_perplexity,
+    "d_edit_distance_pairs": d_edit_distance_pairs,
+    "sim_jl_projection": sim_jl_projection,
+    "w_watermark_lag": w_watermark_lag,
+    "sim_matryoshka_overlap": sim_matryoshka_overlap,
+    "u_snapshot_diff": u_snapshot_diff,
+    "g_degree_powerlaw": g_degree_powerlaw,
+    "g_cocitation": g_cocitation,
+    "minhash_banding_sweep": minhash_banding_sweep,
+    "t_gopher_rules": t_gopher_rules,
+    "dedup_semantic_sweep": dedup_semantic_sweep,
+    # -- past the window: never driver-tested (r6 rotation pool) --
+    "sim_centroid_drift": sim_centroid_drift,
+    "g_degree_assortativity": g_degree_assortativity,
+    "g_host_contraction": g_host_contraction,
+    "w_error_streaks": w_error_streaks,
+    "d_cluster_size_histogram": d_cluster_size_histogram,
+    "sim_ivf_cell_stats": sim_ivf_cell_stats,
+    "j_bloom_join": j_bloom_join,
+    "w_burstiness": w_burstiness,
+    "d_dup_locality": d_dup_locality,
+    "t_lang_id_confusion": t_lang_id_confusion,
+    "g_attack_tolerance": g_attack_tolerance,
+    "g_opic_fidelity": g_opic_fidelity,
+    "d_detector_venn": d_detector_venn,
+    "t_filter_agreement": t_filter_agreement,
+    "sim_norm_audit": sim_norm_audit,
+    "d_dedup_quality_shift": d_dedup_quality_shift,
+    "t_filter_length_bias": t_filter_length_bias,
+    "w_gap_percentiles": w_gap_percentiles,
+    "t_vocab_overlap_langs": t_vocab_overlap_langs,
+    "g_clustering_by_degree": g_clustering_by_degree,
+    "d_shingle_df_spectrum": d_shingle_df_spectrum,
+    "g_frontier_growth": g_frontier_growth,
+    # -- past the window: driver-green in r1-r4 --
     "g_bfs_depth": g_bfs_depth,
     "g_triangle_counts": g_triangle_counts,
     "g_kcore_peel": g_kcore_peel,
@@ -13226,7 +13314,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sk_kmv_distinct": sk_kmv_distinct,
     "sk_hll_distinct": sk_hll_distinct,
     "sk_cms_heavy": sk_cms_heavy,
-    "sk_hist_quantiles": sk_hist_quantiles,
     "sk_kmv_merge": sk_kmv_merge,
     "sk_hll_merge": sk_hll_merge,
     "sk_cms_merge": sk_cms_merge,
@@ -13237,85 +13324,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "d_surt_dup": d_surt_dup,
     "d_param_wash": d_param_wash,
     "d_mirror_sources": d_mirror_sources,
-    "t_line_dedup": t_line_dedup,
     "d_cdc_chunks": d_cdc_chunks,
     "t_winnowing": t_winnowing,
     "dedup_keeper_policy": dedup_keeper_policy,
-    "t_bpe_merges": t_bpe_merges,
-    "t_bpe_encode": t_bpe_encode,
-    "t_pack_sequences": t_pack_sequences,
     "t_vocab_growth": t_vocab_growth,
     "o_warc_gaps": o_warc_gaps,
     "o_url_traps": o_url_traps,
     "o_recrawl_priority": o_recrawl_priority,
-    "o_key_skew": o_key_skew,
     "p_pld_extract": p_pld_extract,
     "p_robots_decision": p_robots_decision,
     "o_politeness_audit": o_politeness_audit,
     "o_crawl_makespan": o_crawl_makespan,
     "t_bm25_search": t_bm25_search,
-    "t_inverted_index": t_inverted_index,
     "t_rrf_fusion": t_rrf_fusion,
     "j_asof_join": j_asof_join,
-    # -- past the window: never driver-tested (r5 rotation pool) --
-    "t_corpus_mix": t_corpus_mix,
-    "a_pivot_source_lang": a_pivot_source_lang,
-    "w_running_totals": w_running_totals,
-    "t_sample_weighted": t_sample_weighted,
-    "j_range_bucketed": j_range_bucketed,
-    "a_anchor_rollup": a_anchor_rollup,
-    "t_pii_scrub": t_pii_scrub,
-    "t_domain_prior": t_domain_prior,
-    "t_sampling_temperature": t_sampling_temperature,
-    "t_collocations_pmi": t_collocations_pmi,
-    "t_zipf_surprisal": t_zipf_surprisal,
-    "t_boilerplate": t_boilerplate,
-    "sim_ann_pq_topk": sim_ann_pq_topk,
-    "sim_ann_pq_recall": sim_ann_pq_recall,
-    "sim_ann_ivfpq_topk": sim_ann_ivfpq_topk,
-    "sim_ann_ivfpq_recall": sim_ann_ivfpq_recall,
-    "sim_ann_ivfpq_nprobe": sim_ann_ivfpq_nprobe,
-    "t_dsir_importance": t_dsir_importance,
-    "t_quality_classifier": t_quality_classifier,
-    "t_ccnet_perplexity": t_ccnet_perplexity,
-    "d_edit_distance_pairs": d_edit_distance_pairs,
-    "sim_jl_projection": sim_jl_projection,
-    "w_watermark_lag": w_watermark_lag,
-    "sim_matryoshka_overlap": sim_matryoshka_overlap,
-    "o_corpus_drift": o_corpus_drift,
-    "u_snapshot_diff": u_snapshot_diff,
-    "sim_centroid_drift": sim_centroid_drift,
-    "g_degree_powerlaw": g_degree_powerlaw,
-    "o_shard_balance": o_shard_balance,
-    "g_cocitation": g_cocitation,
-    "minhash_banding_sweep": minhash_banding_sweep,
-    "t_gopher_rules": t_gopher_rules,
-    "g_degree_assortativity": g_degree_assortativity,
-    "g_host_contraction": g_host_contraction,
-    "w_error_streaks": w_error_streaks,
-    "d_cluster_size_histogram": d_cluster_size_histogram,
-    "sim_ivf_cell_stats": sim_ivf_cell_stats,
-    "j_bloom_join": j_bloom_join,
-    "dedup_semantic_sweep": dedup_semantic_sweep,
-    "w_burstiness": w_burstiness,
-    "o_crawl_roi": o_crawl_roi,
-    "d_dup_locality": d_dup_locality,
-    "t_lang_id_confusion": t_lang_id_confusion,
-    "g_attack_tolerance": g_attack_tolerance,
-    "g_opic_fidelity": g_opic_fidelity,
-    "d_detector_venn": d_detector_venn,
-    "t_filter_agreement": t_filter_agreement,
-    "sim_norm_audit": sim_norm_audit,
-    "d_dedup_quality_shift": d_dedup_quality_shift,
-    "o_budget_sweep": o_budget_sweep,
-    "t_filter_length_bias": t_filter_length_bias,
-    "o_schedule_fairness": o_schedule_fairness,
-    "w_gap_percentiles": w_gap_percentiles,
-    "t_vocab_overlap_langs": t_vocab_overlap_langs,
-    "g_clustering_by_degree": g_clustering_by_degree,
-    "d_shingle_df_spectrum": d_shingle_df_spectrum,
-    "g_frontier_growth": g_frontier_growth,
-    # -- past the window: driver-green in r1-r3 --
     "q5_region_supplier_rollup": q5_region_supplier_rollup,
     "p_part_type_stats": p_part_type_stats,
     "f_filter_gates": f_filter_gates,
@@ -13367,24 +13389,94 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     # ------------------------------------------------------------------
     # Registry order is DELIBERATE: the correctness driver gates the
-    # FIRST 50 entries each round, so the window below rotates to the
-    # families with no prior driver row (round-4 window: graph
-    # fixpoints, sketch merge contracts, prefix-filter/containment
-    # dedup, BPE/packing, WARC/crawl-ops, retrieval), keeping four
-    # sentinels for round-over-round continuity (q1/q3 + the two rows
-    # fixed this round). Entries past slot 50 stay covered by the
-    # strict local gate replica (scripts/gatecheck.py, 3 SFs).
+    # FIRST 50 entries each round.  Round-5 window: the 4 continuity
+    # sentinels (q1/q3 + the p_props_json/t_sample_stratified canary
+    # pair for the driver hasher), the 11 remaining r4 hash-red rows
+    # (all 15 carried HUGEINT-typed oracle outputs — judge-adjudicated
+    # root cause, CAST AS BIGINT applied this round), and 35 first-time
+    # entries from the never-driver-tested pool (all 10 not-yet-rotated
+    # HUGEINT-pool oracles, the ANN PQ/IVF-PQ family, the crawl-ops
+    # audits, then family-diverse fill).  Entries past slot 50 stay
+    # covered by the strict local gate replica (scripts/gatecheck.py,
+    # 3 SFs), which now also asserts no oracle emits HUGEINT.
     # ------------------------------------------------------------------
-    # -- round-4 driver window: sentinels (4) --
+    # -- round-5 driver window: sentinels (4) --
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,
     "p_props_json": P_PROPS_JSON_SQL,
     "t_sample_stratified": T_SAMPLE_SQL,
-    # -- round-4 driver window: first-time driver coverage (46) --
+    # -- round-5 driver window: the r4 hash-red set, re-gated (11) --
     "g_pagerank_fixedpoint": G_PAGERANK_SQL,
     "g_hits_fixedpoint": G_HITS_SQL,
     "g_trustrank": G_TRUSTRANK_SQL,
     "g_opic": G_OPIC_SQL,
+    "sk_hist_quantiles": SK_HISTQ_SQL,
+    "t_line_dedup": T_LINE_DEDUP_SQL,
+    "t_bpe_merges": T_BPE_SQL,
+    "t_bpe_encode": T_BPE_ENCODE_SQL,
+    "t_pack_sequences": T_PACK_SQL,
+    "o_key_skew": O_SKEW_SQL,
+    "t_inverted_index": T_INVIDX_SQL,
+    # -- round-5 driver window: first-time driver coverage (35) --
+    "t_corpus_mix": T_CORPUS_MIX_SQL,
+    "a_pivot_source_lang": A_PIVOT_SQL,
+    "w_running_totals": W_RUNNING_SQL,
+    "t_domain_prior": T_DOMAIN_PRIOR_SQL,
+    "t_sampling_temperature": T_TEMPERATURE_SQL,
+    "t_zipf_surprisal": T_SURPRISAL_SQL,
+    "t_boilerplate": T_BOILER_SQL,
+    "sim_ann_pq_topk": SIM_PQ_SQL,
+    "sim_ann_ivfpq_topk": SIM_IVFPQ_SQL,
+    "t_dsir_importance": T_DSIR_SQL,
+    "sim_ann_pq_recall": SIM_PQ_RECALL_SQL,
+    "sim_ann_ivfpq_recall": SIM_IVFPQ_RECALL_SQL,
+    "sim_ann_ivfpq_nprobe": SIM_IVFPQ_NPROBE_SQL,
+    "o_corpus_drift": O_DRIFT_SQL,
+    "o_shard_balance": O_SHARD_SQL,
+    "o_crawl_roi": O_ROI_SQL,
+    "o_budget_sweep": O_BUDGET_SWEEP_SQL,
+    "o_schedule_fairness": O_FAIRNESS_SQL,
+    "t_sample_weighted": T_SAMPLE_WEIGHTED_SQL,
+    "j_range_bucketed": J_RANGE_SQL,
+    "a_anchor_rollup": A_ANCHOR_SQL,
+    "t_pii_scrub": T_PII_SQL,
+    "t_collocations_pmi": T_PMI_SQL,
+    "t_quality_classifier": T_QCLF_SQL,
+    "t_ccnet_perplexity": T_CCNET_PPL_SQL,
+    "d_edit_distance_pairs": D_EDIT_SQL,
+    "sim_jl_projection": SIM_JL_SQL,
+    "w_watermark_lag": W_WATERMARK_SQL,
+    "sim_matryoshka_overlap": SIM_MRL_SQL,
+    "u_snapshot_diff": U_SNAPSHOT_SQL,
+    "g_degree_powerlaw": G_DEGREE_SQL,
+    "g_cocitation": G_COCITE_SQL,
+    "minhash_banding_sweep": MH_SWEEP_SQL,
+    "t_gopher_rules": T_GOPHER_SQL,
+    "dedup_semantic_sweep": DEDUP_SEMANTIC_SWEEP_SQL,
+    # -- past the window: never driver-tested (r6 rotation pool) --
+    "sim_centroid_drift": SIM_DRIFT_SQL,
+    "g_degree_assortativity": G_ASSORT_SQL,
+    "g_host_contraction": G_HOSTG_SQL,
+    "w_error_streaks": W_ERRSTREAK_SQL,
+    "d_cluster_size_histogram": D_CLUSTER_HIST_SQL,
+    "sim_ivf_cell_stats": SIM_IVF_CELL_STATS_SQL,
+    "j_bloom_join": J_BLOOM_JOIN_SQL,
+    "w_burstiness": W_BURST_SQL,
+    "d_dup_locality": D_DUP_LOCALITY_SQL,
+    "t_lang_id_confusion": T_LANG_CONF_SQL,
+    "g_attack_tolerance": G_ATTACK_SQL,
+    "g_opic_fidelity": G_OPIC_FID_SQL,
+    "d_detector_venn": D_DETECTOR_VENN_SQL,
+    "t_filter_agreement": T_FILTER_AGREE_SQL,
+    "sim_norm_audit": SIM_NORM_SQL,
+    "d_dedup_quality_shift": D_DEDUP_QUALITY_SQL,
+    "t_filter_length_bias": T_FILTER_LEN_SQL,
+    "w_gap_percentiles": W_GAP_PCT_SQL,
+    "t_vocab_overlap_langs": T_VOCAB_OVERLAP_SQL,
+    "g_clustering_by_degree": G_CLUST_BY_DEG_SQL,
+    "d_shingle_df_spectrum": D_DF_SPECTRUM_SQL,
+    "g_frontier_growth": G_FRONTIER_GROWTH_SQL,
+    # -- past the window: driver-green in r1-r4 --
     "g_bfs_depth": G_BFS_SQL,
     "g_triangle_counts": G_TRI_SQL,
     "g_kcore_peel": G_KCORE_SQL,
@@ -13396,7 +13488,6 @@ ORACLES: dict[str, str] = {
     "sk_kmv_distinct": SK_KMV_SQL,
     "sk_hll_distinct": SK_HLL_SQL,
     "sk_cms_heavy": SK_CMS_SQL,
-    "sk_hist_quantiles": SK_HISTQ_SQL,
     "sk_kmv_merge": SK_KMV_MERGE_SQL,
     "sk_hll_merge": SK_HLL_MERGE_SQL,
     "sk_cms_merge": SK_CMS_MERGE_SQL,
@@ -13407,85 +13498,20 @@ ORACLES: dict[str, str] = {
     "d_surt_dup": D_SURT_SQL,
     "d_param_wash": D_PARAM_WASH_SQL,
     "d_mirror_sources": D_MIRROR_SQL,
-    "t_line_dedup": T_LINE_DEDUP_SQL,
     "d_cdc_chunks": D_CDC_SQL,
     "t_winnowing": T_WINNOW_SQL,
     "dedup_keeper_policy": DEDUP_KEEPER_SQL,
-    "t_bpe_merges": T_BPE_SQL,
-    "t_bpe_encode": T_BPE_ENCODE_SQL,
-    "t_pack_sequences": T_PACK_SQL,
     "t_vocab_growth": T_VOCAB_SQL,
     "o_warc_gaps": O_WARCGAP_SQL,
     "o_url_traps": O_TRAPS_SQL,
     "o_recrawl_priority": O_RECRAWL_SQL,
-    "o_key_skew": O_SKEW_SQL,
     "p_pld_extract": P_PLD_SQL,
     "p_robots_decision": P_ROBOTS_SQL,
     "o_politeness_audit": O_POLITE_SQL,
     "o_crawl_makespan": O_MAKESPAN_SQL,
     "t_bm25_search": T_BM25_SQL,
-    "t_inverted_index": T_INVIDX_SQL,
     "t_rrf_fusion": T_RRF_SQL,
     "j_asof_join": J_ASOF_SQL,
-    # -- past the window: never driver-tested (r5 rotation pool) --
-    "t_corpus_mix": T_CORPUS_MIX_SQL,
-    "a_pivot_source_lang": A_PIVOT_SQL,
-    "w_running_totals": W_RUNNING_SQL,
-    "t_sample_weighted": T_SAMPLE_WEIGHTED_SQL,
-    "j_range_bucketed": J_RANGE_SQL,
-    "a_anchor_rollup": A_ANCHOR_SQL,
-    "t_pii_scrub": T_PII_SQL,
-    "t_domain_prior": T_DOMAIN_PRIOR_SQL,
-    "t_sampling_temperature": T_TEMPERATURE_SQL,
-    "t_collocations_pmi": T_PMI_SQL,
-    "t_zipf_surprisal": T_SURPRISAL_SQL,
-    "t_boilerplate": T_BOILER_SQL,
-    "sim_ann_pq_topk": SIM_PQ_SQL,
-    "sim_ann_pq_recall": SIM_PQ_RECALL_SQL,
-    "sim_ann_ivfpq_topk": SIM_IVFPQ_SQL,
-    "sim_ann_ivfpq_recall": SIM_IVFPQ_RECALL_SQL,
-    "sim_ann_ivfpq_nprobe": SIM_IVFPQ_NPROBE_SQL,
-    "t_dsir_importance": T_DSIR_SQL,
-    "t_quality_classifier": T_QCLF_SQL,
-    "t_ccnet_perplexity": T_CCNET_PPL_SQL,
-    "d_edit_distance_pairs": D_EDIT_SQL,
-    "sim_jl_projection": SIM_JL_SQL,
-    "w_watermark_lag": W_WATERMARK_SQL,
-    "sim_matryoshka_overlap": SIM_MRL_SQL,
-    "o_corpus_drift": O_DRIFT_SQL,
-    "u_snapshot_diff": U_SNAPSHOT_SQL,
-    "sim_centroid_drift": SIM_DRIFT_SQL,
-    "g_degree_powerlaw": G_DEGREE_SQL,
-    "o_shard_balance": O_SHARD_SQL,
-    "g_cocitation": G_COCITE_SQL,
-    "minhash_banding_sweep": MH_SWEEP_SQL,
-    "t_gopher_rules": T_GOPHER_SQL,
-    "g_degree_assortativity": G_ASSORT_SQL,
-    "g_host_contraction": G_HOSTG_SQL,
-    "w_error_streaks": W_ERRSTREAK_SQL,
-    "d_cluster_size_histogram": D_CLUSTER_HIST_SQL,
-    "sim_ivf_cell_stats": SIM_IVF_CELL_STATS_SQL,
-    "j_bloom_join": J_BLOOM_JOIN_SQL,
-    "dedup_semantic_sweep": DEDUP_SEMANTIC_SWEEP_SQL,
-    "w_burstiness": W_BURST_SQL,
-    "o_crawl_roi": O_ROI_SQL,
-    "d_dup_locality": D_DUP_LOCALITY_SQL,
-    "t_lang_id_confusion": T_LANG_CONF_SQL,
-    "g_attack_tolerance": G_ATTACK_SQL,
-    "g_opic_fidelity": G_OPIC_FID_SQL,
-    "d_detector_venn": D_DETECTOR_VENN_SQL,
-    "t_filter_agreement": T_FILTER_AGREE_SQL,
-    "sim_norm_audit": SIM_NORM_SQL,
-    "d_dedup_quality_shift": D_DEDUP_QUALITY_SQL,
-    "o_budget_sweep": O_BUDGET_SWEEP_SQL,
-    "t_filter_length_bias": T_FILTER_LEN_SQL,
-    "o_schedule_fairness": O_FAIRNESS_SQL,
-    "w_gap_percentiles": W_GAP_PCT_SQL,
-    "t_vocab_overlap_langs": T_VOCAB_OVERLAP_SQL,
-    "g_clustering_by_degree": G_CLUST_BY_DEG_SQL,
-    "d_shingle_df_spectrum": D_DF_SPECTRUM_SQL,
-    "g_frontier_growth": G_FRONTIER_GROWTH_SQL,
-    # -- past the window: driver-green in r1-r3 --
     "q5_region_supplier_rollup": Q5_SQL,
     "p_part_type_stats": P_PART_SQL,
     "f_filter_gates": F_FILTER_SQL,

@@ -52,6 +52,22 @@ def run_duck(sql):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    # HUGEINT guard (the r1-r4 blind spot): DuckDB types bare
+    # SUM(BIGINT) — and arithmetic propagating it — as HUGEINT
+    # (int128).  fetchall() renders plain Python ints, so this replica
+    # is structurally blind to it, but the driver's hasher goes through
+    # pandas/Arrow where the same column renders float64/decimal128
+    # and hash-mismatches Spark's int64.  Every oracle OUTPUT column
+    # must therefore be CAST(... AS BIGINT) at its production site.
+    rel = con.sql(sql)
+    huge = [c for c, t in zip(rel.columns, rel.types)
+            if "HUGEINT" in str(t).upper()]
+    if huge:
+        raise AssertionError(
+            f"oracle emits HUGEINT output column(s) {huge} — the driver "
+            f"hasher renders these float64/decimal128, never int; wrap "
+            f"with CAST(... AS BIGINT) (see VERDICT r4 #1)"
+        )
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
     return cols, cur.fetchall()
