@@ -522,8 +522,18 @@ def resolve_round_inserts(
         mark_seen(full_stream, seen_keys, bloom)
         .join(core_urls.withColumn("_core", F.lit(True)), "ins_url", "left")
         .withColumn("_core", F.coalesce(F.col("_core"), F.lit(False)))
-        .localCheckpoint(eager=False)
     )
+    t0 = _pmark("marked.plan", t0)
+    # persist, NOT localCheckpoint: Dataset→RDD conversion under AQE
+    # (which localCheckpoint does even with eager=False) executes every
+    # shuffle query stage of the plan right at the call, stage-serially
+    # — measured 9-50 s here at wide parallelism while the persist form
+    # lets contested.count materialize the same stages inside ONE
+    # normal action (independent stages overlap, result stage fuses).
+    # Compute-once is what the consumers below need; lineage stays un-
+    # truncated but is bounded (the residue fixpoint builds on the
+    # CHECKPOINTED merged stream below, not on marked_all).
+    marked_all = marked_all.persist()
     t0 = _pmark("marked.ckpt", t0)
     stream = marked_all.where(F.col("_core")).drop("_seen", "_core")
     w_rest = Window.partitionBy("ins_url").orderBy("parent_seq", "band", "pos")

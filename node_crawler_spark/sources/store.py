@@ -128,14 +128,34 @@ class SnapshotStore:
         # manifest publish below still happens strictly after every
         # write returns — atomicity is unchanged.
         if len(tables) > 1:
-            from concurrent.futures import ThreadPoolExecutor
+            from concurrent.futures import (
+                FIRST_EXCEPTION,
+                ThreadPoolExecutor,
+                wait,
+            )
 
             with ThreadPoolExecutor(max_workers=len(tables)) as pool:
                 futures = {
                     name: pool.submit(_write_one, name, df)
                     for name, df in tables.items()
                 }
-            written = {name: f.result() for name, f in futures.items()}
+                # Fail fast: a doomed commit should not pay for the
+                # rest of the round's writes — cancel the not-yet-
+                # started siblings on first failure (in-flight writes
+                # still drain; their orphan dirs are invisible without
+                # a manifest and overwritten on retry). (ADVICE r4)
+                wait(futures.values(), return_when=FIRST_EXCEPTION)
+                if any(
+                    f.done() and not f.cancelled() and f.exception()
+                    for f in futures.values()
+                ):
+                    for f in futures.values():
+                        f.cancel()
+            written = {
+                name: f.result()
+                for name, f in futures.items()
+                if not f.cancelled()
+            }
         else:
             written = {n: _write_one(n, df) for n, df in tables.items()}
 

@@ -40,6 +40,29 @@ from datetime import datetime, timezone
 
 import pandas as pd
 
+
+def _epoch_us_col():
+    """Session-TZ-independent WARC-Date transport: the instant as epoch
+    micros (NULL → the mandatory-date epoch sentinel, ISO 28500 §5.4).
+    Collected timestamps arrive session-TZ-naive through Arrow, so a
+    non-UTC session would render shifted-yet-'Z'-tagged dates if the
+    timestamp itself crossed the boundary (ADVICE r4)."""
+    from pyspark.sql import functions as F
+
+    return F.unix_micros(
+        F.coalesce("warc_ts", F.timestamp_seconds(F.lit(0)))
+    ).alias("warc_us")
+
+
+def _utc_naive(us: int):
+    """Naive-UTC datetime from epoch micros — the record builders'
+    strftime('...Z') contract."""
+    return datetime.fromtimestamp(us / 1_000_000, tz=timezone.utc).replace(
+        tzinfo=None
+    )
+
+
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -263,9 +286,16 @@ def export_warc(
         pages.select("url", "warc_ts", "html"), "url", "left"
     ).select(
         "url",
-        F.coalesce(
-            "warc_ts", F.to_timestamp(F.lit("1970-01-01 00:00:00"))
-        ).alias("warc_ts"),
+        # Timezone-independent timestamp transport (ADVICE r4): the
+        # sentinel is timestamp_seconds(0) — an absolute instant, not a
+        # session-TZ parse — and the instant crosses the Arrow boundary
+        # as EPOCH MICROS, because collected timestamps arrive as
+        # session-TZ-naive pandas values: a non-UTC session would
+        # otherwise render every WARC-Date shifted yet still 'Z'-tagged
+        # (observed +09:00 under Asia/Tokyo before this fix).
+        F.unix_micros(
+            F.coalesce("warc_ts", F.timestamp_seconds(F.lit(0)))
+        ).alias("warc_us"),
         "html", "status_code", "content_type", "location", "set_cookie",
     )
 
@@ -287,9 +317,7 @@ def export_warc(
                 recs.append(
                     {
                         "url": r.url,
-                        "ts": r.warc_ts.to_pydatetime()
-                        if hasattr(r.warc_ts, "to_pydatetime")
-                        else r.warc_ts,
+                        "ts": _utc_naive(r.warc_us),
                         "body": bytes(r.html) if r.html is not None else b"",
                         "status": int(r.status_code)
                         if r.status_code is not None
@@ -359,15 +387,18 @@ def _http_value_safe(key: str, value: str) -> str:
     non-latin-1 IRI crash as WARC-Target-URI (ADVICE r3), one builder
     later. URL-valued headers get the percent-encoding guard
     (byte-preserving for every already-writable value); any other
-    header value falls back to latin-1 'replace', mirroring the read
-    path's decode policy, instead of failing the export partition."""
+    header value writes its UTF-8 bytes via the latin-1 identity
+    (mojibake-but-reversible under the latin-1 read path — re-ingest
+    recovers the exact bytes, where the old 'replace' fallback
+    destroyed them; ADVICE r4) instead of failing the export
+    partition."""
     if key.lower() == "location":
         return _uri_header_safe(value)
     try:
         value.encode("latin-1")
         return value
     except UnicodeEncodeError:
-        return value.encode("latin-1", "replace").decode("latin-1")
+        return value.encode("utf-8").decode("latin-1")
 
 
 def warc_response_record(
@@ -589,7 +620,7 @@ def export_wet(
 
     os.makedirs(out_dir, exist_ok=True)
     suffix = ".warc.wet.gz" if per_record_gzip else ".warc.wet"
-    src = docs.select("url", "warc_ts", "text")
+    src = docs.select("url", _epoch_us_col(), "text")
 
     def write_part(batches):
         from pyspark import TaskContext
@@ -601,9 +632,7 @@ def export_wet(
                 recs.append(
                     {
                         "url": r.url,
-                        "ts": r.warc_ts.to_pydatetime()
-                        if hasattr(r.warc_ts, "to_pydatetime")
-                        else r.warc_ts,
+                        "ts": _utc_naive(r.warc_us),
                         "text": r.text or "",
                     }
                 )
@@ -787,10 +816,10 @@ def export_wat(
 
     os.makedirs(out_dir, exist_ok=True)
     suffix = ".warc.wat.gz" if per_record_gzip else ".warc.wat"
-    cols = ["url", "warc_ts", "links"] + (
+    cols = ["url", "links"] + (
         ["title"] if "title" in crawled.columns else []
     )
-    src = crawled.select(*cols)
+    src = crawled.select(_epoch_us_col(), *cols)
 
     def write_part(batches):
         from pyspark import TaskContext
@@ -802,9 +831,7 @@ def export_wat(
                 recs.append(
                     {
                         "url": r.url,
-                        "ts": r.warc_ts.to_pydatetime()
-                        if hasattr(r.warc_ts, "to_pydatetime")
-                        else r.warc_ts,
+                        "ts": _utc_naive(r.warc_us),
                         "links": list(r.links) if r.links is not None else [],
                         "title": getattr(r, "title", None),
                     }

@@ -22,6 +22,9 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# scripts/ itself: direct execution puts it on sys.path[0], but
+# `python -m` / import-as-module would not (ADVICE r4)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from gatecheck import render  # noqa: E402  (scripts/ sibling)
 

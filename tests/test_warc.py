@@ -566,7 +566,16 @@ def test_non_latin1_http_header_values_do_not_crash():
     (hdrs, payload), = list(iter_warc_records(blob))
     http_head = payload.split(b"\r\n\r\n", 1)[0].decode("latin-1")
     assert "Location: http://example.com/%E6%97%A5%E6%9C%AC%E8%AA%9E" in http_head
-    assert "Set-Cookie: name=café?" in http_head  # replace, not crash
+    # non-latin-1 values write their UTF-8 bytes via the latin-1
+    # identity: mojibake in the latin-1 view, but the archive carries
+    # the EXACT original bytes (reversible — unlike the pre-r5
+    # 'replace' fallback, which destroyed them). (ADVICE r4)
+    assert "Set-Cookie: name=café✓".encode("utf-8") in payload
+    cookie_line = [
+        ln for ln in http_head.split("\r\n") if ln.startswith("Set-Cookie:")
+    ][0]
+    assert cookie_line[len("Set-Cookie: "):].encode("latin-1") == \
+        "name=café✓".encode("utf-8")
     # latin-1-safe headers stay byte-identical
     blob2 = warc_response_record(
         "http://example.com/", ts, b"", status=301,
