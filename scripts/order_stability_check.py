@@ -13,7 +13,8 @@ order is not a function of the data and the query needs a stronger
 sort key BEFORE the driver finds out.
 
 Usage: python scripts/order_stability_check.py [N | query ...]
-       (default: the driver's window, first 50 queries() entries)
+       (default: the FULL registry — run it once per round; pass N to
+       probe only the driver window's first N entries)
 """
 
 from __future__ import annotations
@@ -47,7 +48,8 @@ def main():
     elif args:
         names = args
     else:
-        names = list(queries)[:50]
+        names = list(queries)  # full registry (r5: window-only was the
+        #                        rotation's blind spot — VERDICT r4 #7)
 
     spark = build_session(app_name="order-stability", master="local[8]")
     n_fail = 0
