@@ -82,6 +82,7 @@ def main():
     oracles = entrymod.oracle_sql()
     queries = entrymod.queries()
     n_fail = 0
+    results: dict = {}
     for name in names:
         if name not in oracles:
             print(f"{name}: NO ORACLE (rows-only in driver gate)")
@@ -112,7 +113,22 @@ def main():
         if status != "PASS":
             n_fail += 1
         print(f"{name}: {status} {detail}")
+        results[name] = {
+            "rows_match": len(sr) == len(dr),
+            "schema_match": sc == dc,
+            "hash_match": sr == dr,
+            "spark_rows": len(sr),
+            "oracle_rows": len(dr),
+            "err": None,
+        }
     print(f"\n{'ALL PASS' if n_fail == 0 else f'{n_fail} FAILURES'}")
+    out = os.environ.get("GATECHECK_JSON")
+    if out:
+        # machine-readable record in the driver's CORRECTNESS format
+        import json
+
+        with open(out, "w") as f:
+            json.dump(results, f, indent=1)
     sys.exit(1 if n_fail else 0)
 
 
