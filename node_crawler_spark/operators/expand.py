@@ -534,6 +534,16 @@ def resolve_round_inserts(
     # truncated but is bounded (the residue fixpoint builds on the
     # CHECKPOINTED merged stream below, not on marked_all).
     marked_all = marked_all.persist()
+    # One live frame at a time: the PREVIOUS contested round's frame is
+    # dead once its merged stream materialized (the driver's
+    # inserts.count in that round's commit path), which has certainly
+    # happened by the time a later round re-enters here. Unpersisting
+    # it keeps a long crawl's cache registry bounded instead of leaving
+    # one dead round-sized block per contested round to LRU eviction.
+    prev = getattr(resolve_round_inserts, "_live_persisted", None)
+    if prev is not None:
+        prev.unpersist()
+    resolve_round_inserts._live_persisted = marked_all
     t0 = _pmark("marked.ckpt", t0)
     stream = marked_all.where(F.col("_core")).drop("_seen", "_core")
     w_rest = Window.partitionBy("ins_url").orderBy("parent_seq", "band", "pos")
